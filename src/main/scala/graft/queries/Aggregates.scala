@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables.load
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations and window functions (SURVEY.md §2.B).
+  *
+  * The reference computes no aggregates at all (SURVEY.md §2.A) — this is
+  * the engine's generalized capability surface. Money-like double sums go
+  * through exact decimal arithmetic (graft.Det.dsum) so partial/final
+  * aggregation order (map-side combine, AQE re-partitioning) can never
+  * perturb the result vs the single-threaded DuckDB oracle — a property
+  * that holds identically on a 1000-executor shuffle.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: partial+final hash aggregate, map-side combine.
+    "q_agg_hash" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(24, 6))).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("dist_parts"),
+          countDistinct(col("l_suppkey")).as("dist_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "q_agg_rollup" -> ((s, d) =>
+      load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "q_agg_cube" -> ((s, d) =>
+      load(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("yr")).cast("long").as("g_yr"),
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("yr").asc_nulls_first)),
+
+    "q_agg_gsets" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("graft_orders_gsets")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          |  COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM graft_orders_gsets
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_stats" -> ((s, d) =>
+      load(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")),
+
+    // HLL sketch — algorithm-specific, no cross-engine oracle; the
+    // scalatest suite asserts ±5% of the exact count instead.
+    "q_agg_approx" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Content-hash dedup (extension; the reference dedups only via the
+    // redirect graph, SURVEY.md §2.A A6 — no content hashing anywhere).
+    "q_dedup_exact" -> ((s, d) =>
+      load(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("h")),
+
+    "q_win_rank" -> ((s, d) => {
+      val wTotal = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      val wTies = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc)
+      load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(wTotal).as("rn"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_win_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_win_leadlag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lead(col("value"), 1, -1.0).over(w).as("nxt"),
+          lag(col("value"), 1, -1.0).over(w).as("prv"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_win_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey").asc)
+        .rangeBetween(-100, Window.currentRow)
+      load(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("wsum"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      load(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dist_parts,
+        |  COUNT(DISTINCT l_suppkey) AS dist_supps, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, yr,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(yr) AS BIGINT) AS g_yr,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT *, CAST(YEAR(o_orderdate) AS BIGINT) AS yr FROM orders)
+        |GROUP BY CUBE (o_orderstatus, yr)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT c_mktsegment, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+        |  ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal, COUNT(*) AS cnt
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q_win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_leadlag" ->
+      """SELECT user_id, event_id, value,
+        |  LEAD(value, 1, CAST(-1.0 AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt,
+        |  LAG(value, 1, CAST(-1.0 AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prv
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_range" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_orderkey ASC
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS wsum
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "q_topk_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin
+  )
+}

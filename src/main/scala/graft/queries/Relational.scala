@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: scans, filters, projections, joins, sorts, set ops.
+  *
+  * Generalizes the reference's route-by-predicate
+  * (`/root/reference/dbfy.py:129`), dictionary-lookup joins
+  * (`/root/reference/dbfy.py:108-121`) and exact-limit semantics
+  * (`/root/reference/dbfy.py:205-208`) into the declared surface of
+  * SURVEY.md §2.B. Every oracled query ends in a total order so the
+  * driver's hash-compare is deterministic; outer-join sort keys pin
+  * NULLS FIRST on both engines (Spark's ASC default).
+  *
+  * Scale notes: joins keep their equi-keys visible to Catalyst so AQE can
+  * pick broadcast/SMJ; the dimension sides (region/nation/bands) are
+  * explicitly `broadcast()` hinted where we know they are tiny.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "q_scan_pruned" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") >= lit("1995-07-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_pred" -> ((s, d) =>
+      load(s, d, "orders")
+        .filter(((col("o_orderstatus") === "O" &&
+          col("o_totalprice").between(50000, 150000)) ||
+          (col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            !(col("o_orderstatus") === "F"))) &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    "q_project_expr" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          // exact decimal arithmetic end-to-end: the inputs are 2-decimal
+          // money values, so decimal multiply+round is tie-free and
+          // engine-portable (double round() breaks ties differently in
+          // Spark vs DuckDB).
+          round(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))) *
+            (lit(1).cast(DecimalType(3, 2)) + col("l_tax").cast(DecimalType(3, 2))), 2)
+            .cast("double").as("charge"),
+          when(col("l_quantity") > 30, "bulk")
+            .when(col("l_quantity") > 10, "mid")
+            .otherwise("small").as("bucket"),
+          col("l_partkey").cast("string").as("pk_str"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_filter_regex" -> ((s, d) =>
+      load(s, d, "documents")
+        .filter(col("text").rlike("scan (join|merge)"))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "scan (join|merge)", 1).as("m"))
+        .orderBy("doc_id")),
+
+    "q_join_inner" -> ((s, d) =>
+      load(s, d, "orders")
+        .join(load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    "q_join_broadcast" -> ((s, d) =>
+      load(s, d, "nation")
+        .join(broadcast(load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))
+        .orderBy("n_name")),
+
+    "q_join_left" -> ((s, d) =>
+      load(s, d, "customer")
+        .join(load(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)),
+
+    "q_join_full" -> ((s, d) =>
+      load(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .join(load(s, d, "orders").filter(col("o_totalprice") > 150000),
+          col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(col("c_custkey").asc_nulls_first,
+          col("o_orderkey").asc_nulls_first)),
+
+    "q_join_semi" -> ((s, d) =>
+      load(s, d, "customer")
+        .join(load(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, d) =>
+      load(s, d, "customer")
+        .join(load(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_join_theta" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 1000.0, "low"), (1000.0, 1500.0, "mid"), (1500.0, 1000000.0, "high")))
+        .toDF("lo", "hi", "band")
+      load(s, d, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .select(col("p_partkey"), col("band"), col("p_retailprice"))
+        .orderBy("p_partkey", "band")
+    }),
+
+    "q_join_cross" -> ((s, d) =>
+      load(s, d, "region").crossJoin(load(s, d, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    "q_sort_multi" -> ((s, d) =>
+      load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc_nulls_last,
+          col("o_orderkey").asc)),
+
+    "q_sort_limit" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(50)),
+
+    "q_union_all" -> ((s, d) =>
+      load(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .unionAll(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
+        .orderBy("nk")),
+
+    "q_union_dist" -> ((s, d) =>
+      load(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .union(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
+        .distinct()
+        .orderBy("nk")),
+
+    "q_intersect" -> ((s, d) =>
+      load(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .intersect(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
+        .orderBy("nk")),
+
+    "q_except" -> ((s, d) =>
+      load(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+        .except(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
+        .orderBy("nk"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q_scan_pruned" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE ((o_orderstatus = 'O' AND o_totalprice BETWEEN 50000 AND 150000)
+        |   OR (o_orderpriority IN ('1-URGENT','2-HIGH') AND NOT (o_orderstatus = 'F')))
+        |  AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_project_expr" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS charge,
+        |  CASE WHEN l_quantity > 30 THEN 'bulk' WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS bucket,
+        |  CAST(l_partkey AS VARCHAR) AS pk_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_regex" ->
+      """SELECT doc_id, regexp_extract(text, 'scan (join|merge)', 1) AS m
+        |FROM documents WHERE regexp_matches(text, 'scan (join|merge)')
+        |ORDER BY doc_id""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT p_partkey, band, p_retailprice
+        |FROM part JOIN (VALUES (0.0, 1000.0, 'low'), (1000.0, 1500.0, 'mid'),
+        |                       (1500.0, 1000000.0, 'high')) b(lo, hi, band)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |ORDER BY p_partkey, band""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey ASC""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50""".stripMargin,
+    "q_union_all" ->
+      """SELECT nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_union_dist" ->
+      """SELECT nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_intersect" ->
+      """SELECT nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nk""".stripMargin,
+    "q_except" ->
+      """SELECT nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nk""".stripMargin
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function batteries (SURVEY.md §2.B): string, regex, date, math,
+  * array, JSON, map. All row-wise, narrow, and whole-stage-codegen'd —
+  * no shuffle except the final presentation sort.
+  *
+  * Cross-engine determinism: regexes stay inside the Java∩RE2 common
+  * subset (char classes, groups, alternation — no lookaround, no \s whose
+  * definition differs between engines); integer-valued outputs are cast
+  * to BIGINT on both sides; timestamps are formatted to second-resolution
+  * strings (graft.Det.tstr).
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_str_funcs" -> ((s, d) =>
+      load(s, d, "customer")
+        .select(col("c_custkey"),
+          length(col("c_name")).cast("long").as("name_len"),
+          upper(col("c_mktsegment")).as("seg_up"),
+          lower(col("c_name")).as("name_lo"),
+          trim(col("c_name")).as("name_trim"),
+          substring(col("c_name"), 1, 8).as("name_pre"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tagged"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("pad"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+          array_join(split(col("c_name"), "#"), "|").as("parts"))
+        .orderBy("c_custkey")),
+
+    // The cleaning stages A5d/A5e verbatim as SQL regexes
+    // (/root/reference/filters.py:32,44,48): whitelist char-class delete,
+    // then first-whitespace-wins collapse.
+    "q_str_regex" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[^\\x20-\\x7e]", ""),
+            "([ \\t\\n\\r])[ \\t\\n\\r]*", "$1").as("cleaned"))
+        .orderBy("doc_id")),
+
+    "q_date_funcs" -> ((s, d) =>
+      load(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+          datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast("long").as("days_to_99"))
+        .orderBy("o_orderkey")),
+
+    "q_math_funcs" -> ((s, d) =>
+      load(s, d, "part")
+        .select(col("p_partkey"),
+          round(col("p_retailprice"), 1).as("r1"),
+          abs(col("p_size") - 25).cast("long").as("size_dev"),
+          ceil(col("p_retailprice")).cast("long").as("ceil_p"),
+          floor(col("p_retailprice")).cast("long").as("floor_p"),
+          round(log(col("p_retailprice")), 4).as("ln_p"),
+          pow(col("p_size"), 2).as("size_sq"),
+          (col("p_partkey") % 7).cast("long").as("mod7"),
+          signum(col("p_retailprice") - 1000).cast("long").as("sgn"))
+        .orderBy("p_partkey")),
+
+    "q_array_funcs" -> ((s, d) =>
+      load(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_e"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_e"))
+        .orderBy("vec_id")),
+
+    "q_json_funcs" -> ((s, d) =>
+      load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id")),
+
+    // Spark-side exercises map construction/lookup; the oracle checks the
+    // extracted values (DuckDB's MAP literal syntax differs, so the
+    // equivalence is on results, not construction).
+    "q_map_funcs" -> ((s, d) => {
+      val m = map(lit("seg"), col("c_mktsegment"), lit("name"), col("c_name"))
+      load(s, d, "customer")
+        .select(col("c_custkey"),
+          array_join(map_keys(m), ",").as("keys"),
+          element_at(m, "seg").as("segv"),
+          size(map_values(m)).cast("long").as("nvals"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        |  UPPER(c_mktsegment) AS seg_up,
+        |  LOWER(c_name) AS name_lo,
+        |  TRIM(c_name) AS name_trim,
+        |  SUBSTRING(c_name, 1, 8) AS name_pre,
+        |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tagged,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 12, '0') AS pad,
+        |  REGEXP_REPLACE(c_name, 'Customer', 'Cust', 'g') AS repl,
+        |  ARRAY_TO_STRING(STRING_SPLIT(c_name, '#'), '|') AS parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_str_regex" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(text, '[^\x20-\x7e]', '', 'g'),
+        |                 '([ \t\n\r])[ \t\n\r]*', '\1', 'g') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+        |  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+        |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |  ROUND(p_retailprice, 1) AS r1,
+        |  CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
+        |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p,
+        |  ROUND(LN(p_retailprice), 4) AS ln_p,
+        |  POW(p_size, 2) AS size_sq,
+        |  CAST(p_partkey % 7 AS BIGINT) AS mod7,
+        |  CAST(SIGN(p_retailprice - 1000) AS BIGINT) AS sgn
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(LEN(embedding) AS BIGINT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_e,
+        |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS max_e
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
+        |  JSON_EXTRACT_STRING(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT c_custkey, 'seg,name' AS keys, c_mktsegment AS segv,
+        |  CAST(2 AS BIGINT) AS nvals
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

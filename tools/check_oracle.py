@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB differential oracle.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL in DuckDB against views over <sfDir>/*.parquet, and compares
+with the Spark result parquet at <verifyOutDir>/<name>/ — columns sorted
+by name, exact value equality (floats bit-exact, NaN==NaN), row order
+preserved. Mirrors the driver's row/schema/hash check so mismatches are
+caught before the round ends.
+
+Dev tool only — not part of the engine (the engine has zero Python).
+"""
+import sys, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_ok = n_fail = 0
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            gcols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            wcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: cols spark={sorted(gcols)} duck={sorted(wcols)}")
+            n_fail += 1
+            continue
+        gi = [gcols.index(c) for c in sorted(gcols)]
+        wi = [wcols.index(c) for c in sorted(wcols)]
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} duck={len(want)}")
+            n_fail += 1
+            continue
+        bad = None
+        for r, (g, w) in enumerate(zip(got, want)):
+            for a, b in zip([g[i] for i in gi], [w[i] for i in wi]):
+                if a is None and b is None:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if a == b or (math.isnan(a) and math.isnan(b)):
+                        continue
+                    bad = (r, a, b, abs(a - b))
+                    break
+                if a != b:
+                    bad = (r, a, b, None)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}: spark={bad[1]!r} duck={bad[2]!r}"
+                  + (f" absdiff={bad[3]:.3g}" if bad[3] is not None else ""))
+            n_fail += 1
+        else:
+            print(f"ok   {name} ({len(got)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
