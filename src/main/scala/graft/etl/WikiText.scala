@@ -1,0 +1,218 @@
+package graft.etl
+
+import scala.annotation.tailrec
+
+/** Wiki-markup text cleaning — the Spark-side port of the reference's
+  * `WikiBodyFilter` pipeline (`/root/reference/filters.py:52-64`) plus the
+  * gensim `remove_markup` semantics it delegates to
+  * (`/root/reference/filters.py:58`; pass order per SURVEY.md §7.6).
+  *
+  * Pure `String => String` functions: registered as a Scala UDF for
+  * `q_wiki_clean`, unit-tested against golden fixtures (FIXTURES.md §3).
+  * Kept allocation-light (single StringBuilder passes for the scanner
+  * stages) so the UDF stays cheap inside a narrow map at scale — the one
+  * non-codegen'd hot-path op in the engine.
+  */
+object WikiText {
+
+  /** Full cleaning pipeline, mirroring `WikiBodyFilter.__call__`
+    * (`/root/reference/filters.py:52-64`):
+    *   1. lossy utf-8 decode — a no-op on JVM Strings (done at source read)
+    *   2. HTML-entity decode (if `removeHtml`) — `filters.py:55-56`
+    *   3. markup removal to fixpoint — `filters.py:58`
+    *   4. unicode whitelist then blacklist delete — `filters.py:60-61`
+    *   5. whitespace collapse, first char wins — `filters.py:48-50,63`
+    */
+  def cleanWikiBody(
+      text: String,
+      removeHtml: Boolean = true,
+      valid: Seq[(Int, Int)] = Nil,
+      invalid: Seq[(Int, Int)] = Nil): String = {
+    val t0 = if (text == null) "" else text
+    val t1 = if (removeHtml) decodeHtmlEntities(t0) else t0
+    val t2 = removeMarkup(t1)
+    val t3 = filterChars(filterChars(t2, valid, keepInside = true), invalid, keepInside = false)
+    collapseWhitespace(t3)
+  }
+
+  /** `#REDIRECT [[target]]` detection — anchored at the start and
+    * case-sensitive, preserving the reference's quirks
+    * (`/root/reference/dbfy.py:105,129`). Returns the target title. */
+  private val RedirectPat = """\A#REDIRECT \[\[([^\]]*)\]\]""".r
+  def detectRedirect(body: String): Option[String] =
+    RedirectPat.findPrefixMatchOf(if (body == null) "" else body).map(_.group(1))
+
+  // ---------------------------------------------------------------- A5b
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "ndash" -> "–", "mdash" -> "—",
+    "hellip" -> "…", "deg" -> "°", "plusmn" -> "±",
+    "times" -> "×", "divide" -> "÷", "frac12" -> "½",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "laquo" -> "«", "raquo" -> "»", "middot" -> "·",
+    "bull" -> "•", "dagger" -> "†", "sect" -> "§",
+    "para" -> "¶", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "prime" -> "′",
+    "minus" -> "−", "pound" -> "£", "euro" -> "€",
+    "cent" -> "¢", "yen" -> "¥", "szlig" -> "ß",
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedil" -> "ç", "ouml" -> "ö", "uuml" -> "ü",
+    "auml" -> "ä", "aring" -> "å", "oslash" -> "ø",
+    "ntilde" -> "ñ")
+
+  private val EntityPat = """&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);""".r
+
+  /** Named + decimal + hex entities → code points; invalid entities are
+    * left as-is (gensim `decode_htmlentities` behavior, SURVEY.md §2.3). */
+  def decodeHtmlEntities(text: String): String =
+    EntityPat.replaceAllIn(text, m => {
+      val body = m.group(1)
+      val repl: Option[String] =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try {
+            val cp = Integer.parseInt(body.substring(2), 16)
+            if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
+          } catch { case _: Exception => None }
+        else if (body.startsWith("#"))
+          try {
+            val cp = Integer.parseInt(body.substring(1))
+            if (Character.isValidCodePoint(cp)) Some(new String(Character.toChars(cp))) else None
+          } catch { case _: Exception => None }
+        else NamedEntities.get(body)
+      java.util.regex.Matcher.quoteReplacement(repl.getOrElse(m.matched))
+    })
+
+  // ---------------------------------------------------------------- A5c
+
+  private val CommentPat = """(?s)<!--.*?-->""".r
+  private val RefPat = """(?s)<ref(\s[^>]*)?>.*?</ref>|<ref(\s[^>]*)?/>""".r
+  private val MathPat = """(?s)<math(\s[^>]*)?>.*?</math>""".r
+  private val ExtLinkPat = """\[\w+://[^\s\]]*( ([^\]]*))?\]""".r
+  private val PipeLinkPat = """\[\[([^\[\]|]*)\|([^\[\]|]*)\]\]""".r
+  private val BareLinkPat = """\[\[([^\[\]|]*)\]\]""".r
+  private val TagPat = """(?s)<[^<>]*>""".r
+  private val CategoryPat = """\[\[(Category|[a-z]{2,3}(-[a-z]+)?):[^\]]*\]\]""".r
+  private val EmphasisPat = """'{2,}""".r
+  private val TableRowPat = """(?m)^\s*(\{\||\|\}|\|-|[|!]).*$""".r
+
+  /** Iterated markup-removal passes until fixpoint (capped), per gensim
+    * `remove_markup` called at `/root/reference/filters.py:58` — handles
+    * nested templates/file-links via depth scanners, simple constructs
+    * via regexes, SURVEY.md §7.6 pass order. */
+  def removeMarkup(text: String): String = {
+    @tailrec def loop(t: String, iters: Int): String = {
+      if (iters >= 30) t
+      else {
+        var x = t
+        x = CommentPat.replaceAllIn(x, "")
+        x = RefPat.replaceAllIn(x, "")
+        x = removeBraces(x, "{{", "}}")                 // templates (nested)
+        x = removeTables(x)                             // {| ... |} blocks
+        x = removeFileLinks(x)                          // [[File:..[[..]]..]]
+        x = ExtLinkPat.replaceAllIn(x, m =>
+          java.util.regex.Matcher.quoteReplacement(Option(m.group(2)).getOrElse("")))
+        x = CategoryPat.replaceAllIn(x, "")
+        x = PipeLinkPat.replaceAllIn(x, m =>
+          java.util.regex.Matcher.quoteReplacement(m.group(2)))
+        x = BareLinkPat.replaceAllIn(x, m =>
+          java.util.regex.Matcher.quoteReplacement(m.group(1)))
+        x = MathPat.replaceAllIn(x, "")
+        x = TagPat.replaceAllIn(x, "")
+        x = EmphasisPat.replaceAllIn(x, "")
+        if (x == t) t else loop(x, iters + 1)
+      }
+    }
+    loop(text, 0)
+  }
+
+  /** Depth-balanced `open…close` removal (templates `{{…}}` with nesting
+    * `{{a|{{b}}}}` — the scanner the reference gets from gensim's
+    * `remove_template`, cited at SURVEY.md §7.3). */
+  private[etl] def removeBraces(s: String, open: String, close: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      if (s.startsWith(open, i)) { depth += 1; i += open.length }
+      else if (depth > 0 && s.startsWith(close, i)) { depth -= 1; i += close.length }
+      else {
+        if (depth == 0) out.append(s.charAt(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** `{| … |}` table blocks → single newline; leftover row/cell markers
+    * on their own lines dropped by TableRowPat afterwards. */
+  private[etl] def removeTables(s: String): String = {
+    val noBlocks = removeBlock(s, "{|", "|}", "\n")
+    TableRowPat.replaceAllIn(noBlocks, "")
+  }
+
+  private def removeBlock(s: String, open: String, close: String, repl: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      if (s.startsWith(open, i)) {
+        if (depth == 0) out.append(repl)
+        depth += 1; i += open.length
+      } else if (depth > 0 && s.startsWith(close, i)) { depth -= 1; i += close.length }
+      else {
+        if (depth == 0) out.append(s.charAt(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** `[[File:…]]` / `[[Image:…]]` with nested `[[links]]` inside — the
+    * bracket-depth scanner of SURVEY.md §7.6 step 3. */
+  private[etl] def removeFileLinks(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("[[", i) &&
+          (s.regionMatches(true, i + 2, "File:", 0, 5) ||
+            s.regionMatches(true, i + 2, "Image:", 0, 6))) {
+        var depth = 1
+        var j = i + 2
+        while (j < s.length && depth > 0) {
+          if (s.startsWith("[[", j)) { depth += 1; j += 2 }
+          else if (s.startsWith("]]", j)) { depth -= 1; j += 2 }
+          else j += 1
+        }
+        i = j
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------- A5d
+
+  /** Unicode range filter. `keepInside=true` = whitelist (delete chars
+    * OUTSIDE the ranges); `false` = blacklist (delete members). Empty
+    * ranges → no-op, matching `/root/reference/filters.py:25-46`. */
+  def filterChars(text: String, ranges: Seq[(Int, Int)], keepInside: Boolean): String = {
+    if (ranges.isEmpty) return text
+    val out = new StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val inside = ranges.exists { case (lo, hi) => cp >= lo && cp <= hi }
+      if (inside == keepInside) out.appendAll(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toString
+  }
+
+  // ---------------------------------------------------------------- A5e
+
+  /** Whitespace-run collapse where the FIRST whitespace char wins:
+    * `re.sub(r"(\s)\s*", r"\g<1>", text)` — so `"a\n  b"` → `"a\nb"` but
+    * `"a \nb"` → `"a b"` (`/root/reference/filters.py:48-50,63`). */
+  def collapseWhitespace(text: String): String =
+    text.replaceAll("(\\s)\\s*", "$1")
+}

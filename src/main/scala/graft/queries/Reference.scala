@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables.load
+import graft.etl.{Redirects, WikiText}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-faithful operators (SURVEY.md §2.A → §2.B): transitive
+  * redirect resolution (A7) and the wiki-markup cleaning pipeline (A5).
+  *
+  * The redirect graph is derived deterministically from `documents` so
+  * the DuckDB oracle can build the identical graph in SQL: chains
+  * (`%16`), self-cycles (`%20=12`), and an out-of-range dead-end near
+  * max(doc_id) exercise all three resolution outcomes.
+  */
+object Reference {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic wiki-markup wrapper around each document's text so the
+    * cleaning pipeline has real markup to remove (the synthetic corpus is
+    * plain words). Same construction as the oracle's SQL concat. */
+  private def wrapped(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit("{{infobox|lang="), col("lang"), lit("}} '''"),
+          substring(col("text"), 1, 60),
+          lit("'' <ref>cite</ref> [["), col("source"), lit("|src link]] &amp; &#65; <!--hidden--> tail")
+        ).as("wikitext"))
+
+  val queries: Map[String, Q] = Map(
+    // A7: iterative self-join to fixpoint, bounded like the reference's
+    // recursion limit (/root/reference/dbfy.py:108-121).
+    "q_redirect_resolve" -> ((s, d) => {
+      val docs = load(s, d, "documents").select(col("doc_id"))
+      val redirects = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("src"),
+          when(col("doc_id") % 16 === 0, col("doc_id") + 4)
+            .when(col("doc_id") % 20 === 12, col("doc_id"))
+            .otherwise(col("doc_id") + 1).as("dst"))
+      val content = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id").as("title"), (col("doc_id") * 100).as("bid"))
+      Redirects.resolveTransitive(redirects, content, maxIters = 20)
+        .orderBy("src")
+    }),
+
+    // A5 faithfully: the full fixpoint cleaning pipeline as a Scala UDF.
+    // Not oracled (imperative fixpoint) — golden/property tests in
+    // WikiTextSpec pin the semantics instead.
+    "q_wiki_clean" -> ((s, d) => {
+      val clean = udf((t: String) => WikiText.cleanWikiBody(t))
+      wrapped(s, d)
+        .select(col("doc_id"), clean(col("wikitext")).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // The regex-expressible subset of A5 (entity decode + emphasis strip
+    // + link simplify + whitespace collapse) shared verbatim with DuckDB.
+    "q_wiki_clean_sql" -> ((s, d) =>
+      wrapped(s, d)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                replace(replace(replace(col("wikitext"),
+                  lit("&amp;"), lit("&")), lit("&#65;"), lit("A")), lit("&lt;"), lit("<")),
+                "\\[\\[([^\\[\\]|]*)\\|([^\\[\\]|]*)\\]\\]", "$2"),
+              "'{2,}", ""),
+            "([ \\t\\n\\r])[ \\t\\n\\r]*", "$1").as("cleaned"))
+        .orderBy("doc_id")),
+
+    // Redirect detection A4: anchored, case-sensitive match quirks
+    // preserved (/root/reference/dbfy.py:105,129). Inputs derived so
+    // both quirk cases (mid-text, lowercase) appear.
+    "q_redirect_detect" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("#REDIRECT [[T"), col("doc_id") + 1, lit("]]")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("#redirect [[T"), col("doc_id"), lit("]]"))) // quirk: lowercase ≠ redirect
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("see #REDIRECT [[T"), col("doc_id"), lit("]]"))) // quirk: not anchored
+            .otherwise(col("text")).as("body"))
+        .select(col("doc_id"),
+          (regexp_extract(col("body"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1) =!= "")
+            .as("is_redirect"),
+          regexp_extract(col("body"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1).as("target"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_redirect_resolve" ->
+      """WITH RECURSIVE
+        |r AS (SELECT doc_id AS src,
+        |        CASE WHEN doc_id % 16 = 0 THEN doc_id + 4
+        |             WHEN doc_id % 20 = 12 THEN doc_id
+        |             ELSE doc_id + 1 END AS dst
+        |      FROM documents WHERE doc_id % 4 = 0),
+        |c AS (SELECT doc_id AS title, doc_id * 100 AS bid
+        |      FROM documents WHERE doc_id % 4 <> 0),
+        |walk(src, cur, depth) AS (
+        |  SELECT src, dst, 1 FROM r
+        |  UNION ALL
+        |  SELECT w.src, r2.dst, w.depth + 1
+        |  FROM walk w JOIN r r2 ON w.cur = r2.src
+        |  WHERE w.depth < 20 AND w.cur NOT IN (SELECT title FROM c))
+        |SELECT w.src, c.bid FROM walk w JOIN c ON w.cur = c.title
+        |ORDER BY w.src""".stripMargin,
+    "q_wiki_clean_sql" ->
+      """WITH w AS (SELECT doc_id,
+        |  '{{infobox|lang=' || lang || '}} ''''''' || substr(text, 1, 60)
+        |  || ''''' <ref>cite</ref> [[' || source
+        |  || '|src link]] &amp; &#65; <!--hidden--> tail' AS wikitext
+        |FROM documents)
+        |SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |    REPLACE(REPLACE(REPLACE(wikitext, '&amp;', '&'), '&#65;', 'A'), '&lt;', '<'),
+        |    '\[\[([^\[\]|]*)\|([^\[\]|]*)\]\]', '\2', 'g'),
+        |    '''{2,}', '', 'g'),
+        |    '([ \t\n\r])[ \t\n\r]*', '\1', 'g') AS cleaned
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q_redirect_detect" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN '#REDIRECT [[T' || (doc_id + 1) || ']]'
+        |       WHEN doc_id % 5 = 1 THEN '#redirect [[T' || doc_id || ']]'
+        |       WHEN doc_id % 5 = 2 THEN 'see #REDIRECT [[T' || doc_id || ']]'
+        |       ELSE text END AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  REGEXP_EXTRACT(body, '^#REDIRECT \[\[([^\]]*)\]\]', 1) <> '' AS is_redirect,
+        |  REGEXP_EXTRACT(body, '^#REDIRECT \[\[([^\]]*)\]\]', 1) AS target
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}
