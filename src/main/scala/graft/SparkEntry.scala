@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.Reference.queries
+      graft.queries.Reference.queries ++
+      graft.queries.Text.queries ++
+      graft.queries.Similarity.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +30,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Aggregates.oracles ++
       graft.queries.Scalars.oracles ++
-      graft.queries.Reference.oracles
+      graft.queries.Reference.oracles ++
+      graft.queries.Text.oracles ++
+      graft.queries.Similarity.oracles
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (driver-mandated extension
+  * surface: tokenization/word count, per-doc stats, n-gram-heuristic
+  * language ID, token counting, fingerprinting, quality scoring, and the
+  * sentence-split generator).
+  *
+  * All computations are narrow maps + one hash aggregation — no UDFs, so
+  * everything stays inside whole-stage codegen and scales linearly with
+  * the corpus; the only shuffles are the groupBys and presentation sorts.
+  *
+  * Cross-engine determinism: every ratio is integer basis points
+  * (`x * 10000 DIV n`) — floor division on integers is portable, whereas
+  * `round()` of a division double can diverge between engines on
+  * representation ties (e.g. 7/160 at 4 decimals).
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokens = "filter(split(text, ' '), x -> x <> '')"
+
+  val queries: Map[String, Q] = Map(
+    // Word count: tokenize → explode → hash-agg; top-50 is a
+    // TakeOrderedAndProject, not a global sort.
+    "q_tokenize_wc" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(explode(expr(tokens)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(50)),
+
+    "q_doc_stats" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("len_chars"),
+          col("n_chars"),
+          expr(s"CAST(size($tokens) AS BIGINT)").as("n_words"),
+          expr(s"CAST(size(array_distinct($tokens)) AS BIGINT)").as("n_distinct"),
+          // average word length in basis points: sum(len) * 10000 DIV n
+          expr(s"CAST(aggregate(transform($tokens, x -> length(x)), 0L, (a, x) -> a + x)" +
+            s" * 10000 DIV size($tokens) AS BIGINT)").as("awl_bp"))
+        .orderBy("doc_id")),
+
+    // Language ID by stopword-marker scoring (n-gram heuristic): integer
+    // scores per language, argmax with a pinned tie order.
+    "q_lang_id" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"CAST(size(filter($tokens, x -> x IN ('the','a','of','and','is'))) AS BIGINT)").as("s_en"),
+          expr(s"CAST(size(filter($tokens, x -> x IN ('der','die','und','das'))) AS BIGINT)").as("s_de"),
+          expr(s"CAST(size(filter($tokens, x -> x IN ('le','la','et','les'))) AS BIGINT)").as("s_fr"))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")),
+
+    // Whitespace tokens + a BPE-ish regex token count (letters runs,
+    // digit runs, single other non-space chars).
+    "q_token_count" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          expr(s"CAST(size($tokens) AS BIGINT)").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"))
+            .cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Document fingerprint: md5 over the sorted distinct vocabulary —
+    // an order-insensitive content signature (bag-of-words fingerprint).
+    "q_fingerprint" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(expr(s"array_join(array_sort(array_distinct($tokens)), ' ')")
+            .cast("binary")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Quality score: stopword ratio, punctuation ratio, length factor —
+    // combined in integer basis points.
+    "q_quality_score" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          expr(s"CAST(size($tokens) AS BIGINT)").as("n_words"),
+          expr(s"CAST(size(filter($tokens, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
+          regexp_count(col("text"), lit("[^a-z0-9 \\t\\n\\r]")).cast("long").as("n_punct"))
+        .withColumn("stop_bp", expr("n_stop * 10000 DIV n_words"))
+        .withColumn("punct_bp", expr("n_punct * 10000 DIV len"))
+        .withColumn("len_bp", least(lit(10000L), col("len") * 20))
+        .withColumn("score_bp",
+          expr("(4 * stop_bp + 3 * (10000 - punct_bp) + 3 * len_bp) DIV 10"))
+        .orderBy("doc_id")),
+
+    // UDTF shape (one row → many with ordinal): split each document into
+    // sentence-ish chunks on the word 'table', keep the ordinal.
+    "q_udtf_sentences" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " table ")))
+        .withColumnRenamed("pos", "sent_no")
+        .withColumnRenamed("col", "sentence")
+        .withColumn("sent_no", col("sent_no").cast("long"))
+        .orderBy("doc_id", "sent_no"))
+  )
+
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_tokenize_wc" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50""".stripMargin,
+    "q_doc_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(LENGTH(text) AS BIGINT) AS len_chars, n_chars,
+         |  CAST(LEN($duckToks) AS BIGINT) AS n_words,
+         |  CAST(LEN(LIST_DISTINCT($duckToks)) AS BIGINT) AS n_distinct,
+         |  CAST(LIST_SUM(LIST_TRANSFORM($duckToks, x -> LENGTH(x)))
+         |    * 10000 // LEN($duckToks) AS BIGINT) AS awl_bp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang, s_en, s_de, s_fr,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred
+         |FROM (SELECT doc_id, lang,
+         |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+         |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS s_de,
+         |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS s_fr
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(LEN($duckToks) AS BIGINT) AS ws_tokens,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($duckToks)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""SELECT doc_id, len, n_words, n_stop, n_punct,
+         |  n_stop * 10000 // n_words AS stop_bp,
+         |  n_punct * 10000 // len AS punct_bp,
+         |  LEAST(10000, len * 20) AS len_bp,
+         |  (4 * (n_stop * 10000 // n_words) + 3 * (10000 - n_punct * 10000 // len)
+         |    + 3 * LEAST(10000, len * 20)) // 10 AS score_bp
+         |FROM (SELECT doc_id,
+         |  CAST(LENGTH(text) AS BIGINT) AS len,
+         |  CAST(LEN($duckToks) AS BIGINT) AS n_words,
+         |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 \t\n\r]')) AS BIGINT) AS n_punct
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_udtf_sentences" ->
+      """SELECT doc_id,
+        |  CAST(GENERATE_SUBSCRIPTS(parts, 1) - 1 AS BIGINT) AS sent_no,
+        |  UNNEST(parts) AS sentence
+        |FROM (SELECT doc_id, STRING_SPLIT(text, ' table ') AS parts FROM documents)
+        |ORDER BY doc_id, sent_no""".stripMargin
+  )
+}
