@@ -22,7 +22,9 @@ object SparkEntry {
       graft.queries.Scalars.queries ++
       graft.queries.Reference.queries ++
       graft.queries.Text.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Udaf.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +34,7 @@ object SparkEntry {
       graft.queries.Scalars.oracles ++
       graft.queries.Reference.oracles ++
       graft.queries.Text.oracles ++
-      graft.queries.Similarity.oracles
+      graft.queries.Similarity.oracles ++
+      graft.queries.Events.oracles ++
+      graft.queries.Udaf.oracles
 }
