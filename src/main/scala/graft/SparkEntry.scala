@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Text.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Udaf.queries
+      graft.queries.Udaf.queries ++
+      graft.sources.Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.Events.oracles ++
-      graft.queries.Udaf.oracles
+      graft.queries.Udaf.oracles ++
+      graft.sources.Multimodal.oracles
 }

@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The full reference pipeline, Spark-first (SURVEY.md §3.2 two-phase
+  * shape): XML pages → redirect split (A4) → clean content bodies (A5) →
+  * deterministic ids (§7.4) → transitive redirect resolution (A7) →
+  * `articles`/`bodies` DataFrames matching `/root/reference/sql/init.sql:5-19`.
+  *
+  * Differences from the reference, all deliberate (SURVEY.md §7.4/§7.6):
+  * surrogate ids are deterministic (dense, ordered by `aid`) instead of
+  * insertion-order AUTO_INCREMENT; full UTF-8 titles are kept (no silent
+  * utf8-3-byte drops); per-row commits become bulk partition writes.
+  */
+object WikiEtl {
+
+  final case class EtlOutput(bodies: DataFrame, articles: DataFrame)
+
+  /** Dense 1-based deterministic id by total order on `sortCols` —
+    * the scalable replacement for AUTO_INCREMENT: a range-partitioned
+    * sort + `zipWithIndex`, no single-partition window (SURVEY.md §7.4).
+    */
+  def withDenseId(df: DataFrame, idCol: String, sortCols: String*): DataFrame = {
+    val sorted = df.orderBy(sortCols.map(col): _*)
+    val schema = StructType(StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq((i + 1L) +: r.toSeq)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** @param xmlPath    pages-articles export XML (or a directory of them)
+    * @param removeHtml mirror of `--remove_html` (`/root/reference/dbfy.py:55`)
+    * @param valid/invalid unicode ranges (`--valid_unichrs`, A5d)
+    */
+  def run(
+      spark: SparkSession,
+      xmlPath: String,
+      removeHtml: Boolean = true,
+      valid: Seq[(Int, Int)] = Nil,
+      invalid: Seq[(Int, Int)] = Nil): EtlOutput = {
+    val clean = udf((t: String) => WikiText.cleanWikiBody(t, removeHtml, valid, invalid))
+    val pages = WikiXml.pages(spark, xmlPath)
+      .withColumn("rdr", regexp_extract(col("text"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1))
+
+    // Phase 1: content pages → cleaned bodies with deterministic ids.
+    val content = pages.filter(col("rdr") === "")
+      .select(col("title"), col("aid"), clean(col("text")).as("body"))
+    val bodies = withDenseId(content, "id", "aid")
+      .select(col("id"), col("body"), col("title"), col("aid"))
+    val contentArticles = bodies.select(col("aid"), col("title"), col("id").as("body_id"))
+
+    // Phase 2: redirects resolved transitively against the content
+    // title → body-id map; cycles/dead-ends drop (A7 semantics).
+    val redirectPages = pages.filter(col("rdr") =!= "")
+      .select(col("title").as("src"), col("rdr").as("dst"), col("aid").as("r_aid"))
+    val resolved = Redirects.resolveTransitive(
+        redirectPages.select(col("src"), col("dst")),
+        contentArticles.select(col("title"), col("body_id").as("bid")))
+      .join(redirectPages, "src")
+      .select(col("r_aid").as("aid"), col("src").as("title"), col("bid").as("body_id"))
+
+    val articles = withDenseId(
+      contentArticles.unionByName(resolved), "id", "aid", "title")
+    EtlOutput(
+      bodies.select(col("id"), col("body")),
+      articles.select(col("id"), col("aid"), col("title"), col("body_id").as("body")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MediaWiki `pages-articles` export XML → `Dataset` of pages — the
+  * Spark-native replacement for gensim's `extract_pages` iterparse
+  * (called at `/root/reference/dbfy.py:189,229`; behavior pinned in
+  * SURVEY.md §2.3.1).
+  *
+  * Strategy (SURVEY.md §7.5): split the dump into one record per
+  * `<page>` via `lineSep = "</page>"` — a streaming, splittable-input
+  * text scan (for bz2 dumps, which are not splittable, pre-decompress or
+  * accept a single-task read feeding a repartition; the parse itself is
+  * distributed either way). Fields come out with anchored regex
+  * extraction; the XML-layer entity unescape happens here, BEFORE any
+  * HTML-entity pass, exactly as iterparse did for the reference.
+  */
+object WikiXml {
+
+  private val unescapeXmlUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      // numeric first so stray `&amp;#65;` stays literal like a real
+      // XML parser would leave it (it unescapes to `&#65;`).
+      val numeric = """&#(x[0-9a-fA-F]+|[0-9]+);""".r
+      val n = numeric.replaceAllIn(s, m => {
+        val b = m.group(1)
+        val cp = try {
+          if (b.startsWith("x") || b.startsWith("X")) Integer.parseInt(b.substring(1), 16)
+          else Integer.parseInt(b)
+        } catch { case _: Exception => -1 }
+        if (Character.isValidCodePoint(cp))
+          java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+        else java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+      n.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&apos;", "'")
+        .replace("&amp;", "&")
+    }
+  }
+
+  /** All pages of the export, any namespace: (title, ns, aid, text). */
+  def allPages(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</page>").text(path)
+      .select(
+        regexp_extract(col("value"), "(?s)<title>(.*?)</title>", 1).as("title_x"),
+        regexp_extract(col("value"), "(?s)<ns>(.*?)</ns>", 1).as("ns_x"),
+        // first <id> in the record is the page id; the revision id
+        // appears later and is not matched by the first-match extract
+        regexp_extract(col("value"), "(?s)<id>([0-9]+)</id>", 1).as("aid_x"),
+        regexp_extract(col("value"), "(?s)<text[^>]*>(.*?)</text>", 1).as("text_x"))
+      .filter(col("title_x") =!= "") // trailing non-page fragment
+      .select(
+        unescapeXmlUdf(col("title_x")).as("title"),
+        col("ns_x").cast("int").as("ns"),
+        col("aid_x").cast("long").as("aid"),
+        unescapeXmlUdf(col("text_x")).as("text"))
+
+  /** Namespace-0 pages only — `extract_pages(f, ("0",))` semantics:
+    * redirect pages are NOT skipped; their raw `#REDIRECT [[…]]` text
+    * flows through for downstream detection (A4). */
+  def pages(spark: SparkSession, path: String): DataFrame =
+    allPages(spark, path).filter(col("ns") === 0).drop("ns")
+}

@@ -38,9 +38,10 @@ object Events {
           col("cnt"), col("total"))
         .orderBy("w_start", "event_type")),
 
-    // Session windows, 30-minute gap, per user. Spark starts a new
-    // session when the gap is >= the duration (touching windows do not
-    // merge) — the oracle's gaps-and-islands break uses the same `>=`.
+    // Session windows, 30-minute gap, per user. Spark merges events
+    // whose gap is <= the duration (verified in EventsStreamingSpec: a
+    // gap of exactly 30min stays one session) — the oracle's
+    // gaps-and-islands break therefore uses strict `>`.
     "q_evt_session" -> ((s, d) =>
       load(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -69,7 +70,7 @@ object Events {
       """WITH flagged AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              >= INTERVAL '30 minutes' THEN 1
+        |              > INTERVAL '30 minutes' THEN 1
         |         WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
         |         ELSE 0 END AS brk
         |  FROM events),

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming equivalence (SURVEY.md §5.2.5): the batch
+  * windowed aggregations of queries/Events.scala run under readStream
+  * with a watermark; stream results must equal batch on the same rows,
+  * and late data beyond the watermark must drop. */
+class EventsStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(t: String, u: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Ev(Timestamp.valueOf(t), u, typ, v)
+
+  test("tumbling window: stream (append + watermark) == batch on emitted windows; late rows drop") {
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("evt_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("2024-01-01 10:00:05"), ev("2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 13:00:00")) // → watermark 12:00, finalizes the 10:00 window
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:10:00")) // late beyond watermark → dropped
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 16:00:00")) // → watermark 15:00, finalizes the 13:00 window
+      q.processAllAvailable()
+
+      val rows = spark.table("evt_stream")
+        .select(date_format(col("w_start"), "HH:mm").as("h"), col("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.get("10:00").contains(2L), s"late row must not count: $rows")
+      assert(rows.get("13:00").contains(1L), rows.toString)
+
+      // batch over the NON-late rows gives the same counts
+      val batch = Seq(ev("2024-01-01 10:00:05"), ev("2024-01-01 10:30:00"),
+        ev("2024-01-01 13:00:00")).toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+        .select(date_format(col("window.start"), "HH:mm").as("h"), col("count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch("10:00") == rows("10:00") && batch("13:00") == rows("13:00"))
+    } finally q.stop()
+  }
+
+  test("session window semantics: gap == duration merges; gap > duration splits") {
+    // 30-minute gap exactly → still ONE session (Spark merges on <=);
+    // 31 minutes → a new session. Pins the `>` break the oracle uses.
+    val merged = Seq(ev("2024-01-01 09:00:00"), ev("2024-01-01 09:30:00"),
+      ev("2024-01-01 09:45:00")).toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect()
+    assert(merged.length == 1 && merged.head.getLong(2) == 3L, merged.mkString(","))
+    val split = Seq(ev("2024-01-01 09:00:00"), ev("2024-01-01 09:31:00")).toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect()
+    assert(split.length == 2, split.mkString(","))
+  }
+
+  test("streaming session windows with state: counts merge across batches") {
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDF()
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(ev("2024-01-01 09:00:00"), ev("2024-01-01 09:10:00"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 09:20:00"), ev("2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").select("cnt").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 3L), rows.mkString(","))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.{Aggregates, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Un-oracled similarity paths: ANN recall against the brute-force
+  * baseline, and the HLL sketch within ±5% of exact (SURVEY.md §2.B
+  * q_agg_approx legend). */
+class SimilaritySpec extends SparkTestBase {
+
+  test("q_ann_lsh returns candidates for every query vector with sane cosines") {
+    val ann = Similarity.queries("q_ann_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
+    assert(ann.map(_._1).distinct.length >= 40, "most query vectors should find candidates")
+  }
+
+  test("ANN top-1 cosine is bounded by brute-force top-1; recall is non-trivial") {
+    val bf = Similarity.queries("q_cosine_topk")(spark, sfDir)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ann = Similarity.queries("q_ann_lsh")(spark, sfDir)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ann.nonEmpty)
+    // ANN can never beat exact search
+    ann.foreach { case (a, (_, c)) => assert(c <= bf(a)._2 + 1e-9, s"vec $a") }
+    // and with 16 random hyperplanes it should still find the true top-1
+    // for a non-trivial fraction of queries
+    val hits = ann.count { case (a, (b, _)) => bf(a)._1 == b }
+    assert(hits >= ann.size / 5, s"recall@1 too low: $hits/${ann.size}")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = Aggregates.queries("q_agg_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.etl.WikiText._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden cases from FIXTURES.md §3 pinning the reference semantics
+  * (`/root/reference/filters.py:52-64`, `dbfy.py:105,129`), plus
+  * idempotence over generated markup (cleaning is a fixpoint). */
+class WikiTextSpec extends AnyFunSuite {
+
+  test("template removal, nested") {
+    assert(cleanWikiBody("a {{tmpl|x={{inner}}}} b") == "a b")
+  }
+
+  test("pipe link keeps label") {
+    assert(cleanWikiBody("[[target|label]]") == "label")
+  }
+
+  test("bare link keeps target") {
+    assert(cleanWikiBody("[[target]]") == "target")
+  }
+
+  test("file link with nested link removed entirely") {
+    assert(cleanWikiBody("x[[File:x.png|thumb|[[y]] cap]]y") == "xy")
+    assert(cleanWikiBody("x[[Image:i.jpg|a|b]]y") == "xy")
+  }
+
+  test("external link keeps description") {
+    assert(cleanWikiBody("[http://e.com label]") == "label")
+    assert(cleanWikiBody("[https://e.com/a_b?q=1 multi word label]") == "multi word label")
+  }
+
+  test("ref and comment removal") {
+    assert(cleanWikiBody("a<ref name=\"r\">c</ref>b") == "ab")
+    assert(cleanWikiBody("a<ref>c</ref>b") == "ab")
+    assert(cleanWikiBody("a<ref name=\"x\"/>b") == "ab")
+    assert(cleanWikiBody("a<!-- hidden -->b") == "ab")
+  }
+
+  test("table block becomes a newline") {
+    assert(cleanWikiBody("{| class=\"x\"\n|-\n|cell\n|}") == "\n")
+  }
+
+  test("math and leftover tags removed") {
+    assert(cleanWikiBody("a<math>x^2</math>b") == "ab")
+    assert(cleanWikiBody("a<span class=\"x\">t</span>b") == "atb")
+  }
+
+  test("emphasis quotes stripped") {
+    assert(cleanWikiBody("'''bold''' and ''italic''") == "bold and italic")
+  }
+
+  test("category and interlanguage footer links removed") {
+    assert(cleanWikiBody("text [[Category:Letters]]").trim == "text")
+    assert(cleanWikiBody("text [[fr:Lettre]]").trim == "text")
+  }
+
+  test("entities decode only when removeHtml") {
+    assert(cleanWikiBody("&amp; &#65; &#x42;") == "& A B")
+    assert(cleanWikiBody("&amp; &#65;", removeHtml = false) == "&amp; &#65;")
+    // invalid entities left as-is
+    assert(cleanWikiBody("&notareal; x") == "&notareal; x")
+  }
+
+  test("whitelist then blacklist order (A5d)") {
+    assert(cleanWikiBody("abcλd", valid = Seq((0x20, 0x7e))) == "abcd")
+    assert(cleanWikiBody("abc", invalid = Seq((0x00, 0x1f))) == "abc")
+    // blacklist applies after whitelist
+    assert(cleanWikiBody("abXcd", valid = Seq((0x20, 0x7e)), invalid = Seq(('X'.toInt, 'X'.toInt))) == "abcd")
+  }
+
+  test("whitespace collapse keeps FIRST char (A5e quirk)") {
+    assert(collapseWhitespace("a\n  b") == "a\nb")
+    assert(collapseWhitespace("a \nb") == "a b")
+    assert(cleanWikiBody("a\n \t b") == "a\nb")
+  }
+
+  test("redirect detect: anchored and case-sensitive (A4 quirks)") {
+    assert(detectRedirect("#REDIRECT [[Target]]").contains("Target"))
+    assert(detectRedirect("text #REDIRECT [[X]]").isEmpty)
+    assert(detectRedirect("#redirect [[X]]").isEmpty)
+  }
+
+  test("cleaning is idempotent over generated markup (fixpoint property)") {
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("word", "x y", "{{t|v}}", "[[a|b]]", "[[c]]", "<ref>r</ref>",
+      "<!--c-->", "'''b'''", "&amp;", "&#65;", "[http://u.io lbl]",
+      "[[File:f.png|cap]]", "\n", "  ", "{{o|{{i}}}}", "<math>m</math>", "{|\n|c\n|}")
+    (1 to 300).foreach { _ =>
+      val s = (1 to rnd.nextInt(12) + 1).map(_ => atoms(rnd.nextInt(atoms.size))).mkString(" ")
+      val once = cleanWikiBody(s)
+      assert(cleanWikiBody(once) == once, s"not idempotent for: $s")
+      assert(!once.contains("{{") && !once.contains("<ref") && !once.contains("[["),
+        s"markup survived for: $s -> $once")
+    }
+  }
+}
