@@ -38,7 +38,13 @@ object Redirects {
       redirects: DataFrame,
       content: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val edges = redirects.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    // Self-loop edges can never resolve (the reference's recursion just
+    // blows up and drops them, dbfy.py:118-121); removing them up front
+    // turns those walks into dead-ends — same result, and the frontier
+    // drains in O(longest chain) iterations instead of burning the full
+    // budget keeping cyclic rows alive.
+    val edges = redirects.filter(col("src") =!= col("dst"))
+      .select(col("src").as("e_src"), col("dst").as("e_dst"))
     val tgt = content.select(col("title").as("c_title"), col("bid").as("c_bid"))
 
     var frontier = redirects.select(col("src"), col("dst").as("cur")).localCheckpoint()

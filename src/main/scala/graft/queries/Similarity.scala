@@ -26,24 +26,57 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** embedding → BIGINT-quantized vector + its squared norm. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  /** embedding → BIGINT-quantized vector + its squared norm. The dot
+    * products use the codegen'd `graft_ldot` expression
+    * (graft.functions.LongDot) — the interpreted higher-order
+    * `aggregate(zip_with(...))` was the similarity bottleneck. */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     load(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT))").as("qv"))
-      .withColumn("nq", expr("aggregate(transform(qv, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("nq", expr("graft_ldot(qv, qv)"))
+  }
 
-  private def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+  private def dotQ(a: String, b: String): Column = expr(s"graft_ldot($a, $b)")
+
+  /** 16 hyperplanes × up-to-128 dims of splitmix64-derived weights in
+    * [-1000, 1000]; the signature UDF is a tight primitive loop (the
+    * nested-HOF formulation paid interpreted-lambda cost per term). */
+  private val planes: Array[Array[Long]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(16, 128)((j, i) => math.floorMod(mix(j * 1000003L + i), 2001L) - 1000L)
+  }
+
+  private val lshSigUdf = udf { (qv: Seq[Long]) =>
+    var sig = 0L
+    var j = 0
+    while (j < 16) {
+      val w = planes(j)
+      var s = 0L
+      var i = 0
+      val n = math.min(qv.length, w.length)
+      while (i < n) { s += qv(i) * w(i); i += 1 }
+      if (s > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
 
   private def cosine(dq: Column, na: Column, nb: Column): Column =
     round(dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4)
 
-  /** distinct (doc_id, word) pairs of the corpus. */
+  /** distinct (doc_id, word) pairs of the corpus. Dedup is row-local
+    * (`array_distinct` before the explode) — no corpus-wide shuffle. */
   private def docWords(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents")
-      .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("word"))
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k: 50 query vectors × full corpus. The
@@ -82,17 +115,14 @@ object Similarity {
     }),
 
     // ANN via sign-random-projection LSH: 16 pseudo-random hyperplanes
-    // (weights derived from xxhash64 — deterministic, Spark-side only, so
+    // (splitmix64-derived weights, precomputed driver-side and closed
+    // over by a primitive-loop UDF — deterministic, Spark-side only, so
     // no SQL oracle; SimilaritySpec asserts recall vs brute force).
     // Candidates = pairs sharing any 4-bit band of the 16-bit signature;
     // exact cosine only on candidates. This is the 100 TB path: the join
     // is on (band, nibble) buckets, never all-pairs.
     "q_ann_lsh" -> ((s, d) => {
-      val q = quantized(s, d).withColumn("sig",
-        expr("""aggregate(sequence(0, 15), 0L, (acc, j) ->
-                 acc + CASE WHEN aggregate(sequence(0, size(qv) - 1), 0L,
-                   (sa, i) -> sa + qv[i] * (pmod(xxhash64(i, j), 2001) - 1000)) > 0
-                 THEN shiftleft(1L, j) ELSE 0L END)"""))
+      val q = quantized(s, d).withColumn("sig", lshSigUdf(col("qv")))
       val bands = q.select(col("vec_id"), col("qv"), col("nq"),
         explode(expr("transform(sequence(0, 3), b -> named_struct(" +
           "'band', b, 'nibble', shiftright(sig, b * 4) % 16))")).as("bn"))
@@ -119,34 +149,56 @@ object Similarity {
 
     // MinHash + LSH banding over unigram shingles: 8 min-of-md5-string
     // hashes, 4 bands of 2, bucket summary for buckets holding >1 doc.
-    "q_minhash_lsh" -> ((s, d) =>
-      docWords(s, d)
-        .crossJoin(broadcast(s.range(0, 8).select(col("id").cast("int").as("i"))))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit("|"), col("word")).cast("binary")).as("h"))
-        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-        .groupBy(col("doc_id"), expr("i DIV 2").as("band"))
-        .agg(md5(concat(min(col("mh")), max(col("mh"))).cast("binary")).as("sig"))
+    // Shaped for scale: the hash family depends only on (i, word), so
+    // it's computed once over the distinct vocabulary as 8 COLUMNS and
+    // broadcast back; the signature is then ONE corpus-linear groupBy
+    // with 8 map-side-combining mins — no hash-id row explosion, one
+    // shuffle of |docs| rows.
+    "q_minhash_lsh" -> ((s, d) => {
+      val hashCols = (0 until 8).map(i =>
+        md5(concat(lit(i.toString), lit("|"), col("word")).cast("binary")).as(s"h$i"))
+      val vocabHash = docWords(s, d).select(col("word")).distinct()
+        .select((col("word").as("v_word") +: hashCols): _*)
+      val sigs = docWords(s, d)
+        .join(broadcast(vocabHash), col("word") === col("v_word"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h0")).as("m0"), min(col("h1")).as("m1"),
+          min(col("h2")).as("m2"), min(col("h3")).as("m3"),
+          min(col("h4")).as("m4"), min(col("h5")).as("m5"),
+          min(col("h6")).as("m6"), min(col("h7")).as("m7"))
+      val bandSig = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(least(col(s"m${2 * b}"), col(s"m${2 * b + 1}")),
+            greatest(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).cast("binary")).as("sig")))
+      sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         .groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"))
         .filter(col("n_docs") > 1)
-        .orderBy("band", "sig")),
+        .orderBy("band", "sig")
+    }),
 
     // SimHash: 16-bit signature from md5 hex digits of the distinct
-    // vocabulary, majority vote per bit.
-    "q_simhash" -> ((s, d) =>
-      docWords(s, d)
-        .select(col("doc_id"), md5(col("word").cast("binary")).as("hw"))
-        .crossJoin(broadcast(s.range(0, 16).select(col("id").cast("int").as("j"))))
-        .select(col("doc_id"), col("j"),
-          expr("(instr('0123456789abcdef', substr(hw, j DIV 4 + 1, 1)) - 1)" +
-            " DIV CAST(pow(2, j % 4) AS INT) % 2 * 2 - 1").as("contrib"))
-        .groupBy(col("doc_id"), col("j")).agg(sum(col("contrib")).as("s"))
+    // vocabulary, majority vote per bit. Like minhash: per-(word, j)
+    // contributions live in 16 vocabulary COLUMNS, one broadcast join,
+    // one corpus-linear groupBy with map-side partial sums.
+    "q_simhash" -> ((s, d) => {
+      val contribCols = (0 until 16).map { j =>
+        expr(s"(instr('0123456789abcdef', substr(md5(CAST(word AS BINARY)), ${j / 4 + 1}, 1)) - 1)" +
+          s" DIV ${1 << (j % 4)} % 2 * 2 - 1").as(s"c$j")
+      }
+      val vocabBits = docWords(s, d).select(col("word")).distinct()
+        .select((col("word").as("v_word") +: contribCols): _*)
+      val sums = docWords(s, d)
+        .join(broadcast(vocabBits), col("word") === col("v_word"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-          .as("simhash"))
-        .orderBy("doc_id")),
+        .agg(sum(col("c0")).as("s0"), (1 until 16).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+      sums.select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    }),
 
     // Word-bigram Jaccard similarity for doc pairs (bounded block),
     // integer basis points; pairs sharing no bigram drop out.

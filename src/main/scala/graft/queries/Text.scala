@@ -35,24 +35,26 @@ object Text {
 
     "q_doc_stats" -> ((s, d) =>
       load(s, d, "documents")
+        .withColumn("toks", expr(tokens)) // tokenize once, reuse below
         .select(col("doc_id"), col("lang"),
           length(col("text")).cast("long").as("len_chars"),
           col("n_chars"),
-          expr(s"CAST(size($tokens) AS BIGINT)").as("n_words"),
-          expr(s"CAST(size(array_distinct($tokens)) AS BIGINT)").as("n_distinct"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_words"),
+          expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
           // average word length in basis points: sum(len) * 10000 DIV n
-          expr(s"CAST(aggregate(transform($tokens, x -> length(x)), 0L, (a, x) -> a + x)" +
-            s" * 10000 DIV size($tokens) AS BIGINT)").as("awl_bp"))
+          expr("CAST(aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)" +
+            " * 10000 DIV size(toks) AS BIGINT)").as("awl_bp"))
         .orderBy("doc_id")),
 
     // Language ID by stopword-marker scoring (n-gram heuristic): integer
     // scores per language, argmax with a pinned tie order.
     "q_lang_id" -> ((s, d) =>
       load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
         .select(col("doc_id"), col("lang"),
-          expr(s"CAST(size(filter($tokens, x -> x IN ('the','a','of','and','is'))) AS BIGINT)").as("s_en"),
-          expr(s"CAST(size(filter($tokens, x -> x IN ('der','die','und','das'))) AS BIGINT)").as("s_de"),
-          expr(s"CAST(size(filter($tokens, x -> x IN ('le','la','et','les'))) AS BIGINT)").as("s_fr"))
+          expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT)").as("s_en"),
+          expr("CAST(size(filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT)").as("s_de"),
+          expr("CAST(size(filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT)").as("s_fr"))
         .withColumn("lang_pred",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_de") >= col("s_fr"), "de")
@@ -82,10 +84,11 @@ object Text {
     // combined in integer basis points.
     "q_quality_score" -> ((s, d) =>
       load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
         .select(col("doc_id"),
           length(col("text")).cast("long").as("len"),
-          expr(s"CAST(size($tokens) AS BIGINT)").as("n_words"),
-          expr(s"CAST(size(filter($tokens, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_words"),
+          expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
           regexp_count(col("text"), lit("[^a-z0-9 \\t\\n\\r]")).cast("long").as("n_punct"))
         .withColumn("stop_bp", expr("n_stop * 10000 DIV n_words"))
         .withColumn("punct_bp", expr("n_punct * 10000 DIV len"))

@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.{Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions (SURVEY.md §4.3): the declarative queries
+  * must actually get the optimizations we designed for — filters and
+  * projections pushed into the parquet scan, broadcast joins where
+  * hinted, whole-stage codegen on the hot paths. These are the
+  * properties that carry to a 1000-executor cluster. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_scan_pruned pushes filters and prunes columns at the parquet scan") {
+    val p = plan(Relational.queries("q_scan_pruned")(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    // only the 3 projected columns + filter column reach the reader
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("dimension joins broadcast; fact-fact joins do not cartesian") {
+    assert(plan(Relational.queries("q_join_broadcast")(spark, sfDir))
+      .contains("BroadcastHashJoin"))
+    val inner = plan(Relational.queries("q_join_inner")(spark, sfDir))
+    assert(!inner.contains("CartesianProduct"), inner)
+  }
+
+  test("scan-heavy queries run inside whole-stage codegen") {
+    // AQE only materializes codegen stages in the FINAL plan — execute
+    // first, then inspect.
+    val df = Relational.queries("q_project_expr")(spark, sfDir)
+    df.collect()
+    // formatted mode prefixes codegen stages with `*`
+    val p = plan(df)
+    assert(p.contains("* Project") && p.contains("* ColumnarToRow"), p)
+  }
+
+  test("ANN LSH candidate join is a bucket equi-join, not a cross join") {
+    val p = plan(Similarity.queries("q_ann_lsh")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "LSH must bucket-join, not cross-join")
+  }
+
+  test("brute-force cosine broadcasts the bounded query side") {
+    val p = plan(Similarity.queries("q_cosine_topk")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
