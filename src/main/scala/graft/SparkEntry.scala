@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Udaf.queries ++
-      graft.sources.Multimodal.queries
+      graft.sources.Multimodal.queries ++
+      graft.queries.Sources.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

@@ -154,7 +154,7 @@ object Similarity {
     // broadcast back; the signature is then ONE corpus-linear groupBy
     // with 8 map-side-combining mins — no hash-id row explosion, one
     // shuffle of |docs| rows.
-    "q_minhash_lsh" -> ((s, d) => {
+    "q_minhash_dedup" -> ((s, d) => {
       val hashCols = (0 until 8).map(i =>
         md5(concat(lit(i.toString), lit("|"), col("word")).cast("binary")).as(s"h$i"))
       val vocabHash = docWords(s, d).select(col("word")).distinct()
@@ -257,7 +257,7 @@ object Similarity {
         |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
         |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
-    "q_minhash_lsh" ->
+    "q_minhash_dedup" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),
          |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.etl.{MySqlSink, WikiEtl, WikiXml}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink operators from SURVEY.md §2.B that are not plain parquet
+  * scans: the raw-text dump source (A1–A3) and the MySQL JDBC sink
+  * (A8–A11). Neither is oracle-able (env-dependent path / side effect),
+  * so the driver records rows-only checks; EtlPipelineSpec and
+  * MySqlSinkSpec carry the real assertions.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A tiny pages-articles export, materialized once to the JVM temp dir
+    * so the text source has a real file to stream — the same fixture
+    * shape as src/test/resources/mini-wiki.xml. */
+  private lazy val dumpPath: String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), "graft-mini-wiki.xml")
+    val xml =
+      """<mediawiki>
+        |  <page><title>Alpha</title><ns>0</ns><id>1</id>
+        |    <revision><id>100</id><text>'''Alpha''' is a letter. {{Tmpl|x}} [[Beta|next]] &amp;amp;co.</text></revision></page>
+        |  <page><title>Alif</title><ns>0</ns><id>2</id>
+        |    <revision><id>101</id><text>#REDIRECT [[Alpha]]</text></revision></page>
+        |  <page><title>Talk:Alpha</title><ns>1</ns><id>3</id>
+        |    <revision><id>102</id><text>chatter</text></revision></page>
+        |</mediawiki>
+        |""".stripMargin
+    Files.write(p, xml.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    p.toString
+  }
+
+  val queries: Map[String, Q] = Map(
+    // A1–A3: raw text streamed per <page>, fields extracted, ns filter.
+    "q_source_text" -> ((s, _) =>
+      WikiXml.pages(s, dumpPath)
+        .select(col("aid"), col("title"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("aid")),
+
+    // A8–A11 shape: the full ETL feeding a configured JDBC sink. No
+    // MySQL server exists here, so the query returns the sink's resolved
+    // configuration + the row counts it WOULD write (the .save() call is
+    // the only thing withheld); MySqlSinkSpec asserts the writer/DDL.
+    "q_sink_jdbc" -> ((s, _) => {
+      val out = WikiEtl.run(s, dumpPath)
+      MySqlSink.writer(out.articles, "jdbc:mysql://localhost:3306/wiki",
+        "articles", "graft", "graft") // configured, not saved
+      val nBodies = out.bodies.count()
+      val nArticles = out.articles.count()
+      s.range(1).select(
+        lit("jdbc:mysql://localhost:3306/wiki").as("url"),
+        lit("articles").as("table"),
+        lit(5000L).as("batchsize"),
+        lit(nArticles).as("n_articles"),
+        lit(nBodies).as("n_bodies"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}
