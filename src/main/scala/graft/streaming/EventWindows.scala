@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-window operators
+  * (SURVEY.md §2.B "streaming proper"): the same aggregations as
+  * `graft.queries.Events`, expressed over any streaming or batch
+  * DataFrame with an event-time `ts` column. Batch/stream equivalence
+  * and watermark late-drop are asserted in EventsStreamingSpec.
+  *
+  * At scale these are the canonical shapes: watermarked windowed aggs
+  * shuffle on (window, key) with partial aggregation, and state store
+  * size is bounded by the watermark horizon — no unbounded state.
+  */
+object EventWindows {
+
+  /** 1-hour tumbling counts/sums per event type, 1-hour watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("total"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("total"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("total"))
+
+  // ------------------------------------------------------------------
+  // Custom state: sessionization via flatMapGroupsWithState — the
+  // escape hatch for session semantics the built-in operator can't
+  // express (here: emit a session row the moment it closes, carrying
+  // its event count and value sum).
+
+  final case class SessionEvent(ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, start: Timestamp, end: Timestamp,
+                                 n_events: Long, total: Double)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Event-time sessionizer: closes a user's session when a batch's
+    * events jump past the 30-minute gap, or when the state times out
+    * (watermark passed the gap horizon with no new events). */
+  def sessionize(spark: SparkSession, events: Dataset[SessionEvent]): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= GapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + GapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

@@ -65,6 +65,33 @@ class EventsStreamingSpec extends SparkTestBase {
     assert(split.length == 2, split.mkString(","))
   }
 
+  test("flatMapGroupsWithState sessionizer: closes on gap inline and on event-time timeout") {
+    import graft.streaming.EventWindows
+    import graft.streaming.EventWindows.SessionEvent
+    val input = MemoryStream[SessionEvent](spark)
+    val q = EventWindows.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("fmgs_sessions")
+      .outputMode("append").start()
+    def rows() = spark.table("fmgs_sessions")
+      .select(col("user_id"), date_format(col("start"), "HH:mm").as("s"),
+        col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    try {
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 09:00:00"), 1L, 1.0),
+        SessionEvent(Timestamp.valueOf("2024-01-01 09:10:00"), 1L, 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // session still open
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 5.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, "09:00", 2L, 3.0)), rows()) // gap closed it inline
+      // a far-future event advances the watermark past 11:30 → times out
+      // user 1's open session
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 15:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, "09:00", 2L, 3.0), (1L, "11:00", 1L, 5.0)), rows())
+    } finally q.stop()
+  }
+
   test("streaming session windows with state: counts merge across batches") {
     val input = MemoryStream[Ev](spark)
     val agg = input.toDF()
