@@ -116,6 +116,20 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // ntile/percent_rank/cume_dist battery; the fractional ranks leave
+    // as floor(x*10000) integers (identical doubles → identical floors,
+    // no cross-engine round() tie exposure).
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          floor(percent_rank().over(w) * 10000).cast("long").as("pr_bp"),
+          floor(cume_dist().over(w) * 10000).cast("long").as("cd_bp"))
+        .orderBy("c_custkey")
+    }),
+
     "q_win_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -215,6 +229,14 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS pr_bp,
+        |  CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cd_bp
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

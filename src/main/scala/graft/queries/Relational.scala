@@ -183,10 +183,24 @@ object Relational {
         .intersect(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
         .orderBy("nk")),
 
+    // customers-without-orders via EXCEPT (non-empty: ~4% of customers
+    // never ordered in the synthetic data, matching q_join_anti)
     "q_except" -> ((s, d) =>
-      load(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
-        .except(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
-        .orderBy("nk"))
+      load(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(load(s, d, "orders").select(col("o_custkey")))
+        .orderBy("k")),
+
+    // Pivot: order counts + exact-decimal totals per year × status.
+    // Spark's relational pivot vs DuckDB FILTERed aggregates — identical
+    // column names, so the hash compare sees the same shape.
+    "q_pivot" -> ((s, d) =>
+      load(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("yr"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -285,9 +299,15 @@ object Relational {
         |  INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
         |ORDER BY nk""".stripMargin,
     "q_except" ->
-      """SELECT nk FROM (
-        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
-        |  EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
-        |ORDER BY nk""".stripMargin
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY k""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
   )
 }
