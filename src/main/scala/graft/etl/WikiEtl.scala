@@ -42,14 +42,21 @@ object WikiEtl {
       valid: Seq[(Int, Int)] = Nil,
       invalid: Seq[(Int, Int)] = Nil): EtlOutput = {
     val clean = udf((t: String) => WikiText.cleanWikiBody(t, removeHtml, valid, invalid))
+    // A dump arrives as one file (bz2: one stream) → the text source
+    // yields few input splits. Redistribute BEFORE the expensive
+    // parse/clean so all cores work (SURVEY.md §7.3 bz2 note), and
+    // persist: both output branches and the redirect join consume this.
     val pages = WikiXml.pages(spark, xmlPath)
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("rdr", regexp_extract(col("text"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase 1: content pages → cleaned bodies with deterministic ids.
     val content = pages.filter(col("rdr") === "")
       .select(col("title"), col("aid"), clean(col("text")).as("body"))
     val bodies = withDenseId(content, "id", "aid")
       .select(col("id"), col("body"), col("title"), col("aid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contentArticles = bodies.select(col("aid"), col("title"), col("id").as("body_id"))
 
     // Phase 2: redirects resolved transitively against the content

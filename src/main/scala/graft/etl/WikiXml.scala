@@ -50,7 +50,12 @@ object WikiXml {
         // appears later and is not matched by the first-match extract
         regexp_extract(col("value"), "(?s)<id>([0-9]+)</id>", 1).as("aid_x"),
         regexp_extract(col("value"), "(?s)<text[^>]*>(.*?)</text>", 1).as("text_x"))
-      .filter(col("title_x") =!= "") // trailing non-page fragment
+      // drop the trailing non-page fragment and malformed records
+      // (missing title/ns/id) — a streaming parser can't reject the
+      // whole file, so bad pages degrade to dropped rows, mirroring the
+      // reference's skip-on-failure posture (dbfy.py:142-143)
+      .filter(col("title_x") =!= "" && col("ns_x").rlike("^[0-9]+$") &&
+        col("aid_x") =!= "")
       .select(
         unescapeXmlUdf(col("title_x")).as("title"),
         col("ns_x").cast("int").as("ns"),
