@@ -103,6 +103,19 @@ object Aggregates {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("h")),
 
+    // Exact interpolated percentiles over integer cents: (n-1)*q
+    // interpolation on integers with quarter fractions is bit-exact in
+    // both engines (no decimal-representation ties).
+    "q_agg_median" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.5)").as("median"),
+          expr("percentile(cents, 0.75)").as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     "q_win_rank" -> ((s, d) => {
       val wTotal = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
@@ -229,6 +242,13 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_median" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+        |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.5) AS median,
+        |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75) AS p75,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

@@ -46,6 +46,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "LSH must bucket-join, not cross-join")
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    val dir = s"/tmp/graft-part-${System.nanoTime()}"
+    Tables.load(spark, sfDir, "events")
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter("day = '2024-01-15'")
+      .select("event_id", "value")
+    val p = plan(pruned)
+    // the day filter must become a PartitionFilter, not a data filter
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    val expected = Tables.load(spark, sfDir, "events")
+      .filter("to_date(ts) = '2024-01-15'").count()
+    assert(expected > 0 && pruned.count() == expected)
+  }
+
   test("brute-force cosine broadcasts the bounded query side") {
     val p = plan(Similarity.queries("q_cosine_topk")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
