@@ -147,6 +147,42 @@ object Similarity {
         .orderBy("a_id", "rn")
     }),
 
+    // ANN via IVF (inverted file): the first 16 vectors act as the
+    // coarse codebook; every vector is assigned to its nearest cell,
+    // queries probe their top-2 cells, and exact cosine re-ranks only
+    // the probed cells' members. At scale the assignment is one
+    // broadcast pass and the candidate join shuffles on cell ids —
+    // corpus-quadratic work never happens. Fully oracled: assignment
+    // and re-rank both use the exact integer dot machinery.
+    "q_ann_ivf" -> ((s, d) => {
+      val q = quantized(s, d)
+      val cents = q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+      val centCos = q.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("v_id"), col("c_id"), col("qv"), col("nq"),
+          cosine(dotQ("qv", "qc"), col("nq"), col("nc")).as("ccos"))
+      val wCell = Window.partitionBy(col("v_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      val ranked = centCos.withColumn("crn", row_number().over(wCell))
+      val assign = ranked.filter(col("crn") === 1)
+        .select(col("v_id").as("b_id"), col("c_id").as("cell"),
+          col("qv").as("qb"), col("nq").as("nb"))
+      val probes = ranked.filter(col("crn") <= 2 &&
+          col("v_id") >= 50 && col("v_id") < 60)
+        .select(col("v_id").as("a_id"), col("c_id").as("pcell"),
+          col("qv").as("qa"), col("nq").as("na"))
+      val wTop = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      probes.join(assign, col("pcell") === col("cell") && col("a_id") =!= col("b_id"))
+        .dropDuplicates("a_id", "b_id")
+        .select(col("a_id"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("cosine"), col("rn").cast("long").as("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
     // MinHash + LSH banding over unigram shingles: 8 min-of-md5-string
     // hashes, 4 bands of 2, bucket summary for buckets holding >1 doc.
     // Shaped for scale: the hash family depends only on (i, word), so
@@ -257,6 +293,36 @@ object Similarity {
         |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
         |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |cd AS (SELECT a.vec_id AS v_id, b.vec_id AS c_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |       GROUP BY a.vec_id, b.vec_id),
+        |cc AS (SELECT v_id, c_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
+        |ranked AS (SELECT v_id, c_id, ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY v_id ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM cc),
+        |assign AS (SELECT v_id AS b_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (SELECT v_id AS a_id, c_id AS pcell FROM ranked
+        |           WHERE crn <= 2 AND v_id >= 50 AND v_id < 60),
+        |cands AS (SELECT DISTINCT p.a_id, s.b_id FROM probes p
+        |          JOIN assign s ON p.pcell = s.cell WHERE s.b_id <> p.a_id),
+        |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+        |       FROM cands c JOIN e ea ON ea.vec_id = c.a_id
+        |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        |       GROUP BY c.a_id, c.b_id),
+        |pc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+        |SELECT a_id, b_id, cosine, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
     "q_minhash_dedup" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),
