@@ -84,6 +84,37 @@ object Scalars {
           get_json_object(col("props"), "$.k").as("k_str"))
         .orderBy("event_id")),
 
+    // Null-handling battery: coalesce/nullif/nvl2/IS DISTINCT FROM over
+    // the outer-join null pattern (customers without orders).
+    "q_null_funcs" -> ((s, d) =>
+      load(s, d, "customer")
+        .join(load(s, d, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey"), col("o_totalprice")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_totalprice"), lit(-1.0)).as("price_or_default"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullable"),
+          expr("nvl2(o_custkey, 'has_big_order', 'none')").as("order_flag"),
+          col("o_custkey").isNotNull.as("matched"),
+          expr("c_acctbal IS DISTINCT FROM o_totalprice").as("distinct_vals"))
+        .orderBy(col("c_custkey"), col("price_or_default"))),
+
+    // Scalar + correlated subqueries through the SQL surface.
+    "q_scalar_subq" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("g_orders")
+      load(s, d, "customer").createOrReplaceTempView("g_customer")
+      // "price > 1.5×avg" stated as count·price > 1.5·sum with an exact
+      // decimal sum — bit-identical threshold in both engines (a double
+      // AVG could differ in the last ulp and flip boundary rows)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM g_orders
+          |WHERE o_totalprice * (SELECT COUNT(*) FROM g_orders)
+          |      > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM g_orders)
+          |  AND o_custkey IN (SELECT c_custkey FROM g_customer WHERE c_acctbal > 0)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Spark-side exercises map construction/lookup; the oracle checks the
     // extracted values (DuckDB's MAP literal syntax differs, so the
     // equivalence is on results, not construction).
@@ -148,6 +179,24 @@ object Scalars {
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
         |  JSON_EXTRACT_STRING(props, '$.k') AS k_str
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        |  COALESCE(o_totalprice, -1.0) AS price_or_default,
+        |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nullable,
+        |  CASE WHEN o_custkey IS NOT NULL THEN 'has_big_order' ELSE 'none' END AS order_flag,
+        |  o_custkey IS NOT NULL AS matched,
+        |  c_acctbal IS DISTINCT FROM o_totalprice AS distinct_vals
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, price_or_default""".stripMargin,
+    "q_scalar_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice * (SELECT COUNT(*) FROM orders)
+        |      > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_map_funcs" ->
       """SELECT c_custkey, 'seg,name' AS keys, c_mktsegment AS segv,
         |  CAST(2 AS BIGINT) AS nvals
