@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the configuration-driven way to
+  * install the engine's native expressions on any session:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * Query code that can't control session construction uses
+  * `VectorExprs.register(spark)` instead; both routes install the same
+  * expression builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
+}
