@@ -1,0 +1,108 @@
+package graft
+
+import graft.etl.{MySqlSink, WikiEtl}
+import org.apache.spark.sql.SparkSession
+
+/** CLI with the reference's flag surface (`/root/reference/dbfy.py:34-68`)
+  * so a wiki-mysql user can switch invocations:
+  *
+  * {{{
+  * spark-submit --class graft.Dbfy ... \
+  *   --src file:///dumps/enwiki-pages-articles.xml.bz2 \
+  *   --host db --port 3306 --db wiki --user wiki --passwd hunter2 \
+  *   --limit 10000 --remove_html 1 \
+  *   --valid_unichrs 0x0020,0x007e --invalid_unichrs 0x0000,0x001f -y
+  * }}}
+  *
+  * Differences, all deliberate: `--sink parquet --out <dir>` writes the
+  * two tables as parquet for clusters without a reachable MySQL;
+  * `--n_processes` is accepted-and-ignored (parallelism belongs to the
+  * Spark master/conf); downloads are out of scope (zero-egress — use a
+  * local path or file:// URL, matching the reference's file scheme);
+  * `--remove_multiple_whitespaces` is accepted for compatibility but was
+  * a dead flag in the reference too (SURVEY.md A5e note).
+  */
+object Dbfy {
+
+  final case class Config(
+      src: String = "",
+      silent: Boolean = false,
+      host: String = "localhost", port: Int = 3306, db: String = "wiki",
+      user: String = "wiki", passwd: String = "",
+      limit: Option[Int] = None,
+      removeHtml: Boolean = true,
+      valid: List[(Int, Int)] = Nil,
+      invalid: List[(Int, Int)] = Nil,
+      sink: String = "jdbc", out: String = "")
+
+  /** `0x0020,0x007e` / `32,126` → inclusive range; the reference parses
+    * hex when the token contains an `x` (`dbfy.py:20-31`). */
+  private[graft] def parseRange(txt: String): (Int, Int) = {
+    require(txt.contains(","), s"range must be 'lo,hi': $txt")
+    def toInt(s: String): Int =
+      if (s.toLowerCase.contains("x")) Integer.parseInt(s.trim.toLowerCase.replaceFirst("0x", ""), 16)
+      else s.trim.toInt
+    val Array(l, r) = txt.split(",", 2)
+    (toInt(l), toInt(r))
+  }
+
+  private[graft] def parseArgs(args: Array[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "--src" :: v :: t => loop(t, c.copy(src = v.replaceFirst("^file://", "")))
+      case ("--silent" | "-y") :: t => loop(t, c.copy(silent = true))
+      case "--n_processes" :: _ :: t => loop(t, c) // Spark owns parallelism
+      case "--host" :: v :: t => loop(t, c.copy(host = v))
+      case "--port" :: v :: t => loop(t, c.copy(port = v.toInt))
+      case "--db" :: v :: t => loop(t, c.copy(db = v))
+      case "--user" :: v :: t => loop(t, c.copy(user = v))
+      case "--passwd" :: v :: t => loop(t, c.copy(passwd = v))
+      case "--charset" :: _ :: t => loop(t, c) // always utf8mb4 (SURVEY §7.6)
+      case "--init_script" :: _ :: t => loop(t, c) // DDL ships with the sink
+      case "--limit" :: v :: t => loop(t, c.copy(limit = Some(v.toInt)))
+      case "--remove_html" :: v :: t => loop(t, c.copy(removeHtml = v.toInt != 0))
+      case "--valid_unichrs" :: v :: t => loop(t, c.copy(valid = c.valid :+ parseRange(v)))
+      case "--invalid_unichrs" :: v :: t => loop(t, c.copy(invalid = c.invalid :+ parseRange(v)))
+      case "--remove_multiple_whitespaces" :: t => loop(t, c) // dead flag in the reference
+      case "--sink" :: v :: t => loop(t, c.copy(sink = v))
+      case "--out" :: v :: t => loop(t, c.copy(out = v))
+      case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    val c = loop(args.toList, Config())
+    require(c.src.nonEmpty, "--src is required (local path or file:// URL)")
+    require(c.sink == "jdbc" || c.sink == "parquet", "--sink must be jdbc or parquet")
+    require(c.sink != "parquet" || c.out.nonEmpty, "--sink parquet requires --out <dir>")
+    c
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args)
+    if (!c.silent)
+      System.err.println(
+        s"[dbfy] this OVERWRITES the target ${c.sink} sink (reference semantics, " +
+          "sql/init.sql DROP+CREATE). Pass --silent/-y to suppress this notice.")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outp = WikiEtl.run(spark, c.src, c.removeHtml, c.valid, c.invalid, c.limit)
+    c.sink match {
+      case "parquet" =>
+        outp.bodies.write.mode("overwrite").parquet(s"${c.out}/bodies")
+        outp.articles.write.mode("overwrite").parquet(s"${c.out}/articles")
+      case "jdbc" =>
+        val url = s"jdbc:mysql://${c.host}:${c.port}/${c.db}"
+        MySqlSink.writer(outp.bodies, url, "bodies", c.user, c.passwd).save()
+        MySqlSink.writer(outp.articles, url, "articles", c.user, c.passwd).save()
+    }
+    println(s"""{"bodies":${outp.bodies.count()},"articles":${outp.articles.count()}}""")
+    if (!preexisting) spark.stop() // don't tear down a caller's session
+  }
+}

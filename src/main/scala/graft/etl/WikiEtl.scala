@@ -35,18 +35,25 @@ object WikiEtl {
     * @param removeHtml mirror of `--remove_html` (`/root/reference/dbfy.py:55`)
     * @param valid/invalid unicode ranges (`--valid_unichrs`, A5d)
     */
+  /** @param limit stop after the first N namespace-0 pages in dump
+    *   order — the reference's serial-path exact semantics (A12,
+    *   `/root/reference/dbfy.py:205-208`; the overshooting mp-path
+    *   variant is deliberately not reproduced). Applied before the
+    *   repartition so "first N" means dump order. */
   def run(
       spark: SparkSession,
       xmlPath: String,
       removeHtml: Boolean = true,
       valid: Seq[(Int, Int)] = Nil,
-      invalid: Seq[(Int, Int)] = Nil): EtlOutput = {
+      invalid: Seq[(Int, Int)] = Nil,
+      limit: Option[Int] = None): EtlOutput = {
     val clean = udf((t: String) => WikiText.cleanWikiBody(t, removeHtml, valid, invalid))
     // A dump arrives as one file (bz2: one stream) → the text source
     // yields few input splits. Redistribute BEFORE the expensive
     // parse/clean so all cores work (SURVEY.md §7.3 bz2 note), and
     // persist: both output branches and the redirect join consume this.
-    val pages = WikiXml.pages(spark, xmlPath)
+    val sourced = WikiXml.pages(spark, xmlPath)
+    val pages = limit.fold(sourced)(sourced.limit)
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("rdr", regexp_extract(col("text"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
