@@ -103,6 +103,20 @@ object Aggregates {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("h")),
 
+    // Misra–Gries heavy hitters (graft.functions.FreqItemsSketch, a
+    // TypedImperativeAggregate). k=8 exceeds the 5 distinct event
+    // types, so no eviction happens and the sketch is exact →
+    // oracle-able; eviction behavior is spec-tested separately.
+    "q_freq_items" -> ((s, d) => {
+      graft.functions.FreqItemsSketch.register(s)
+      load(s, d, "events")
+        .agg(expr("graft_freq_items(event_type, 8)").as("sk"))
+        .select(posexplode(col("sk")))
+        .select(col("pos").cast("long").as("pos"),
+          col("col.item").as("item"), col("col.cnt").as("cnt"))
+        .orderBy("pos")
+    }),
+
     // Exact interpolated percentiles over integer cents: (n-1)*q
     // interpolation on integers with quarter fractions is bit-exact in
     // both engines (no decimal-representation ties).
@@ -242,6 +256,11 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_freq_items" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) - 1 AS BIGINT) AS pos,
+        |  item, cnt
+        |FROM (SELECT event_type AS item, COUNT(*) AS cnt FROM events GROUP BY 1)
+        |ORDER BY pos""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag,
         |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
