@@ -152,6 +152,25 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // The same as-of semantics through the NATIVE operator
+    // (graft.plans.AsOfJoinPlan — custom LogicalPlan/Strategy/Exec):
+    // one merge pass, O(1) state per key, |left| output rows, no pair
+    // materialization. Shares q_join_asof's oracle (event times are
+    // tie-free, so both tiebreak rules agree).
+    "q_join_asof_native" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts")
+        .select(col("p_id"), col("user_id"),
+          graft.Det.tstr(col("p_ts")).as("p_ts"),
+          col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
+        .orderBy("p_id")
+    }),
+
     "q_sort_multi" -> ((s, d) =>
       load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -263,6 +282,18 @@ object Relational {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_asof_native" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_uid, ts AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |             ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |               ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_uid AND c.c_ts <= p.p_ts)
+        |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
         |           FROM events WHERE event_type = 'purchase'),

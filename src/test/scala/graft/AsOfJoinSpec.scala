@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Native as-of join vs the composed join+window formulation
+  * (q_join_asof): identical matches on tie-free event times, left rows
+  * without a prior right row null-padded, and the physical plan is the
+  * custom exec — no pair materialization, no window. */
+class AsOfJoinSpec extends SparkTestBase {
+
+  private def events = Tables.load(spark, sfDir, "events")
+
+  test("matches the composed as-of formulation row for row") {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val native = AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts")
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val composed = graft.queries.Relational.queries("q_join_asof")(spark, sfDir)
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.size == composed.size)
+    assert(native == composed)
+  }
+
+  test("physical plan is the custom exec, not a window over pairs") {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val df = AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), plan)
+    assert(!plan.contains("Window"), plan)
+    // exactly |left| output rows — the shape the composed form can't have
+    assert(df.count() ==
+      events.filter(col("event_type") === "purchase").count())
+  }
+}
