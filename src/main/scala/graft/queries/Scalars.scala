@@ -115,6 +115,21 @@ object Scalars {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Correlated scalar subqueries (Catalyst decorrelates into an
+    // aggregate + join): orders above their own customer's average,
+    // with the threshold in exact-decimal form (see q_scalar_subq).
+    "q_corr_subq" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("g_orders2")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+          |FROM g_orders2 o
+          |WHERE o.o_totalprice * (SELECT COUNT(*) FROM g_orders2 i
+          |                        WHERE i.o_custkey = o.o_custkey)
+          |    > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |       FROM g_orders2 i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
     // Spark-side exercises map construction/lookup; the oracle checks the
     // extracted values (DuckDB's MAP literal syntax differs, so the
     // equivalence is on results, not construction).
@@ -197,6 +212,14 @@ object Scalars {
         |      > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_corr_subq" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice * (SELECT COUNT(*) FROM orders i
+        |                        WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q_map_funcs" ->
       """SELECT c_custkey, 'seg,name' AS keys, c_mktsegment AS segv,
         |  CAST(2 AS BIGINT) AS nvals
