@@ -209,6 +209,30 @@ object Relational {
         .except(load(s, d, "orders").select(col("o_custkey")))
         .orderBy("k")),
 
+    // Skew-resistant salted join from operators/JoinStrategies — row-
+    // identical to the plain join, so it shares a plain-join oracle.
+    "q_join_salted" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
+        .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+        .orderBy("k", "l_linenumber")
+    }),
+
+    // Unpivot/melt: the pivot result folded back to long form.
+    "q_unpivot" -> ((s, d) =>
+      load(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy(col("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1))).na.fill(0L)
+        .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+          "status", "cnt")
+        .orderBy("yr", "status")),
+
     // Pivot: order counts + exact-decimal totals per year × status.
     // Spark's relational pivot vs DuckDB FILTERed aggregates — identical
     // column names, so the hash compare sees the same shape.
@@ -334,6 +358,22 @@ object Relational {
         |  SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey FROM orders)
         |ORDER BY k""".stripMargin,
+    "q_join_salted" ->
+      """SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY k, l_linenumber""".stripMargin,
+    "q_unpivot" ->
+      """SELECT yr, status, cnt FROM (
+        |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, 'F' AS status,
+        |    COUNT(*) FILTER (o_orderstatus = 'F') AS cnt FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(YEAR(o_orderdate) AS BIGINT), 'O',
+        |    COUNT(*) FILTER (o_orderstatus = 'O') FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(YEAR(o_orderdate) AS BIGINT), 'P',
+        |    COUNT(*) FILTER (o_orderstatus = 'P') FROM orders GROUP BY 1)
+        |ORDER BY yr, status""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
