@@ -215,6 +215,35 @@ object Similarity {
         .orderBy("band", "sig")
     }),
 
+    // The bucket-JOIN stage of minhash LSH: candidate pairs from shared
+    // band signatures (bounded block so the oracle output stays small);
+    // n_bands = how many of the 4 bands collide.
+    "q_minhash_pairs" -> ((s, d) => {
+      val hashCols = (0 until 8).map(i =>
+        md5(concat(lit(i.toString), lit("|"), col("word")).cast("binary")).as(s"h$i"))
+      val vocabHash = docWords(s, d).select(col("word")).distinct()
+        .select((col("word").as("v_word") +: hashCols): _*)
+      val sigs = docWords(s, d).filter(col("doc_id") < 100)
+        .join(broadcast(vocabHash), col("word") === col("v_word"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h0")).as("m0"), min(col("h1")).as("m1"),
+          min(col("h2")).as("m2"), min(col("h3")).as("m3"),
+          min(col("h4")).as("m4"), min(col("h5")).as("m5"),
+          min(col("h6")).as("m6"), min(col("h7")).as("m7"))
+      val bandSig = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(least(col(s"m${2 * b}"), col(s"m${2 * b + 1}")),
+            greatest(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).cast("binary")).as("sig")))
+      val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_bands"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash: 16-bit signature from md5 hex digits of the distinct
     // vocabulary, majority vote per bit. Like minhash: per-(word, j)
     // contributions live in 16 vocabulary COLUMNS, one broadcast join,
@@ -333,6 +362,18 @@ object Similarity {
          |      FROM h GROUP BY doc_id, i // 2)
          |SELECT band, sig, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM b GROUP BY band, sig HAVING COUNT(*) > 1 ORDER BY band, sig""".stripMargin,
+    "q_minhash_pairs" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents WHERE doc_id < 100)),
+         |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+         |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+         |      GROUP BY doc_id, i),
+         |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+         |      FROM h GROUP BY doc_id, i // 2)
+         |SELECT a.doc_id AS a_id, b2.doc_id AS b_id, COUNT(*) AS n_bands
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
+         |  AND a.doc_id < b2.doc_id
+         |GROUP BY a.doc_id, b2.doc_id ORDER BY a_id, b_id""".stripMargin,
     "q_simhash" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),

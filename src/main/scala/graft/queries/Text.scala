@@ -80,6 +80,20 @@ object Text {
             .cast("binary")).as("fp"))
         .orderBy("doc_id")),
 
+    // Rolling-window fingerprint: min hash over all character 8-grams
+    // (winnowing with a single global window) — position-insensitive
+    // near-dup signature complementing the bag-of-words fingerprint.
+    "q_fingerprint_rolling" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          // guard: sequence(1, n) runs DESCENDING for n < 1, so short
+          // texts must short-circuit to NULL (DuckDB's empty RANGE →
+          // LIST_MIN → NULL does the same)
+          expr("CASE WHEN length(text) >= 8 THEN " +
+            "array_min(transform(sequence(1, length(text) - 7)," +
+            " i -> md5(CAST(substring(text, i, 8) AS BINARY)))) END").as("rfp"))
+        .orderBy("doc_id")),
+
     // Quality score: stopword ratio, punctuation ratio, length factor —
     // combined in integer basis points.
     "q_quality_score" -> ((s, d) =>
@@ -142,6 +156,11 @@ object Text {
       s"""SELECT doc_id,
          |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($duckToks)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_rolling" ->
+      """SELECT doc_id,
+        |  LIST_MIN(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
+        |    i -> MD5(SUBSTR(text, i, 8)))) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       s"""SELECT doc_id, len, n_words, n_stop, n_punct,
          |  n_stop * 10000 // n_words AS stop_bp,
