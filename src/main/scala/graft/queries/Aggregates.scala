@@ -92,7 +92,8 @@ object Aggregates {
       load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy("l_returnflag")),
 
     // Content-hash dedup (extension; the reference dedups only via the

@@ -32,9 +32,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= ann.size / 5, s"recall@1 too low: $hits/${ann.size}")
   }
 
-  test("approx_count_distinct within 5% of exact") {
-    val approx = Aggregates.queries("q_agg_approx")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct within 5% of exact; approx median within p40-p60") {
+    val rows = Aggregates.queries("q_agg_approx")(spark, sfDir).collect()
+    val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val medians = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val bounds = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.4)").as("lo"),
+        expr("percentile(l_extendedprice, 0.6)").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    medians.foreach { case (k, m) =>
+      val (lo, hi) = bounds(k)
+      assert(m >= lo && m <= hi, s"$k: approx median $m outside [$lo, $hi]")
+    }
     val exact = Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
