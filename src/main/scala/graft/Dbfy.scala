@@ -78,10 +78,21 @@ object Dbfy {
 
   def main(args: Array[String]): Unit = {
     val c = parseArgs(args)
-    if (!c.silent)
-      System.err.println(
-        s"[dbfy] this OVERWRITES the target ${c.sink} sink (reference semantics, " +
-          "sql/init.sql DROP+CREATE). Pass --silent/-y to suppress this notice.")
+    if (!c.silent) {
+      // the reference refuses to proceed without confirmation
+      // (/root/reference/dbfy.py:282-291); same gate here, with a
+      // fail-safe abort when no terminal is attached
+      val console = System.console()
+      if (console == null) {
+        System.err.println(
+          s"[dbfy] refusing to OVERWRITE the target ${c.sink} sink without " +
+            "confirmation and no terminal is attached — pass --silent/-y.")
+        sys.exit(2)
+      }
+      val answer = console.readLine(
+        s"[dbfy] this OVERWRITES the target ${c.sink} sink. Continue? (y/n): ")
+      if (answer == null || !answer.trim.equalsIgnoreCase("y")) sys.exit(1)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
@@ -93,16 +104,23 @@ object Dbfy {
     spark.sparkContext.setLogLevel("WARN")
 
     val outp = WikiEtl.run(spark, c.src, c.removeHtml, c.valid, c.invalid, c.limit)
+    // persist articles so the sink write and the count report share one
+    // materialization (bodies is already persisted inside the pipeline)
+    val articles = outp.articles.persist()
     c.sink match {
       case "parquet" =>
         outp.bodies.write.mode("overwrite").parquet(s"${c.out}/bodies")
-        outp.articles.write.mode("overwrite").parquet(s"${c.out}/articles")
+        articles.write.mode("overwrite").parquet(s"${c.out}/articles")
       case "jdbc" =>
         val url = s"jdbc:mysql://${c.host}:${c.port}/${c.db}"
+        // articles BEFORE bodies: overwrite drops tables, and dropping
+        // bodies first would be blocked by the articles→bodies FK
+        MySqlSink.writer(articles, url, "articles", c.user, c.passwd).save()
         MySqlSink.writer(outp.bodies, url, "bodies", c.user, c.passwd).save()
-        MySqlSink.writer(outp.articles, url, "articles", c.user, c.passwd).save()
     }
-    println(s"""{"bodies":${outp.bodies.count()},"articles":${outp.articles.count()}}""")
+    println(s"""{"bodies":${outp.bodies.count()},"articles":${articles.count()}}""")
+    articles.unpersist(blocking = false)
+    outp.cleanup()
     if (!preexisting) spark.stop() // don't tear down a caller's session
   }
 }

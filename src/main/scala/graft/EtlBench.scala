@@ -55,6 +55,7 @@ object EtlBench {
     val nBodies = out.bodies.count()
     val nArticles = out.articles.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    out.cleanup()
     println(f"""{"metric":"etl_pages_per_sec","value":${n / sec}%.1f,"pages":$n,"bodies":$nBodies,"articles":$nArticles,"sec":$sec%.2f}""")
     spark.stop()
   }

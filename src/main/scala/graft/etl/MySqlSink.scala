@@ -49,6 +49,10 @@ object MySqlSink {
       .option("password", password)
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "READ_COMMITTED")
-      .option("truncate", "true")
+      // no truncate=true: TRUNCATE fails on a table referenced by a FK
+      // (the shipped articles→bodies constraint); plain overwrite DROPs
+      // and recreates, matching the reference's DROP+CREATE bootstrap.
+      // Callers must drop/overwrite `articles` BEFORE `bodies` so the
+      // FK never blocks the drop (graft.Dbfy does).
       .mode(if (overwrite) "overwrite" else "append")
 }

@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object WikiEtl {
 
-  final case class EtlOutput(bodies: DataFrame, articles: DataFrame)
+  /** @param cleanup unpersists the pipeline's cached intermediates —
+    *   call after the outputs are materialized (written/counted) so
+    *   repeated runs on a long-lived session don't accumulate dead
+    *   cached partitions. */
+  final case class EtlOutput(bodies: DataFrame, articles: DataFrame,
+                             cleanup: () => Unit = () => ())
 
   /** Dense 1-based deterministic id by total order on `sortCols` —
     * the scalable replacement for AUTO_INCREMENT: a range-partitioned
@@ -55,7 +60,7 @@ object WikiEtl {
     val sourced = WikiXml.pages(spark, xmlPath)
     val pages = limit.fold(sourced)(sourced.limit)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("rdr", regexp_extract(col("text"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1))
+      .withColumn("rdr", regexp_extract(col("text"), WikiText.RedirectRegexSql, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase 1: content pages → cleaned bodies with deterministic ids.
@@ -80,6 +85,10 @@ object WikiEtl {
       contentArticles.unionByName(resolved), "id", "aid", "title")
     EtlOutput(
       bodies.select(col("id"), col("body")),
-      articles.select(col("id"), col("aid"), col("title"), col("body_id").as("body")))
+      articles.select(col("id"), col("aid"), col("title"), col("body_id").as("body")),
+      cleanup = () => {
+        pages.unpersist(blocking = false)
+        bodies.unpersist(blocking = false)
+      })
   }
 }

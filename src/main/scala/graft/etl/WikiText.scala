@@ -35,10 +35,13 @@ object WikiText {
     collapseWhitespace(t3)
   }
 
-  /** `#REDIRECT [[target]]` detection — anchored at the start and
-    * case-sensitive, preserving the reference's quirks
-    * (`/root/reference/dbfy.py:105,129`). Returns the target title. */
-  private val RedirectPat = """\A#REDIRECT \[\[([^\]]*)\]\]""".r
+  /** `#REDIRECT [[target]]` — anchored at the start and case-sensitive,
+    * preserving the reference's quirks (`/root/reference/dbfy.py:105,129`).
+    * Single source of truth for the pattern: SQL callers prepend `^`
+    * (regexp_extract searches anywhere), the Scala matcher uses `\A`. */
+  val RedirectRegexBody = """#REDIRECT \[\[([^\]]*)\]\]"""
+  val RedirectRegexSql: String = "^" + RedirectRegexBody
+  private val RedirectPat = ("""\A""" + RedirectRegexBody).r
   def detectRedirect(body: String): Option[String] =
     RedirectPat.findPrefixMatchOf(if (body == null) "" else body).map(_.group(1))
 

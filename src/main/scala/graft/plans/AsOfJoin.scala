@@ -109,14 +109,21 @@ object AsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // SQL join semantics: a NULL key or time never matches. The merge
+    // ordering sorts NULLS FIRST and compares NULL == NULL, so NULL
+    // right rows must be dropped here; NULL left rows are safe — their
+    // candidate key-equality check can only hit a (non-null) mismatch,
+    // emitting the null-padded row a left join requires.
+    import org.apache.spark.sql.functions.col
+    val rightClean = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
     def attr(df: DataFrame, name: String): Attribute =
       df.queryExecution.analyzed.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
+    val rp = rightClean.queryExecution.analyzed
     val plan = AsOfJoinPlan(lp, rp,
-      attr(left, leftKey), attr(right, rightKey),
-      attr(left, leftTime), attr(right, rightTime))
+      attr(left, leftKey), attr(rightClean, rightKey),
+      attr(left, leftTime), attr(rightClean, rightTime))
     graft.plans.Bridge.ofRows(spark, plan)
   }
 }

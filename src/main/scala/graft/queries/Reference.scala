@@ -83,9 +83,9 @@ object Reference {
               concat(lit("see #REDIRECT [[T"), col("doc_id"), lit("]]"))) // quirk: not anchored
             .otherwise(col("text")).as("body"))
         .select(col("doc_id"),
-          (regexp_extract(col("body"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1) =!= "")
+          (regexp_extract(col("body"), WikiText.RedirectRegexSql, 1) =!= "")
             .as("is_redirect"),
-          regexp_extract(col("body"), "^#REDIRECT \\[\\[([^\\]]*)\\]\\]", 1).as("target"))
+          regexp_extract(col("body"), WikiText.RedirectRegexSql, 1).as("target"))
         .orderBy("doc_id"))
   )
 

@@ -268,12 +268,16 @@ object Similarity {
     // Word-bigram Jaccard similarity for doc pairs (bounded block),
     // integer basis points; pairs sharing no bigram drop out.
     "q_ngram_jaccard" -> ((s, d) => {
+      // the size >= 2 guard matters: sequence(1, 0) runs DESCENDING in
+      // Spark and element_at(toks, 0) throws (DuckDB's RANGE is just
+      // empty) — a <2-token doc must yield no bigrams, not an error
       val bigrams = load(s, d, "documents")
         .filter(col("doc_id") < 40)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
         .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, size(filter(split(text, ' '), x -> x <> '')) - 1)," +
-            " k -> concat(element_at(filter(split(text, ' '), x -> x <> ''), k), ' '," +
-            " element_at(filter(split(text, ' '), x -> x <> ''), k + 1))))")).as("bg"))
+          "CASE WHEN size(toks) >= 2 THEN array_distinct(transform(sequence(1, size(toks) - 1)," +
+            " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1))))" +
+            " ELSE array() END")).as("bg"))
       val sizes = bigrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = bigrams.select(col("doc_id").as("a_id"), col("bg"))
         .join(bigrams.select(col("doc_id").as("b_id"), col("bg")), "bg")

@@ -51,6 +51,7 @@ object Sources {
         "articles", "graft", "graft") // configured, not saved
       val nBodies = out.bodies.count()
       val nArticles = out.articles.count()
+      out.cleanup() // release the pipeline's caches on this shared session
       s.range(1).select(
         lit("jdbc:mysql://localhost:3306/wiki").as("url"),
         lit("articles").as("table"),

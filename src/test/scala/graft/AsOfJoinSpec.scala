@@ -28,6 +28,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(native == composed)
   }
 
+  test("NULL keys and times never match, left rows survive null-padded") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(100L), "l1"), (None, Some(100L), "l2"),
+      (Some(1L), None, "l3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Some(1L), Some(50L), "r1"), (None, Some(40L), "r2"),
+      (Some(1L), None, "r3"))
+      .toDF("rk", "rt", "rtag")
+    val res = AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(res == Map(
+      "l1" -> Some("r1"), // normal match
+      "l2" -> None,       // NULL left key: no match (NOT r2's NULL key)
+      "l3" -> None))      // NULL left time: no match (NOT r3's NULL time)
+  }
+
   test("physical plan is the custom exec, not a window over pairs") {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
