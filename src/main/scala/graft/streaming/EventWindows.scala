@@ -42,6 +42,16 @@ object EventWindows {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"), col("total"))
 
+  /** Streaming exact dedup: drops events whose `event_id` was already
+    * seen within the watermark horizon — state stays bounded by the
+    * horizon instead of growing with the stream (the streaming form of
+    * `q_dedup_exact`; duplicates arriving later than the horizon are
+    * the documented trade-off of bounded state). */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ------------------------------------------------------------------
   // Custom state: sessionization via flatMapGroupsWithState — the
   // escape hatch for session semantics the built-in operator can't

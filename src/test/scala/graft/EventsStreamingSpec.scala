@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class IdEv(ts: Timestamp, event_id: Long, value: Double)
 
 /** Structured Streaming equivalence (SURVEY.md §5.2.5): the batch
   * windowed aggregations of queries/Events.scala run under readStream
@@ -89,6 +90,25 @@ class EventsStreamingSpec extends SparkTestBase {
       input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 15:00:00"), 2L, 1.0))
       q.processAllAvailable()
       assert(rows() == Set((1L, "09:00", 2L, 3.0), (1L, "11:00", 1L, 5.0)), rows())
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    import graft.streaming.EventWindows
+    val input = MemoryStream[IdEv](spark)
+    val q = EventWindows.dedup(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(IdEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+        IdEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0), // same-batch dup
+        IdEv(Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 2.0))
+      q.processAllAvailable()
+      input.addData(IdEv(Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 9.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L), ids.mkString(","))
     } finally q.stop()
   }
 
