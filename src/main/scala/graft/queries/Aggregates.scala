@@ -158,6 +158,33 @@ object Aggregates {
         .orderBy("c_custkey")
     }),
 
+    // first_value/last_value/nth_value over a full frame with total
+    // ordering (ties impossible: c_custkey is unique).
+    "q_win_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          first(col("c_custkey")).over(w).as("richest"),
+          last(col("c_custkey")).over(w).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(w).as("second"))
+        .orderBy("c_custkey")
+    }),
+
+    // Ordered list aggregation + arg-max: sorted group concat (order
+    // pinned so collect_list's partition nondeterminism cancels out)
+    // and the latest order per customer keyed by unique o_orderkey.
+    "q_agg_listagg" -> ((s, d) =>
+      load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("o_orderpriority"))), ",").as("prios"),
+          size(collect_set(col("o_orderstatus"))).cast("long").as("n_statuses"),
+          max_by(col("o_orderdate"), col("o_orderkey")).cast("date").cast("string").as("latest_date"),
+          max(col("o_orderkey")).as("latest_key"))
+        .orderBy("o_custkey")),
+
     "q_win_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -277,6 +304,22 @@ object Aggregates {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         |ORDER BY c_custkey""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  FIRST_VALUE(c_custkey) OVER w AS richest,
+        |  LAST_VALUE(c_custkey) OVER w AS poorest,
+        |  NTH_VALUE(c_custkey, 2) OVER w AS second
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT o_custkey,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(o_orderpriority)), ',') AS prios,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+        |  CAST(CAST(ARG_MAX(o_orderdate, o_orderkey) AS DATE) AS VARCHAR) AS latest_date,
+        |  MAX(o_orderkey) AS latest_key
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
