@@ -104,6 +104,16 @@ object Aggregates {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("h")),
 
+    // Conditional/boolean aggregates: count_if, bool_or/bool_and.
+    "q_agg_bool" -> ((s, d) =>
+      load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("count_if(o_totalprice > 300000)").as("n_big"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")),
+
     // Misra–Gries heavy hitters (graft.functions.FreqItemsSketch, a
     // TypedImperativeAggregate). k=8 exceeds the 5 distinct event
     // types, so no eviction happens and the sketch is exact →
@@ -284,6 +294,13 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_totalprice > 300000) AS n_big,
+        |  BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  BOOL_AND(o_totalprice > 0) AS all_positive,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_freq_items" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC) - 1 AS BIGINT) AS pos,
         |  item, cnt

@@ -77,6 +77,22 @@ object Scalars {
           round(array_max(col("embedding")).cast("double"), 4).as("max_e"))
         .orderBy("vec_id")),
 
+    // Second array battery: slice/flatten/zip/position/remove/reverse
+    // over integer arrays derived from the embedding quantization.
+    "q_array_funcs2" -> ((s, d) =>
+      load(s, d, "embeddings")
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+        .select(col("vec_id"),
+          expr("slice(q, 1, 4)").as("head4"),
+          expr("CAST(aggregate(zip_with(slice(q, 1, 8), slice(q, 9, 8), (a, b) -> a + b)," +
+            " 0L, (acc, v) -> acc + v) AS BIGINT)").as("zipsum"),
+          expr("CAST(array_position(q, array_max(q)) AS BIGINT)").as("argmax_pos"),
+          expr("CAST(size(array_remove(q, 0)) AS BIGINT)").as("n_nonzero"),
+          expr("slice(reverse(q), 1, 2)").as("last2_rev"),
+          expr("CAST(size(flatten(array(slice(q, 1, 3), slice(q, 4, 3)))) AS BIGINT)").as("flat6"))
+        .orderBy("vec_id")),
+
     "q_json_funcs" -> ((s, d) =>
       load(s, d, "events")
         .select(col("event_id"),
@@ -189,6 +205,18 @@ object Scalars {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
         |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS max_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_array_funcs2" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  q[1:4] AS head4,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> q[i] + q[i + 8])) AS BIGINT) AS zipsum,
+        |  CAST(LIST_POSITION(q, LIST_MAX(q)) AS BIGINT) AS argmax_pos,
+        |  CAST(LEN(LIST_FILTER(q, x -> x <> 0)) AS BIGINT) AS n_nonzero,
+        |  LIST_REVERSE(q)[1:2] AS last2_rev,
+        |  CAST(LEN(FLATTEN([q[1:3], q[4:6]])) AS BIGINT) AS flat6
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
