@@ -80,6 +80,31 @@ object Text {
             .cast("binary")).as("fp"))
         .orderBy("doc_id")),
 
+    // Training-data chunking: fixed 32-token windows with stride 24
+    // (8-token overlap) — the standard LLM-corpus preparation op. Chunk
+    // starts at 1, 25, 49, … while a full-or-partial window remains.
+    "q_chunk_docs" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(
+            "transform(sequence(0, CAST(greatest(ceil((size(toks) - 8) / 24.0) - 1, 0) AS INT))," +
+              " c -> named_struct('chunk_no', CAST(c AS BIGINT)," +
+              " 'chunk', array_join(slice(toks, c * 24 + 1, 32), ' ')))")).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_no").as("chunk_no"),
+          col("ch.chunk").as("chunk"),
+          expr("CAST(size(split(ch.chunk, ' ')) AS BIGINT)").as("n_tokens"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // Deterministic corpus shuffle: a stable pseudo-random permutation
+    // keyed by md5(doc_id + salt) — reproducible train-order shuffling.
+    "q_shuffle_det" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit("|epoch0")).cast("binary")).as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(100)),
+
     // Rolling-window fingerprint: min hash over all character 8-grams
     // (winnowing with a single global window) — position-insensitive
     // near-dup signature complementing the bag-of-words fingerprint.
@@ -156,6 +181,18 @@ object Text {
       s"""SELECT doc_id,
          |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($duckToks)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        UNNEST(RANGE(0, CAST(GREATEST(CEIL((LEN(toks) - 8) / 24.0), 1) AS INT))) AS chunk_no
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         |  ARRAY_TO_STRING(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' ') AS chunk,
+         |  CAST(LEN(STRING_SPLIT(ARRAY_TO_STRING(toks[chunk_no * 24 + 1 : chunk_no * 24 + 32], ' '), ' ')) AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_shuffle_det" ->
+      """SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || '|epoch0') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
     "q_fingerprint_rolling" ->
       """SELECT doc_id,
         |  LIST_MIN(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
