@@ -107,45 +107,77 @@ object WikiText {
     @tailrec def loop(t: String, iters: Int): String = {
       if (iters >= 30) t
       else {
-        var x = t
-        x = CommentPat.replaceAllIn(x, "")
-        x = RefPat.replaceAllIn(x, "")
-        x = removeBraces(x, "{{", "}}")                 // templates (nested)
-        x = removeTables(x)                             // {| ... |} blocks
-        x = removeFileLinks(x)                          // [[File:..[[..]]..]]
-        x = ExtLinkPat.replaceAllIn(x, m =>
-          java.util.regex.Matcher.quoteReplacement(Option(m.group(2)).getOrElse("")))
-        x = CategoryPat.replaceAllIn(x, "")
-        x = PipeLinkPat.replaceAllIn(x, m =>
-          java.util.regex.Matcher.quoteReplacement(m.group(2)))
-        x = BareLinkPat.replaceAllIn(x, m =>
-          java.util.regex.Matcher.quoteReplacement(m.group(1)))
-        x = MathPat.replaceAllIn(x, "")
-        x = TagPat.replaceAllIn(x, "")
-        x = EmphasisPat.replaceAllIn(x, "")
+        val x = markupPass(t)
         if (x == t) t else loop(x, iters + 1)
       }
     }
     loop(text, 0)
   }
 
+  /** One pass of the markup pipeline (exposed for tests/diagnostics). */
+  private[graft] def markupPass(t: String): String = {
+    var x = t
+    x = CommentPat.replaceAllIn(x, "")
+    x = RefPat.replaceAllIn(x, "")
+    x = removeBraces(x, "{{", "}}")                 // templates (nested)
+    x = removeTables(x)                             // {| ... |} blocks
+    x = removeFileLinks(x)                          // [[File:..[[..]]..]]
+    x = ExtLinkPat.replaceAllIn(x, m =>
+      java.util.regex.Matcher.quoteReplacement(Option(m.group(2)).getOrElse("")))
+    x = CategoryPat.replaceAllIn(x, "")
+    x = PipeLinkPat.replaceAllIn(x, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(2)))
+    x = BareLinkPat.replaceAllIn(x, m =>
+      java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    x = MathPat.replaceAllIn(x, "")
+    x = TagPat.replaceAllIn(x, "")
+    x = EmphasisPat.replaceAllIn(x, "")
+    x
+  }
+
+  /** Completed `open…close` spans of `s` (nesting allowed), merged.
+    * Unmatched openers produce NO span — a malformed `{{unclosed` page
+    * must not swallow the rest of the article (real dumps contain
+    * unbalanced markup; a completed inner pair under an unmatched outer
+    * is still removed, converging over the fixpoint loop). */
+  private def completedSpans(s: String, open: String, close: String): List[(Int, Int)] = {
+    var stack = List.empty[Int]
+    var spans = List.empty[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith(open, i)) { stack ::= i; i += open.length }
+      else if (stack.nonEmpty && s.startsWith(close, i)) {
+        spans ::= (stack.head, i + close.length)
+        stack = stack.tail
+        i += close.length
+      } else i += 1
+    }
+    // merge nested/overlapping spans into maximal regions
+    spans.sortBy(_._1).foldLeft(List.empty[(Int, Int)]) {
+      case ((ps, pe) :: rest, (cs, ce)) if cs <= pe => (ps, math.max(pe, ce)) :: rest
+      case (acc, span) => span :: acc
+    }.reverse
+  }
+
+  private def dropSpans(s: String, spans: List[(Int, Int)], repl: String): String = {
+    if (spans.isEmpty) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    spans.foreach { case (a, b) =>
+      // NB substring, not append(s, i, a): scala.StringBuilder has no
+      // 3-arg append — that call auto-tuples into append(Any)
+      out.append(s.substring(i, a)).append(repl)
+      i = b
+    }
+    out.append(s.substring(i))
+    out.toString
+  }
+
   /** Depth-balanced `open…close` removal (templates `{{…}}` with nesting
     * `{{a|{{b}}}}` — the scanner the reference gets from gensim's
     * `remove_template`, cited at SURVEY.md §7.3). */
-  private[etl] def removeBraces(s: String, open: String, close: String): String = {
-    val out = new StringBuilder(s.length)
-    var i = 0
-    var depth = 0
-    while (i < s.length) {
-      if (s.startsWith(open, i)) { depth += 1; i += open.length }
-      else if (depth > 0 && s.startsWith(close, i)) { depth -= 1; i += close.length }
-      else {
-        if (depth == 0) out.append(s.charAt(i))
-        i += 1
-      }
-    }
-    out.toString
-  }
+  private[etl] def removeBraces(s: String, open: String, close: String): String =
+    dropSpans(s, completedSpans(s, open, close), "")
 
   /** `{| … |}` table blocks → single newline; leftover row/cell markers
     * on their own lines dropped by TableRowPat afterwards. */
@@ -154,27 +186,15 @@ object WikiText {
     TableRowPat.replaceAllIn(noBlocks, "")
   }
 
-  private def removeBlock(s: String, open: String, close: String, repl: String): String = {
-    val out = new StringBuilder(s.length)
-    var i = 0
-    var depth = 0
-    while (i < s.length) {
-      if (s.startsWith(open, i)) {
-        if (depth == 0) out.append(repl)
-        depth += 1; i += open.length
-      } else if (depth > 0 && s.startsWith(close, i)) { depth -= 1; i += close.length }
-      else {
-        if (depth == 0) out.append(s.charAt(i))
-        i += 1
-      }
-    }
-    out.toString
-  }
+  private def removeBlock(s: String, open: String, close: String, repl: String): String =
+    dropSpans(s, completedSpans(s, open, close), repl)
 
   /** `[[File:…]]` / `[[Image:…]]` with nested `[[links]]` inside — the
-    * bracket-depth scanner of SURVEY.md §7.6 step 3. */
+    * bracket-depth scanner of SURVEY.md §7.6 step 3. Only COMPLETED
+    * file links are removed; an unterminated `[[File:` stays literal
+    * (and the generic tag/link passes clean up what they can). */
   private[etl] def removeFileLinks(s: String): String = {
-    val out = new StringBuilder(s.length)
+    var spans = List.empty[(Int, Int)]
     var i = 0
     while (i < s.length) {
       if (s.startsWith("[[", i) &&
@@ -187,10 +207,11 @@ object WikiText {
           else if (s.startsWith("]]", j)) { depth -= 1; j += 2 }
           else j += 1
         }
-        i = j
-      } else { out.append(s.charAt(i)); i += 1 }
+        if (depth == 0) { spans ::= (i, j); i = j }
+        else i += 2 // unterminated: keep literal, continue after `[[`
+      } else i += 1
     }
-    out.toString
+    dropSpans(s, spans.reverse, "")
   }
 
   // ---------------------------------------------------------------- A5d

@@ -81,6 +81,17 @@ class WikiTextSpec extends AnyFunSuite {
     assert(detectRedirect("#redirect [[X]]").isEmpty)
   }
 
+  test("unclosed markup never swallows the rest of the article") {
+    // malformed dumps are real; an unmatched opener must stay literal
+    // (minus what the later tag/emphasis passes legitimately remove),
+    // not truncate the text
+    assert(cleanWikiBody("a {{unclosed template b c").contains("b c"))
+    assert(cleanWikiBody("a {{outer {{inner}} b").contains("b"))
+    assert(cleanWikiBody("a {{outer {{inner}} b") == "a {{outer b")
+    assert(cleanWikiBody("x [[File:img.png|cap y z").contains("y z"))
+    assert(cleanWikiBody("t {| unclosed table u").contains("u"))
+  }
+
   test("cleaning is idempotent over generated markup (fixpoint property)") {
     val rnd = new scala.util.Random(42)
     val atoms = Vector("word", "x y", "{{t|v}}", "[[a|b]]", "[[c]]", "<ref>r</ref>",
