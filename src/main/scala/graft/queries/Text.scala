@@ -80,6 +80,16 @@ object Text {
             .cast("binary")).as("fp"))
         .orderBy("doc_id")),
 
+    // Outer generator: docs with no pattern match survive as a single
+    // null row (explode_outer), ~10% of the corpus here.
+    "q_explode_outer" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(expr("regexp_extract_all(text, 'v[a-z]+', 0)")).as("vword"))
+        .groupBy(col("doc_id"), col("vword"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("vword").asc_nulls_first)),
+
     // Training-data chunking: fixed 32-token windows with stride 24
     // (8-token overlap) — the standard LLM-corpus preparation op. Chunk
     // starts at 1, 25, 49, … while a full-or-partial window remains.
@@ -181,6 +191,12 @@ object Text {
       s"""SELECT doc_id,
          |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT($duckToks)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_explode_outer" ->
+      """SELECT doc_id, vword, COUNT(*) AS n FROM (
+        |  SELECT doc_id, UNNEST(CASE WHEN LEN(vs) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |                             ELSE vs END) AS vword
+        |  FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(text, 'v[a-z]+') AS vs FROM documents))
+        |GROUP BY doc_id, vword ORDER BY doc_id, vword ASC NULLS FIRST""".stripMargin,
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |c AS (SELECT doc_id, toks,
