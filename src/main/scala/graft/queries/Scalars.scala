@@ -146,6 +146,24 @@ object Scalars {
           |ORDER BY o.o_orderkey""".stripMargin)
     }),
 
+    // Map higher-order functions: build a word→count map per doc from
+    // the token array, filter/transform it, export as sorted entry
+    // strings (DuckDB's map type differs — equivalence is on the
+    // exported entries, like q_map_funcs).
+    "q_map_hof" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("wc", expr(
+          "map_from_arrays(array_distinct(toks)," +
+            " transform(array_distinct(toks), w -> size(filter(toks, x -> x = w))))"))
+        .select(col("doc_id"),
+          expr("CAST(size(map_filter(wc, (k, v) -> v >= 3)) AS BIGINT)").as("n_frequent"),
+          expr("array_join(array_sort(transform(map_entries(map_filter(wc, (k, v) -> v >= 5))," +
+            " e -> concat(e.key, ':', CAST(e.value AS STRING)))), ',')").as("top_entries"),
+          expr("CAST(aggregate(map_values(transform_values(wc, (k, v) -> v * v))," +
+            " 0L, (a, x) -> a + x) AS BIGINT)").as("sum_sq_counts"))
+        .orderBy("doc_id")),
+
     // Spark-side exercises map construction/lookup; the oracle checks the
     // extracted values (DuckDB's MAP literal syntax differs, so the
     // equivalence is on results, not construction).
@@ -159,6 +177,8 @@ object Scalars {
         .orderBy("c_custkey")
     })
   )
+
+  private val duckToksScalars = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
     "q_str_funcs" ->
@@ -240,6 +260,16 @@ object Scalars {
         |      > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_map_hof" ->
+      s"""WITH t AS (SELECT doc_id, $duckToksScalars AS toks FROM documents),
+         |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM
+         |  (SELECT doc_id, UNNEST(toks) AS word FROM t) GROUP BY doc_id, word)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) FILTER (c >= 3) AS BIGINT) AS n_frequent,
+         |  COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST(word || ':' || CAST(c AS VARCHAR))
+         |    FILTER (c >= 5)), ','), '') AS top_entries,
+         |  CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts
+         |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_corr_subq" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o
