@@ -1,30 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at
+  * `SPARK_GRAFT_SF_DIR` on local[$SPARK_GRAFT_CPUS] and emits ONE JSON
+  * line. The line goes to stdout AND to a file
+  * (`SPARK_GRAFT_BENCH_OUT`, default `bench_out.json` in the cwd) — r1's
+  * stdout-only line was swallowed by sbt log noise and the driver
+  * recorded `parsed: null`.
+  *
+  * Materialization is a `noop`-format write, not `.count()`: count lets
+  * Catalyst eliminate final presentation sorts, under-measuring
+  * sort-heavy queries; the noop sink executes the declared plan fully
+  * and discards rows at the data-source layer (no driver collect).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
     // Warm the session (codegen, parquet footers, shuffle machinery)
     // so the first timed query doesn't absorb JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("q_agg_hash").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    if (SparkEntry.queries.contains("q_agg_hash"))
+      try run("q_agg_hash") catch { case _: Throwable => () }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

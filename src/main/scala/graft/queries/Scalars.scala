@@ -79,17 +79,19 @@ object Scalars {
 
     // Second array battery: slice/flatten/zip/position/remove/reverse
     // over integer arrays derived from the embedding quantization.
+    // Array-typed outputs are exported through array_join — the driver's
+    // pandas-side hash compare can't sort ndarray cells (r1 red row).
     "q_array_funcs2" -> ((s, d) =>
       load(s, d, "embeddings")
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
         .select(col("vec_id"),
-          expr("slice(q, 1, 4)").as("head4"),
+          expr("array_join(transform(slice(q, 1, 4), x -> CAST(x AS STRING)), ',')").as("head4"),
           expr("CAST(aggregate(zip_with(slice(q, 1, 8), slice(q, 9, 8), (a, b) -> a + b)," +
             " 0L, (acc, v) -> acc + v) AS BIGINT)").as("zipsum"),
           expr("CAST(array_position(q, array_max(q)) AS BIGINT)").as("argmax_pos"),
           expr("CAST(size(array_remove(q, 0)) AS BIGINT)").as("n_nonzero"),
-          expr("slice(reverse(q), 1, 2)").as("last2_rev"),
+          expr("array_join(transform(slice(reverse(q), 1, 2), x -> CAST(x AS STRING)), ',')").as("last2_rev"),
           expr("CAST(size(flatten(array(slice(q, 1, 3), slice(q, 4, 3)))) AS BIGINT)").as("flat6"))
         .orderBy("vec_id")),
 
@@ -230,11 +232,11 @@ object Scalars {
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
         |  FROM embeddings)
         |SELECT vec_id,
-        |  q[1:4] AS head4,
+        |  ARRAY_TO_STRING(q[1:4], ',') AS head4,
         |  CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> q[i] + q[i + 8])) AS BIGINT) AS zipsum,
         |  CAST(LIST_POSITION(q, LIST_MAX(q)) AS BIGINT) AS argmax_pos,
         |  CAST(LEN(LIST_FILTER(q, x -> x <> 0)) AS BIGINT) AS n_nonzero,
-        |  LIST_REVERSE(q)[1:2] AS last2_rev,
+        |  ARRAY_TO_STRING(LIST_REVERSE(q)[1:2], ',') AS last2_rev,
         |  CAST(LEN(FLATTEN([q[1:3], q[4:6]])) AS BIGINT) AS flat6
         |FROM q ORDER BY vec_id""".stripMargin,
     "q_json_funcs" ->
