@@ -33,7 +33,8 @@ object Dbfy {
       removeHtml: Boolean = true,
       valid: List[(Int, Int)] = Nil,
       invalid: List[(Int, Int)] = Nil,
-      sink: String = "jdbc", out: String = "")
+      sink: String = "jdbc", out: String = "",
+      initScript: Option[String] = None)
 
   /** `0x0020,0x007e` / `32,126` → inclusive range; the reference parses
     * hex when the token contains an `x` (`dbfy.py:20-31`). */
@@ -59,7 +60,7 @@ object Dbfy {
       case "--user" :: v :: t => loop(t, c.copy(user = v))
       case "--passwd" :: v :: t => loop(t, c.copy(passwd = v))
       case "--charset" :: _ :: t => loop(t, c) // always utf8mb4 (SURVEY §7.6)
-      case "--init_script" :: _ :: t => loop(t, c) // DDL ships with the sink
+      case "--init_script" :: v :: t => loop(t, c.copy(initScript = Some(v)))
       case "--limit" :: v :: t => loop(t, c.copy(limit = Some(v.toInt)))
       case "--remove_html" :: v :: t => loop(t, c.copy(removeHtml = v.toInt != 0))
       case "--valid_unichrs" :: v :: t => loop(t, c.copy(valid = c.valid :+ parseRange(v)))
@@ -113,10 +114,18 @@ object Dbfy {
         articles.write.mode("overwrite").parquet(s"${c.out}/articles")
       case "jdbc" =>
         val url = s"jdbc:mysql://${c.host}:${c.port}/${c.db}"
-        // articles BEFORE bodies: overwrite drops tables, and dropping
-        // bodies first would be blocked by the articles→bodies FK
-        MySqlSink.writer(articles, url, "articles", c.user, c.passwd).save()
+        // DDL over a plain connection (custom --init_script or the
+        // shipped schema), then append-mode batch inserts — bodies
+        // BEFORE articles so the articles→bodies FK is satisfiable.
+        val ddls = c.initScript
+          .map(p => MySqlSink.splitScript(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p)), "UTF-8")))
+          .getOrElse(MySqlSink.dropDdl ++
+            Seq(MySqlSink.bodiesDdl, MySqlSink.articlesDdl))
+        MySqlSink.bootstrap(url, c.user, c.passwd, ddls)
         MySqlSink.writer(outp.bodies, url, "bodies", c.user, c.passwd).save()
+        MySqlSink.writer(articles, url, "articles", c.user, c.passwd).save()
     }
     println(s"""{"bodies":${outp.bodies.count()},"articles":${articles.count()}}""")
     articles.unpersist(blocking = false)

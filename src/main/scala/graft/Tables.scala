@@ -15,10 +15,20 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
       // ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
       // microseconds — the same truncation DuckDB applies on read, so
-      // both engines see identical microsecond timestamps.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$sfDir/$name.parquet")
+      // both engines see identical microsecond timestamps. The legacy
+      // conf is captured at DataFrame creation (verified empirically:
+      // execution after restore succeeds), so save/restore keeps the
+      // flip scoped to THIS read instead of mutating the shared
+      // session for every later TIMESTAMP(NANOS) scan (ADVICE r1).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     } else s.read.parquet(s"$sfDir/$name.parquet")
 }
 
@@ -33,9 +43,20 @@ object Det {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Exact-sum average, rounded: identical double division on both engines. */
+  /** Portable 4-decimal quantization of a computed double. `round(x, 4)`
+    * is a portability bug on computed doubles: Spark rounds the shortest
+    * decimal STRING (HALF_UP), DuckDB the BINARY value — near-tie
+    * quotients can flip. Scaling by 1e4 first makes every tie an exact
+    * half-integer, which both engines round identically (away from zero),
+    * and non-ties round the same because the shortest string round-trips
+    * to the same double. Mirror in SQL:
+    * `CAST(ROUND(x * 10000) AS BIGINT) / 10000.0`. */
+  def q4(c: Column): Column = round(c * 10000).cast("long") / 10000.0
+
+  /** Exact-sum average: identical double division on both engines, then
+    * portable quantization (see [[q4]]). */
   def davg(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(18, scale))).cast("double") / count(c), 4)
+    q4(sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
 
   /** Timestamp → second-resolution string, matching DuckDB
     * `strftime(ts, '%Y-%m-%d %H:%M:%S')` under the UTC session timezone. */

@@ -95,7 +95,14 @@ object WikiText {
   private val PipeLinkPat = """\[\[([^\[\]|]*)\|([^\[\]|]*)\]\]""".r
   private val BareLinkPat = """\[\[([^\[\]|]*)\]\]""".r
   private val TagPat = """(?s)<[^<>]*>""".r
-  private val CategoryPat = """\[\[(Category|[a-z]{2,3}(-[a-z]+)?):[^\]]*\]\]""".r
+  // gensim RE_P14: categories removed ANYWHERE, [cC] only; interlang
+  // links are NOT removed inline (they survive as literal `fr:Chose`
+  // text via the bare-link pass) — only the trailing footer block goes.
+  private val CategoryPat = """\[\[[cC]ategory:[^\]\[]*\]\]""".r
+  // gensim RE_P2: the trailing "last list" of language links — one or
+  // more lowercase-prefixed `[[xx:Target]]` lines anchored at EOF,
+  // removed ONCE before the fixpoint loop.
+  private val LangFooterPat = """(\n\[\[[a-z][a-z][\w-]*:[^:\]]+\]\])+$""".r
   private val EmphasisPat = """'{2,}""".r
   private val TableRowPat = """(?m)^\s*(\{\||\|\}|\|-|[|!]).*$""".r
 
@@ -111,7 +118,8 @@ object WikiText {
         if (x == t) t else loop(x, iters + 1)
       }
     }
-    loop(text, 0)
+    // footer first, once — gensim applies RE_P2 before its loop
+    loop(LangFooterPat.replaceAllIn(text, ""), 0)
   }
 
   /** One pass of the markup pipeline (exposed for tests/diagnostics). */
@@ -236,7 +244,9 @@ object WikiText {
 
   /** Whitespace-run collapse where the FIRST whitespace char wins:
     * `re.sub(r"(\s)\s*", r"\g<1>", text)` — so `"a\n  b"` → `"a\nb"` but
-    * `"a \nb"` → `"a b"` (`/root/reference/filters.py:48-50,63`). */
+    * `"a \nb"` → `"a b"` (`/root/reference/filters.py:48-50,63`).
+    * `(?U)` makes Java's `\s` Unicode-aware like Python 3's — NBSP and
+    * friends collapse in the reference, so they must collapse here. */
   def collapseWhitespace(text: String): String =
-    text.replaceAll("(\\s)\\s*", "$1")
+    text.replaceAll("(?U)(\\s)\\s*", "$1")
 }

@@ -40,9 +40,18 @@ object WikiXml {
     }
   }
 
-  /** All pages of the export, any namespace: (title, ns, aid, text). */
+  /** All pages of the export, any namespace: (title, ns, aid, text).
+    *
+    * A5a lossy decode: the reference decodes with `errors="ignore"`,
+    * DELETING invalid byte sequences (`/root/reference/filters.py:53`);
+    * the JVM text reader replaces them with U+FFFD. Deleting every
+    * U+FFFD right after the scan restores the reference's semantics
+    * (caveat, deliberate: a literal U+FFFD that was validly encoded in
+    * the dump is deleted too — gensim would keep it; real exports don't
+    * contain one). Codegen'd `translate`, no extra pass over the data. */
   def allPages(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "</page>").text(path)
+      .select(translate(col("value"), "�", "").as("value"))
       .select(
         regexp_extract(col("value"), "(?s)<title>(.*?)</title>", 1).as("title_x"),
         regexp_extract(col("value"), "(?s)<ns>(.*?)</ns>", 1).as("ns_x"),

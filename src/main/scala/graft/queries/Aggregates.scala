@@ -81,8 +81,8 @@ object Aggregates {
         .groupBy(col("c_mktsegment"))
         .agg(min(col("c_acctbal")).as("min_bal"),
           max(col("c_acctbal")).as("max_bal"),
-          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
-          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          graft.Det.q4(stddev_samp(col("c_acctbal"))).as("sd_bal"),
+          graft.Det.q4(var_samp(col("c_acctbal"))).as("var_bal"),
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")),
 
@@ -244,8 +244,8 @@ object Aggregates {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
-        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
-        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+        |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) * 10000) AS BIGINT) / 10000.0 AS avg_qty,
+        |  CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) * 10000) AS BIGINT) / 10000.0 AS avg_price,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -282,8 +282,8 @@ object Aggregates {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_agg_stats" ->
       """SELECT c_mktsegment, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
-        |  ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
-        |  ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal, COUNT(*) AS cnt
+        |  CAST(ROUND(STDDEV_SAMP(c_acctbal) * 10000) AS BIGINT) / 10000.0 AS sd_bal,
+        |  CAST(ROUND(VAR_SAMP(c_acctbal) * 10000) AS BIGINT) / 10000.0 AS var_bal, COUNT(*) AS cnt
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -41,19 +41,27 @@ object Sources {
         .select(col("aid"), col("title"), length(col("text")).cast("long").as("text_len"))
         .orderBy("aid")),
 
-    // A8–A11 shape: the full ETL feeding a configured JDBC sink. No
-    // MySQL server exists here, so the query returns the sink's resolved
-    // configuration + the row counts it WOULD write (the .save() call is
-    // the only thing withheld); MySqlSinkSpec asserts the writer/DDL.
+    // A8–A11 end-to-end: the full ETL feeding the JDBC sink for real —
+    // bootstrap DDL (Derby dialect: no MySQL server in this image, same
+    // Spark JDBC write machinery), append bodies then articles, then
+    // READ BACK over JDBC; the reported counts are the readback, so a
+    // silent write failure cannot pass. MySqlSinkSpec adds FK checks.
     "q_sink_jdbc" -> ((s, _) => {
       val out = WikiEtl.run(s, dumpPath)
-      MySqlSink.writer(out.articles, "jdbc:mysql://localhost:3306/wiki",
-        "articles", "graft", "graft") // configured, not saved
-      val nBodies = out.bodies.count()
-      val nArticles = out.articles.count()
+      val url = "jdbc:derby:memory:graft_sink;create=true"
+      MySqlSink.derbyReset(url, "app", "app")
+      MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyDdl)
+      MySqlSink.writer(out.bodies, url, "bodies", "app", "app").save()
+      MySqlSink.writer(out.articles, url, "articles", "app", "app").save()
+      def readback(table: String): Long =
+        s.read.format("jdbc").option("url", url)
+          .option("dbtable", table).option("user", "app")
+          .option("password", "app").load().count()
+      val nBodies = readback("bodies")
+      val nArticles = readback("articles")
       out.cleanup() // release the pipeline's caches on this shared session
       s.range(1).select(
-        lit("jdbc:mysql://localhost:3306/wiki").as("url"),
+        lit(url).as("url"),
         lit("articles").as("table"),
         lit(5000L).as("batchsize"),
         lit(nArticles).as("n_articles"),

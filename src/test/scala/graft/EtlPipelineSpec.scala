@@ -1,6 +1,6 @@
 package graft
 
-import graft.etl.{MySqlSink, WikiEtl, WikiXml}
+import graft.etl.{WikiEtl, WikiXml}
 
 /** End-to-end ETL over the mini dump fixture (FIXTURES.md §2): XML →
   * ns-0 filter → redirect split → clean → deterministic ids → resolved
@@ -41,13 +41,4 @@ class EtlPipelineSpec extends SparkTestBase {
     assert(out.bodies.collect().head.getString(1).forall(c => c >= 0x20 && c <= 0x7e))
   }
 
-  test("mysql sink: ddl shape and writer options") {
-    assert(MySqlSink.bodiesDdl.contains("MEDIUMTEXT") && MySqlSink.bodiesDdl.contains("utf8mb4"))
-    assert(MySqlSink.articlesDdl.contains("VARCHAR(1027)") &&
-      MySqlSink.articlesDdl.contains("FOREIGN KEY (`body`) REFERENCES `bodies` (`id`)"))
-    // writer configures without side effects until .save()
-    val w = MySqlSink.writer(Tables.load(spark, sfDir, "region"),
-      "jdbc:mysql://localhost:3306/wiki", "articles", "u", "p")
-    assert(w != null)
-  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.etl.{MySqlSink, WikiEtl}
+import org.apache.spark.sql.functions._
+
+/** Real JDBC sink execution (A8–A11): bootstrap DDL over a plain JDBC
+  * connection, append-mode Spark writes, JDBC readback, FK enforcement —
+  * against the embedded Derby from /opt/spark/jars (no MySQL server in
+  * this image; the write path is the same Spark JDBC machinery the MySQL
+  * target would use, reference: /root/reference/database.py:59-104). */
+class MySqlSinkSpec extends SparkTestBase {
+  private lazy val xml = getClass.getResource("/mini-wiki.xml").getPath
+  private val url = "jdbc:derby:memory:graft_spec;create=true"
+
+  private def read(table: String) =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table)
+      .option("user", "app").option("password", "app").load()
+
+  test("mysql ddl shape: charset/type/FK upgrades verbatim; script splitter") {
+    assert(MySqlSink.bodiesDdl.contains("MEDIUMTEXT") && MySqlSink.bodiesDdl.contains("utf8mb4"))
+    assert(MySqlSink.articlesDdl.contains("VARCHAR(1027)") &&
+      MySqlSink.articlesDdl.contains("FOREIGN KEY (`body`) REFERENCES `bodies` (`id`)"))
+    assert(MySqlSink.articlesDdl.contains("ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"))
+    assert(MySqlSink.splitScript("-- comment\nCREATE A;\n\nCREATE B ;\n;") ==
+      Seq("CREATE A", "CREATE B"))
+  }
+
+  test("bootstrap + append write + readback: counts, content, FK integrity") {
+    val out = WikiEtl.run(spark, xml)
+    val expBodies = out.bodies.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expArticles = out.articles.count()
+
+    MySqlSink.derbyReset(url, "app", "app")
+    MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyDdl)
+    MySqlSink.writer(out.bodies, url, "bodies", "app", "app").save()
+    MySqlSink.writer(out.articles, url, "articles", "app", "app").save()
+    out.cleanup()
+
+    // readback: counts and body text survive the CLOB roundtrip
+    val gotBodies = read("bodies").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotBodies == expBodies)
+    assert(read("articles").count() == expArticles)
+
+    // referential integrity of what was written
+    val orphans = read("articles").join(
+      read("bodies").select(col("id").as("b_id")),
+      col("body") === col("b_id"), "left_anti").count()
+    assert(orphans == 0)
+
+    // and the FK is ENFORCED by the bootstrapped schema, not just clean
+    // data: an orphan insert must be rejected by the database
+    intercept[java.sql.SQLException] {
+      MySqlSink.bootstrap(url, "app", "app",
+        Seq("INSERT INTO articles VALUES (999, 999, 'orphan', 424242)"))
+    }
+    assert(read("articles").filter(col("id") === 999).count() == 0)
+  }
+
+  test("append is idempotent-safe against PK: re-writing same ids fails, not dups") {
+    // the bootstrapped PRIMARY KEY rejects a double-load (the reference
+    // relied on DROP+CREATE before every load; here the schema guards)
+    val out = WikiEtl.run(spark, xml)
+    intercept[Exception] {
+      MySqlSink.writer(out.bodies, url, "bodies", "app", "app").save()
+    }
+    out.cleanup()
+    // row count unchanged by the failed second load
+    assert(read("bodies").count() == read("bodies").dropDuplicates("id").count())
+  }
+}

@@ -50,9 +50,21 @@ class WikiTextSpec extends AnyFunSuite {
     assert(cleanWikiBody("'''bold''' and ''italic''") == "bold and italic")
   }
 
-  test("category and interlanguage footer links removed") {
+  test("category links removed anywhere, [cC] only (gensim RE_P14)") {
     assert(cleanWikiBody("text [[Category:Letters]]").trim == "text")
-    assert(cleanWikiBody("text [[fr:Lettre]]").trim == "text")
+    assert(cleanWikiBody("a [[category:letters]] b") == "a b")
+    // NOT a category per gensim: uppercase-only match is [cC]ategory
+    assert(cleanWikiBody("a [[CATEGORY:letters]] b") == "a CATEGORY:letters b")
+  }
+
+  test("interlang links: trailing footer block removed, inline kept (gensim RE_P2)") {
+    // the trailing "last list" of language links goes as a block
+    assert(cleanWikiBody("text\n[[de:Titel]]\n[[fr:Lettre]]") == "text")
+    // inline language links are NOT removed — they survive as literal
+    // text once the bare-link pass strips the brackets
+    assert(cleanWikiBody("see [[fr:Chose]] here") == "see fr:Chose here")
+    // footer targets with a second colon don't match RE_P2 (quirk kept)
+    assert(cleanWikiBody("t\n[[de:Wikipedia:X]]") == "t\nde:Wikipedia:X")
   }
 
   test("entities decode only when removeHtml") {
@@ -73,6 +85,14 @@ class WikiTextSpec extends AnyFunSuite {
     assert(collapseWhitespace("a\n  b") == "a\nb")
     assert(collapseWhitespace("a \nb") == "a b")
     assert(cleanWikiBody("a\n \t b") == "a\nb")
+  }
+
+  test("whitespace collapse is Unicode-aware like Python's \\s (NBSP runs)") {
+    // Python 3 re \s matches U+00A0; Java needs (?U) for the same
+    assert(collapseWhitespace("a   b") == "a b")
+    assert(collapseWhitespace("a  \nb") == "a b")
+    // &nbsp; decodes to U+00A0 (name2codepoint), then collapses as ws
+    assert(cleanWikiBody("a&nbsp;&nbsp;b") == "a b")
   }
 
   test("redirect detect: anchored and case-sensitive (A4 quirks)") {

@@ -24,6 +24,22 @@ class WikiXmlBz2Spec extends SparkTestBase {
     assert(compressed == plain && plain.size == 6)
   }
 
+  test("invalid UTF-8 bytes are DELETED, not replaced (A5a errors='ignore')") {
+    // gensim: to_unicode(text, "utf8", errors="ignore") drops invalid
+    // byte sequences (/root/reference/filters.py:53); the JVM reader
+    // yields U+FFFD, which WikiXml deletes post-scan.
+    val p = s"/tmp/graft-badutf8-${System.nanoTime()}.xml"
+    val head = "<page><title>Bad</title><ns>0</ns><id>9</id><revision><id>1</id><text>ab"
+    val tail = "cd</text></revision></page>"
+    val bytes = head.getBytes("UTF-8") ++
+      Array(0xFF.toByte, 0xFE.toByte) ++ // bytes never valid in UTF-8
+      tail.getBytes("UTF-8")
+    Files.write(Paths.get(p), bytes)
+    val text = WikiXml.pages(spark, p).collect().head.getString(2)
+    assert(text == "abcd", s"expected deletion, got: ${text.codePoints().toArray.mkString(",")}")
+    assert(!text.contains('�'))
+  }
+
   test("graft_ldot installs through SparkSessionExtensions and works from SQL") {
     import org.apache.spark.sql.SparkSession
     val base = spark // ensure the shared session/context exists first
