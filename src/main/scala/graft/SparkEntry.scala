@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
       graft.queries.Udaf.queries ++
+      graft.queries.Pipeline.queries ++
       graft.sources.Multimodal.queries ++
       graft.queries.Sources.queries
 
@@ -39,5 +40,7 @@ object SparkEntry {
       graft.queries.Similarity.oracles ++
       graft.queries.Events.oracles ++
       graft.queries.Udaf.oracles ++
-      graft.sources.Multimodal.oracles
+      graft.queries.Pipeline.oracles ++
+      graft.sources.Multimodal.oracles ++
+      graft.queries.Sources.oracles
 }

@@ -18,9 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * expression builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_ldot"),
       new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
       (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_rollminhash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
+      (exprs: Seq[Expression]) => RollingMinHash(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+  }
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the rolling-fingerprint hot path
+  * (SURVEY.md §4.3 escalation rule, same story as [[LongDot]]).
+  *
+  * The bench demanded: `array_min(transform(sequence(...), i ->
+  * md5(substring(text, i, 8))))` materializes ~|text| 32-char hash
+  * strings per row, instantiates a fresh MessageDigest per window, and
+  * the higher-order lambda keeps the projection out of whole-stage
+  * codegen (4.4 s at sf0.1 — the slowest query in the engine).
+  * `graft_rollminhash` is one primitive loop per row: a single reused
+  * MessageDigest, digests compared as unsigned bytes (same order as
+  * comparing the lowercase-hex strings, since hex digits are
+  * monotonically ordered in ASCII), only the winner rendered to hex.
+  * Result is bit-identical to the HOF form and its DuckDB oracle.
+  */
+case class RollingMinHash(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // short texts yield NULL
+  override def prettyName: String = "graft_rollminhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.rollMinHash(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // one static call per row; the surrounding stage stays codegen'd
+      s"""
+         |${ev.value} = graft.functions.TextExprs.rollMinHash($c, $width);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** min over all `width`-char windows of lowercase-hex md5(window),
+    * equal to `array_min(transform(sequence(1, len-w+1), i ->
+    * md5(CAST(substring(text, i, w) AS BINARY))))`; null when
+    * `length < width`. Exposed as a static JVM method so generated
+    * code can call it. */
+  def rollMinHash(text: UTF8String, width: Int): UTF8String = {
+    val str = text.toString // code-point-correct windows for non-ASCII
+    val n = str.length - width + 1
+    if (n <= 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(
+        str.substring(i, i + width).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (best == null || unsignedLt(d, best)) best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexDigits((best(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HexDigits(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Idempotently register on a session (same route as VectorExprs). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_rollminhash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
+      (exprs: Seq[Expression]) => RollingMinHash(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()))
+}

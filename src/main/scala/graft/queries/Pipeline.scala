@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables.load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over `documents` (round-2 extension
+  * surface): deterministic sampling and dataset splits, gopher-style
+  * repetition/quality filters, TF-IDF term weighting, sequence packing
+  * into fixed token budgets, corpus n-gram statistics, text
+  * normalization, and chunk-level exact dedup.
+  *
+  * Scale shapes: everything is narrow maps + hash aggregations; the only
+  * window (`q_pack_greedy`) partitions by `lang` so no global sort-order
+  * state exists — at 100 TB each stratum packs independently. Sampling
+  * and splits hash the KEY (md5), never rand(): reproducible across
+  * retries, executors, and engines.
+  *
+  * Cross-engine determinism: ratios in integer basis points
+  * (`x * 10000 DIV n`), weights in integer arithmetic, every query
+  * totally ordered.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tokens = "filter(split(text, ' '), x -> x <> '')"
+  private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic 2/16 sample, stratified by the md5 of the key (not
+    // rand() — reproducible across retries/executors; the same doc ids
+    // survive in any engine). First hex digit < '2' keeps 2/16.
+    "q_sample_det" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("h", substring(md5(concat(col("doc_id").cast("string"),
+          lit("|s0")).cast("binary")), 1, 1))
+        .filter(col("h") < "2")
+        .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test assignment by hash bucket (12/2/2 of
+    // 16) + per-(lang, split) counts — the split manifest a training
+    // run snapshots. Hex digits order '0'<'9'<'a'<'f' in ASCII.
+    "q_split_train" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("h", substring(md5(concat(col("doc_id").cast("string"),
+          lit("|split")).cast("binary")), 1, 1))
+        .withColumn("split",
+          when(col("h") < "c", "train").when(col("h") < "e", "val")
+            .otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "split")),
+
+    // Gopher-style repetition/quality stats, integer basis points:
+    // duplicate-token ratio, most-frequent-token share, mean token
+    // length (centichars), and the resulting keep flag. Two-level
+    // aggregation — (doc, word) then doc — both map-side combining.
+    "q_gopher_quality" -> ((s, d) => {
+      val tc = load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      tc.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"),
+          sum(col("c") * length(col("word"))).as("len_sum"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          expr("(n_toks - n_distinct) * 10000 DIV n_toks").as("dup_bp"),
+          expr("top_c * 10000 DIV n_toks").as("top_tok_bp"),
+          expr("len_sum * 100 DIV n_toks").as("mean_len_cc"),
+          expr("(n_toks - n_distinct) * 10000 DIV n_toks <= 4500 AND " +
+            "top_c * 10000 DIV n_toks <= 1000").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF with integer inverse-document-frequency weighting
+    // (N·10⁴ DIV df — log-free so both engines agree bit-for-bit):
+    // top-3 terms per document. The df side is one word-keyed shuffle;
+    // N is a broadcast scalar — the classic IR shape that scales.
+    "q_tfidf" -> ((s, d) => {
+      val toks = load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+      val tf = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = load(s, d, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("word").asc)
+      tf.join(df, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          expr("tf * ((n * 10000) DIV df)").as("weight"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    }),
+
+    // Sequence packing: fill 256-token shards in deterministic doc_id
+    // order WITHIN each lang stratum (running token count → the shard
+    // where each doc starts). Partitioned window — no global sort
+    // state, each stratum packs independently at any scale.
+    "q_pack_greedy" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr(s"CAST(size($tokens) AS BIGINT)").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("start_off"),
+          expr("(cum - n_toks) DIV 256").as("shard"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Corpus-wide top-20 word bigrams WITH multiplicity (collocation
+    // counts) — explode + one hash agg + TakeOrderedAndProject.
+    "q_ngram_top" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
+            " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1)))" +
+            " ELSE array() END")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bg").asc)
+        .limit(20)),
+
+    // Normalization pass for downstream hashing: lowercase, non-[a-z0-9]
+    // runs → one space, trim. Pure codegen'd row-local string ops.
+    "q_normalize_text" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+        .orderBy("doc_id")),
+
+    // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
+    // grouped corpus-wide, buckets with >1 occurrence — the
+    // boilerplate-paragraph detector of a real pipeline (shared
+    // headers/footers collapse into hot hashes).
+    "q_chunk_dedup" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(floor((size(toks) - 1) / 4.0) AS INT))," +
+            " c -> array_join(slice(toks, c * 4 + 1, 4), ' '))")).as("chunk"))
+        .groupBy(md5(col("chunk").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .filter(col("n_occ") > 1)
+        .orderBy("h"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_det" ->
+      """SELECT doc_id, lang, SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 1) AS h
+        |FROM documents
+        |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 1) < '2'
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_train" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|split'), 1, 1) AS h
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "q_gopher_quality" ->
+      s"""WITH tc AS (SELECT doc_id, word, COUNT(*) AS c FROM
+         |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |agg AS (SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_distinct,
+         |    MAX(c) AS top_c, SUM(c * LENGTH(word)) AS len_sum
+         |  FROM tc GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, n_distinct,
+         |  (n_toks - n_distinct) * 10000 // n_toks AS dup_bp,
+         |  top_c * 10000 // n_toks AS top_tok_bp,
+         |  len_sum * 100 // n_toks AS mean_len_cc,
+         |  (n_toks - n_distinct) * 10000 // n_toks <= 4500 AND
+         |    top_c * 10000 // n_toks <= 1000 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |w AS (SELECT doc_id, word, tf, df, tf * ((n * 10000) // df) AS weight
+         |      FROM tf JOIN df USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, tf, df, weight, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY weight DESC, word ASC) AS rn FROM w)
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_pack_greedy" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(LEN($duckToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, n_toks, CAST(cum - n_toks AS BIGINT) AS start_off,
+         |  CAST((cum - n_toks) // 256 AS BIGINT) AS shard
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_ngram_top" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bg AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+         |    k -> toks[k] || ' ' || toks[k + 1])) AS bg FROM t)
+         |SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg
+         |ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin,
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |ch AS (SELECT doc_id,
+         |    ARRAY_TO_STRING(toks[c * 4 + 1 : c * 4 + 4], ' ') AS chunk
+         |  FROM t, UNNEST(RANGE(0, CAST(FLOOR((LEN(toks) - 1) / 4.0) AS INT) + 1)) AS u(c))
+         |SELECT MD5(chunk) AS h, COUNT(*) AS n_occ,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM ch GROUP BY MD5(chunk) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
+  )
+}

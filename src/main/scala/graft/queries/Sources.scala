@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables.load
 import graft.etl.{MySqlSink, WikiEtl, WikiXml}
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -35,6 +36,32 @@ object Sources {
   }
 
   val queries: Map[String, Q] = Map(
+    // CSV source/sink roundtrip: customer → headered CSV →
+    // schema-inferred read-back. The oracle compares against the
+    // parquet view directly, so a lossy roundtrip (quoting, type
+    // inference, decimal text) fails the hash.
+    "q_source_csv" -> ((s, d) => {
+      val p = "/tmp/graft_source_csv"
+      load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
+      s.read.option("header", "true").option("inferSchema", "true").csv(p)
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // JSON-lines source/sink roundtrip, same oracle-against-parquet
+    // contract (JSON numbers infer as BIGINT, strings pass through).
+    "q_source_json" -> ((s, d) => {
+      val p = "/tmp/graft_source_json"
+      load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
+      s.read.json(p)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // A1–A3: raw text streamed per <page>, fields extracted, ns filter.
     "q_source_text" -> ((s, _) =>
       WikiXml.pages(s, dumpPath)
@@ -69,5 +96,13 @@ object Sources {
     })
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "q_source_csv" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_source_json" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin
+  )
 }

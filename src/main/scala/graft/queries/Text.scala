@@ -118,16 +118,17 @@ object Text {
     // Rolling-window fingerprint: min hash over all character 8-grams
     // (winnowing with a single global window) — position-insensitive
     // near-dup signature complementing the bag-of-words fingerprint.
-    "q_fingerprint_rolling" -> ((s, d) =>
+    // The HOF form (array_min∘transform∘sequence) materialized ~|text|
+    // hash strings per row and blocked codegen — slowest query in the
+    // r1 bench; graft_rollminhash is the codegen'd one-loop equivalent
+    // (functions/TextExprs.scala), bit-identical, short texts → NULL
+    // like DuckDB's empty RANGE → LIST_MIN.
+    "q_fingerprint_rolling" -> ((s, d) => {
+      graft.functions.TextExprs.register(s)
       load(s, d, "documents")
-        .select(col("doc_id"),
-          // guard: sequence(1, n) runs DESCENDING for n < 1, so short
-          // texts must short-circuit to NULL (DuckDB's empty RANGE →
-          // LIST_MIN → NULL does the same)
-          expr("CASE WHEN length(text) >= 8 THEN " +
-            "array_min(transform(sequence(1, length(text) - 7)," +
-            " i -> md5(CAST(substring(text, i, 8) AS BINARY)))) END").as("rfp"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("graft_rollminhash(text, 8)").as("rfp"))
+        .orderBy("doc_id")
+    }),
 
     // Quality score: stopword ratio, punctuation ratio, length factor —
     // combined in integer basis points.
