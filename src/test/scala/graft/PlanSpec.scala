@@ -67,4 +67,26 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Similarity.queries("q_cosine_topk")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("tfidf broadcasts the corpus-count scalar, shuffles only on word/doc") {
+    val p = plan(graft.queries.Pipeline.queries("q_tfidf")(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pack_greedy window is stratified — no single-partition exchange") {
+    // the running sum partitions by lang; a global (SinglePartition)
+    // window would serialize the whole corpus through one task
+    val p = plan(graft.queries.Pipeline.queries("q_pack_greedy")(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("rolling fingerprint stays inside whole-stage codegen") {
+    // the r1 HOF form (array_min∘transform) broke codegen; the custom
+    // expression is a static call inside the generated projection
+    val df = graft.queries.Text.queries("q_fingerprint_rolling")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("* Project"), p)
+  }
 }
