@@ -50,7 +50,14 @@ object WikiXml {
     * the dump is deleted too — gensim would keep it; real exports don't
     * contain one). Codegen'd `translate`, no extra pass over the data. */
   def allPages(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("lineSep", "</page>").text(path)
+    fromRaw(spark.read.option("lineSep", "</page>").text(path))
+
+  /** The page extraction over an already-scanned `value` column —
+    * shared verbatim by the batch reader above and the streaming one
+    * (graft.streaming.WikiStream), so both ingestion modes parse
+    * identically by construction. */
+  def fromRaw(raw: DataFrame): DataFrame =
+    raw
       .select(translate(col("value"), "�", "").as("value"))
       .select(
         regexp_extract(col("value"), "(?s)<title>(.*?)</title>", 1).as("title_x"),
