@@ -205,6 +205,36 @@ object Similarity {
         .orderBy("a_id", "rn")
     }),
 
+    // One Lloyd refinement step for the IVF codebook (the training
+    // counterpart of q_ann_ivf): assign every vector to its nearest
+    // cell, then per-(cell, dimension) member counts, sums, and integer
+    // means. Assignment is the broadcast-codebook pass; the update is
+    // one (cell, dim)-keyed hash agg with map-side combine — both
+    // corpus-linear, the canonical distributed k-means shape.
+    // Integral mean uses an explicit truncate-toward-zero CASE: Spark
+    // DIV truncates, DuckDB // floors, and dimension sums go negative.
+    "q_kmeans_step" -> ((s, d) => {
+      val q = quantized(s, d)
+      val cents = q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+      val wCell = Window.partitionBy(col("v_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      val assign = q.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("v_id"), col("c_id"), col("qv"),
+          cosine(dotQ("qv", "qc"), col("nq"), col("nc")).as("ccos"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") === 1)
+        .select(col("c_id").as("cell"), col("qv"))
+      assign.select(col("cell"), posexplode(col("qv")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n_members"), sum(col("col")).as("dim_sum"))
+        .select(col("cell"), col("pos").cast("long").as("pos"),
+          col("n_members"), col("dim_sum"),
+          expr("CASE WHEN dim_sum >= 0 THEN dim_sum DIV n_members" +
+            " ELSE -((-dim_sum) DIV n_members) END").as("mean_q"))
+        .orderBy("cell", "pos")
+    }),
+
     // MinHash + LSH banding over unigram shingles: 8 min-of-md5-string
     // hashes, 4 bands of 2, bucket summary for buckets holding >1 doc.
     // The hash family is computed inline per (doc_id, word) row (see
@@ -347,6 +377,28 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |cd AS (SELECT a.vec_id AS v_id, b.vec_id AS c_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |       GROUP BY a.vec_id, b.vec_id),
+        |cc AS (SELECT v_id, c_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
+        |assign AS (SELECT v_id, c_id AS cell FROM (
+        |    SELECT v_id, c_id, ROW_NUMBER() OVER (PARTITION BY v_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn FROM cc) WHERE crn = 1),
+        |m AS (SELECT a.cell, e.i - 1 AS pos, e.v
+        |      FROM assign a JOIN e ON e.vec_id = a.v_id)
+        |SELECT cell, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n_members,
+        |  CAST(SUM(v) AS BIGINT) AS dim_sum,
+        |  CAST(CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+        |       ELSE -((-SUM(v)) // COUNT(*)) END AS BIGINT) AS mean_q
+        |FROM m GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
     "q_minhash_dedup" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),
