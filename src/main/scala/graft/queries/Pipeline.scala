@@ -136,6 +136,78 @@ object Pipeline {
           trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
         .orderBy("doc_id")),
 
+    // PII redaction: emails, phone numbers, IPv4 addresses → typed
+    // placeholders, with per-kind match counts. The corpus is
+    // deterministically augmented with synthetic PII derived from
+    // doc_id (both engines compute the same input) so the redactor has
+    // real work at any SF. Pure row-local codegen'd regex — linear.
+    // Patterns stay in the Java∩RE2 common subset (classes, bounded
+    // repeats, \b) so Spark and DuckDB agree byte-for-byte.
+    "q_pii_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+\\d[\\d-]{6,}\\d"
+      val ip = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      load(s, d, "documents")
+        .withColumn("aug", concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id"), lit("@mail.example.com")),
+          concat(lit("+1-555-"), lpad(expr("CAST(doc_id % 10000 AS STRING)"), 4, "0")),
+          concat(lit("10."), expr("CAST(doc_id % 256 AS STRING)"), lit(".0.1"))))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("aug"), lit(phone)).cast("long").as("n_phone"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("red"))
+        .withColumn("n_ip",
+          expr("CAST(size(split(red, '<IP>')) - 1 AS BIGINT)"))
+        .orderBy("doc_id")
+    }),
+
+    // Eval-set decontamination: 4-token shingles of a deterministic
+    // 1/16 eval sample, joined back against the train-side shingles —
+    // train docs sharing any shingle with eval are contaminated (the
+    // pre-training hygiene step every benchmark-safe corpus needs).
+    // Join key is md5(gram), never the gram text, so the shuffle
+    // carries 32-byte keys regardless of shingle width; the eval side
+    // is a hash-distinct then a plain shuffle join (NOT broadcast —
+    // eval grams grow with the corpus).
+    "q_decontaminate" -> ((s, d) => {
+      val isEval = substring(md5(concat(col("doc_id").cast("string"),
+        lit("|eval")).cast("binary")), 1, 1) < "1"
+      val grams = load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3)," +
+            " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
+            "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+      val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+      grams.filter(!isEval)
+        .join(evalGrams, "gh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture rebalance: downsample every lang stratum to the
+    // smallest stratum's size by deterministic hash rank — the kept-doc
+    // manifest a mixture-weighted training run snapshots. Rank is a
+    // per-lang window (no global sort state); the cap is a one-row
+    // broadcast.
+    "q_mix_weights" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val w = Window.partitionBy(col("lang")).orderBy(
+        md5(concat(col("doc_id").cast("string"), lit("|mix")).cast("binary")).asc,
+        col("doc_id").asc)
+      val cap = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("cap"))
+      docs.select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cap))
+        .filter(col("rk") <= col("cap"))
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
     // grouped corpus-wide, buckets with >1 occurrence — the
     // boilerplate-paragraph detector of a real pipeline (shared
@@ -213,6 +285,45 @@ object Pipeline {
       """SELECT doc_id,
         |  TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH a AS (SELECT doc_id, text || ' user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com' || ' +1-555-'
+        |    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS aug
+        |  FROM documents),
+        |r AS (SELECT doc_id, aug,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(aug,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
+        |      '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS red
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(aug, '\+\d[\d-]{6,}\d')) AS BIGINT) AS n_phone,
+        |  red,
+        |  CAST(LEN(STRING_SPLIT_REGEX(red, '<IP>')) - 1 AS BIGINT) AS n_ip
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+         |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+         |ev AS (SELECT doc_id FROM documents
+         |       WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 1) < '1'),
+         |eg AS (SELECT DISTINCT gh FROM g JOIN ev USING (doc_id)),
+         |tr AS (SELECT doc_id, gh FROM g
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+         |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
+         |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR) || '|mix') ASC, doc_id ASC) AS rk
+        |  FROM documents),
+        |cap AS (SELECT MIN(c) AS cap FROM
+        |  (SELECT COUNT(*) AS c FROM documents GROUP BY lang))
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r CROSS JOIN cap WHERE rk <= cap ORDER BY lang, rk""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |ch AS (SELECT doc_id,

@@ -89,4 +89,24 @@ class PlanSpec extends SparkTestBase {
     val p = plan(df)
     assert(p.contains("* Project"), p)
   }
+
+  test("decontamination joins on md5 keys, never cartesian; no vocab broadcast forced") {
+    val p = plan(graft.queries.Pipeline.queries("q_decontaminate")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mixture rebalance windows per-lang and broadcasts only the 1-row cap") {
+    val p = plan(graft.queries.Pipeline.queries("q_mix_weights")(spark, sfDir))
+    assert(p.contains("hashpartitioning(lang"), p) // stratified window exchange
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pii redaction is one codegen'd projection — no shuffle at all") {
+    val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // a row-local redactor must not exchange anything except the final sort
+    assert(!p.contains("hashpartitioning"), p)
+  }
 }
