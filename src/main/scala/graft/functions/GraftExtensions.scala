@@ -29,5 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => RollingMinHash(
         exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_tokcount"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_tokcount"),
+      (exprs: Seq[Expression]) => TokenCount(exprs.head)))
+    // Operator-optimization batch: rewrite the canonical
+    // size∘filter∘split token-count tree into the primitive scan.
+    e.injectOptimizerRule(_ => TokenCountRewrite)
   }
 }
