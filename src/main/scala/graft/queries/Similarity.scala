@@ -286,6 +286,53 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // Near-dup CLUSTERS from minhash LSH: the step after
+    // q_minhash_pairs that a real dedup pipeline needs — candidate
+    // buckets → connected components → one canonical doc per cluster.
+    // Shingles are 4-token grams (unigram sets merge everything into
+    // one giant component; 4-grams give tight near-dup clusters).
+    // Components via hash-min label propagation on the BIPARTITE
+    // doc–bucket graph: a hot bucket of k docs costs k rows per
+    // iteration, never the k² doc-doc pairs — the MapReduce-CC shape
+    // that survives skewed buckets at 100 TB. Iterations are bounded
+    // by the cluster diameter (tiny for near-dup graphs); each hop
+    // localCheckpoints so lineage stays flat.
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val shingles = docs
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) >= 4 THEN array_distinct(transform(sequence(1, size(toks) - 3)," +
+            " k -> array_join(slice(toks, k, 4), ' ')))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("word"))
+      val memb = minhashSigs(shingles)
+        .select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+        .select(col("doc_id"),
+          concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val bucketMin = memb.join(labels, "doc_id")
+          .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
+        val docMin = memb.join(bucketMin, "bucket")
+          .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
+        val next = labels.join(docMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+          .filter(col("lbl") < col("prev")).count()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster"),
+          (col("doc_id") === col("lbl")).as("is_canon"))
+        .orderBy("doc_id")
+    }),
+
     // Word-bigram Jaccard similarity for doc pairs (bounded block),
     // integer basis points; pairs sharing no bigram drop out.
     "q_ngram_jaccard" -> ((s, d) => {
@@ -432,6 +479,25 @@ object Similarity {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+        |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+        |      GROUP BY doc_id, i),
+        |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+        |      FROM h GROUP BY doc_id, i // 2),
+        |e AS (SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+        |      FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig),
+        |r AS (SELECT a AS n, a AS lbl FROM (SELECT DISTINCT a FROM e)
+        |      UNION SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.n),
+        |c AS (SELECT n, MIN(lbl) AS cluster FROM r GROUP BY n)
+        |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_canon
+        |FROM documents d LEFT JOIN c ON c.n = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id < 40),
          |bg AS (SELECT DISTINCT doc_id, bg FROM

@@ -72,4 +72,18 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx=$a exact=$e")
     }
   }
+
+  test("dedup clusters: labels are component minima, canon count = cluster count") {
+    val out = Similarity.queries("q_dedup_cluster")(spark, sfDir).collect()
+    assert(out.length > 0)
+    // hash-min invariant: a doc's label never exceeds its own id, and
+    // the label itself is a doc whose label is itself (a fixpoint root)
+    val lbl = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(lbl(r.getLong(1)) == r.getLong(1), s"non-root label ${r.getLong(1)}")
+      assert(r.getBoolean(2) == (r.getLong(0) == r.getLong(1)))
+    }
+    assert(out.count(_.getBoolean(2)) == lbl.values.toSet.size)
+  }
 }
