@@ -124,6 +124,35 @@ object Relational {
         .orderBy("p_partkey", "band")
     }),
 
+    // Large×large RANGE join (|a.value − b.value| ≤ ε) rewritten as a
+    // binned EQUI-join — the scale path Spark lacks natively: a pure
+    // inequality join between two big relations falls back to
+    // BroadcastNestedLoop/Cartesian (all-pairs). Binning quantizes the
+    // range key into ε-covering buckets (width 2ε; each probe row
+    // explodes to 3 adjacent bins, each build row keeps its own bin, so
+    // every candidate pair meets exactly once), the join shuffles on
+    // the bin key like any equi-join, and the exact predicate filters
+    // the candidates. Bin width is double ε so floating-point bin
+    // boundaries can never drop a true candidate. PlanSpec asserts the
+    // physical plan is a hash/merge join — no nested-loop anywhere.
+    "q_join_range" -> ((s, d) => {
+      val eps = 0.5
+      val width = 2 * eps
+      val probe = load(s, d, "events")
+        .filter(pmod(col("event_id"), lit(199)) === 0)
+        .select(col("event_id").as("a_id"), col("value").as("va"))
+        .withColumn("b0", floor(col("va") / width).cast("long"))
+        .select(col("a_id"), col("va"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bin"))
+      val build = load(s, d, "events")
+        .select(col("event_id").as("b_id"), col("value").as("vb"))
+        .withColumn("bin", floor(col("vb") / width).cast("long"))
+      probe.join(build, Seq("bin"))
+        .filter(abs(col("va") - col("vb")) <= eps && col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_join_cross" -> ((s, d) =>
       load(s, d, "region").crossJoin(load(s, d, "nation"))
         .select(col("r_name"), col("n_name"))
@@ -303,6 +332,12 @@ object Relational {
         |                       (1500.0, 1000000.0, 'high')) b(lo, hi, band)
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |ORDER BY p_partkey, band""".stripMargin,
+    "q_join_range" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM events a JOIN events b
+        |  ON a.event_id % 199 = 0 AND b.event_id <> a.event_id
+        | AND ABS(a.value - b.value) <= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

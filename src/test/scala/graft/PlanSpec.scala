@@ -102,6 +102,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("binned range join is a hash/merge equi-join — never nested-loop") {
+    val p = plan(Relational.queries("q_join_range")(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
