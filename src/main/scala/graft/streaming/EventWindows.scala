@@ -52,6 +52,26 @@ object EventWindows {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: each purchase matched to
+    * the same user's clicks from the preceding 30 minutes. Both inputs
+    * carry watermarks and the condition bounds event time on BOTH ends
+    * (`click_ts ∈ [purchase_ts − 30 min, purchase_ts]`), which is what
+    * lets Spark evict click state once the watermark passes
+    * `click_ts + 30 min` — join state stays bounded by the horizon
+    * instead of growing with the stream. Inner join in append mode
+    * emits each match as soon as both rows exist. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      expr("c_user = p_user AND click_ts <= purchase_ts" +
+        " AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   // ------------------------------------------------------------------
   // Custom state: sessionization via flatMapGroupsWithState — the
   // escape hatch for session semantics the built-in operator can't

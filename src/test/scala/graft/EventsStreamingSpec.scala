@@ -129,4 +129,54 @@ class EventsStreamingSpec extends SparkTestBase {
       assert(rows.toSeq == Seq(1L, 3L), rows.mkString(","))
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch join; state evicts past the horizon") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val joined = graft.streaming.EventWindows.clickAttribution(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    def pairs() = spark.table("attr_stream")
+      .select(col("user_id"),
+        date_format(col("click_ts"), "HH:mm").as("c"),
+        date_format(col("purchase_ts"), "HH:mm").as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    try {
+      clicks.addData(ev("2024-01-01 10:00:00", u = 1),
+        ev("2024-01-01 10:50:00", u = 1), ev("2024-01-01 10:05:00", u = 2))
+      purchases.addData(
+        ev("2024-01-01 10:20:00", u = 1, typ = "purchase", v = 5.0),
+        ev("2024-01-01 11:05:00", u = 1, typ = "purchase", v = 7.0),
+        ev("2024-01-01 12:00:00", u = 2, typ = "purchase", v = 9.0))
+      q.processAllAvailable()
+      // u1@10:20 ← only the 10:00 click; u1@11:05 ← only 10:50
+      // (10:00 is 65 min earlier — outside the bound); u2@12:00 ← none
+      val expected = Set((1L, "10:00", "10:20"), (1L, "10:50", "11:05"))
+      assert(pairs() == expected, pairs().toString)
+
+      // same data, batch semantics → identical pairs
+      val bc = Seq(ev("2024-01-01 10:00:00", u = 1), ev("2024-01-01 10:50:00", u = 1),
+        ev("2024-01-01 10:05:00", u = 2)).toDF()
+      val bp = Seq(ev("2024-01-01 10:20:00", u = 1, typ = "purchase", v = 5.0),
+        ev("2024-01-01 11:05:00", u = 1, typ = "purchase", v = 7.0),
+        ev("2024-01-01 12:00:00", u = 2, typ = "purchase", v = 9.0)).toDF()
+      val batch = graft.streaming.EventWindows.clickAttribution(bc, bp)
+        .select(col("user_id"),
+          date_format(col("click_ts"), "HH:mm").as("c"),
+          date_format(col("purchase_ts"), "HH:mm").as("p"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(batch == expected, batch.toString)
+
+      // advance both watermarks far past the horizon, then replay a
+      // purchase that WOULD have matched the 10:00 click: its state is
+      // evicted, the late row drops, output must not grow
+      clicks.addData(ev("2024-01-01 16:00:00", u = 8))
+      purchases.addData(ev("2024-01-01 16:00:00", u = 9, typ = "purchase"))
+      q.processAllAvailable()
+      purchases.addData(ev("2024-01-01 10:25:00", u = 1, typ = "purchase"))
+      q.processAllAvailable()
+      assert(pairs().size == 2, s"late purchase must not match: ${pairs()}")
+    } finally q.stop()
+  }
 }
