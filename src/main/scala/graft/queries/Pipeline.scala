@@ -208,6 +208,32 @@ object Pipeline {
         .orderBy("lang", "rk")
     }),
 
+    // Corpus refresh via MERGE/upsert semantics (latest-wins):
+    // base snapshot ∪ an update batch (deterministically derived —
+    // revised text for doc_id % 7, brand-new docs for doc_id < 20),
+    // then one row per key by (version DESC) rank. The shape Spark
+    // OSS parquet lacks as a native MERGE INTO: one union + one
+    // key-partitioned window — a single shuffle on the merge key, no
+    // driver loop, no collect.
+    "q_upsert" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val base = docs.select(col("doc_id"), lit(1L).as("version"), col("text"))
+      val revised = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          concat(lit("UPDATED "), col("text")).as("text"))
+      val fresh = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), lit(1L).as("version"),
+          col("text"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("version").desc)
+      base.unionByName(revised).unionByName(fresh)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("version"),
+          md5(col("text").cast("binary")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
     // grouped corpus-wide, buckets with >1 occurrence — the
     // boilerplate-paragraph detector of a real pipeline (shared
@@ -285,6 +311,19 @@ object Pipeline {
       """SELECT doc_id,
         |  TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_upsert" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, 1 AS version, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS version, 'UPDATED ' || text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, 1 AS version, text FROM documents
+        |  WHERE doc_id < 20)
+        |SELECT doc_id, CAST(version AS BIGINT) AS version, MD5(text) AS body_md5
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY version DESC) AS rn FROM all_rows)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_pii_redact" ->
       """WITH a AS (SELECT doc_id, text || ' user' || CAST(doc_id AS VARCHAR)
         |    || '@mail.example.com' || ' +1-555-'
