@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object WikiXml {
 
-  private val unescapeXmlUdf = udf { (s: String) =>
+  /** XML-layer entity unescape as a pure function — shared by the
+    * DataFrame UDF below and the row-level DSv2 reader
+    * (graft.sources.WikiDumpSource), so every ingestion mode unescapes
+    * identically by construction. */
+  def unescapeXml(s: String): String =
     if (s == null) null
     else {
       // numeric first so stray `&amp;#65;` stays literal like a real
@@ -38,7 +42,8 @@ object WikiXml {
         .replace("&quot;", "\"").replace("&apos;", "'")
         .replace("&amp;", "&")
     }
-  }
+
+  private val unescapeXmlUdf = udf(unescapeXml _)
 
   /** All pages of the export, any namespace: (title, ns, aid, text).
     *

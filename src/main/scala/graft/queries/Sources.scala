@@ -68,6 +68,19 @@ object Sources {
         .select(col("aid"), col("title"), length(col("text")).cast("long").as("text_len"))
         .orderBy("aid")),
 
+    // A1–A3 through the DataSource V2 connector
+    // (graft.sources.WikiDumpSource): same dump and fields, but planned
+    // as one partition per file with column pruning pushed into the
+    // reader. Row-for-row equality with the lineSep route is pinned in
+    // WikiDumpSourceSpec; the rows-only driver check sees the same
+    // output shape as q_source_text.
+    "q_source_wikidump" -> ((s, _) =>
+      s.read.format(classOf[graft.sources.WikiDumpSource].getName)
+        .load(dumpPath)
+        .filter(col("ns") === 0)
+        .select(col("aid"), col("title"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("aid")),
+
     // A8–A11 end-to-end: the full ETL feeding the JDBC sink for real —
     // bootstrap DDL (Derby dialect: no MySQL server in this image, same
     // Spark JDBC write machinery), append bodies then articles, then
