@@ -34,6 +34,44 @@ class JoinStrategiesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // Salting (below) is the static skew strategy; this pins the
+    // DYNAMIC one — AQE's OptimizeSkewedJoin re-plans an oversized
+    // partition into parallel sub-reads. One hot key carries ~90% of
+    // the left side; thresholds are lowered so the test-scale shuffle
+    // qualifies as skewed exactly like a hot key would at 100 TB.
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload derives from id (not a constant): it cannot be
+      // projected above the join, and md5 text is incompressible, so
+      // the hot partition's MapStatus bytes actually read as skewed
+      val left = spark.range(100000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          md5(concat(col("id").cast("string"), lit("|pad"))).as("payload"))
+      val right = spark.range(20000).select(col("id").as("k"), lit(1L).as("v"))
+      // no same-key operator above the join: reusing the join's output
+      // partitioning would forbid the skew split (AQE never adds a
+      // shuffle to fix skew)
+      val joined = left.join(right, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
