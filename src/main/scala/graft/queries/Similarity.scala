@@ -312,9 +312,16 @@ object Similarity {
         .localCheckpoint()
       var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
         .localCheckpoint()
-      var changed = 1L
+      // hash-min labels only ever DECREASE, so the label sum strictly
+      // decreases until the fixpoint — convergence is one narrow
+      // aggregate per hop, not a prev-vs-next join. Exact decimal sum:
+      // a long sum would overflow on a trillion-doc corpus
+      def lblSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      var prevSum = lblSum(labels)
+      var converged = false
       var iters = 0
-      while (changed > 0 && iters < 20) {
+      while (!converged && iters < 20) {
         val bucketMin = memb.join(labels, "doc_id")
           .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
         val docMin = memb.join(bucketMin, "bucket")
@@ -323,8 +330,9 @@ object Similarity {
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
-          .filter(col("lbl") < col("prev")).count()
+        val s2 = lblSum(next)
+        converged = s2.compareTo(prevSum) == 0
+        prevSum = s2
         labels = next
         iters += 1
       }
