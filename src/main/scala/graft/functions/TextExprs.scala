@@ -52,16 +52,30 @@ object TextExprs {
     * `length < width`. Exposed as a static JVM method so generated
     * code can call it. */
   def rollMinHash(text: UTF8String, width: Int): UTF8String = {
-    val str = text.toString // code-point-correct windows for non-ASCII
-    val n = str.length - width + 1
+    val str = text.toString
+    // windows are WIDTH CODE POINTS, like Spark's substring() in the
+    // HOF form and DuckDB's SUBSTRING — String.substring on UTF-16
+    // units would split surrogate pairs and miscount astral chars
+    val cpCount = str.codePointCount(0, str.length)
+    val n = cpCount - width + 1
     if (n <= 0) return null
+    // offs(i) = UTF-16 index where code point i starts
+    val offs = new Array[Int](cpCount + 1)
+    var ci = 0
+    var cp = 0
+    while (ci < str.length) {
+      offs(cp) = ci
+      ci += Character.charCount(str.codePointAt(ci))
+      cp += 1
+    }
+    offs(cpCount) = str.length
     val md = java.security.MessageDigest.getInstance("MD5")
     var best: Array[Byte] = null
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(
-        str.substring(i, i + width).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(str.substring(offs(i), offs(i + width))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (best == null || unsignedLt(d, best)) best = d
       i += 1
     }

@@ -221,8 +221,12 @@ object Pipeline {
       val revised = docs.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), lit(2L).as("version"),
           concat(lit("UPDATED "), col("text")).as("text"))
+      // fresh ids live in the negative key space: real doc_ids are
+      // non-negative at every SF, so inserts can never collide with an
+      // existing key (doc_id + K would collide once the corpus exceeds
+      // K docs, leaving a nondeterministic same-version tie)
       val fresh = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 10000).as("doc_id"), lit(1L).as("version"),
+        .select((-col("doc_id") - 1).as("doc_id"), lit(1L).as("version"),
           col("text"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("version").desc)
@@ -241,9 +245,15 @@ object Pipeline {
     "q_chunk_dedup" -> ((s, d) =>
       load(s, d, "documents")
         .withColumn("toks", expr(tokens))
+        // size-0 guard: sequence(0, floor(-1/4.0)) = sequence(0, -1)
+        // runs DESCENDING in Spark ([0, -1] → two phantom "" chunks);
+        // DuckDB's RANGE is just empty — an empty/whitespace-only doc
+        // must emit no chunks in both engines
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, CAST(floor((size(toks) - 1) / 4.0) AS INT))," +
-            " c -> array_join(slice(toks, c * 4 + 1, 4), ' '))")).as("chunk"))
+          "CASE WHEN size(toks) >= 1 THEN" +
+            " transform(sequence(0, CAST(floor((size(toks) - 1) / 4.0) AS INT))," +
+            " c -> array_join(slice(toks, c * 4 + 1, 4), ' '))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("chunk"))
         .groupBy(md5(col("chunk").cast("binary")).as("h"))
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"),
@@ -318,7 +328,7 @@ object Pipeline {
         |  SELECT doc_id, 2 AS version, 'UPDATED ' || text FROM documents
         |  WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, 1 AS version, text FROM documents
+        |  SELECT -doc_id - 1 AS doc_id, 1 AS version, text FROM documents
         |  WHERE doc_id < 20)
         |SELECT doc_id, CAST(version AS BIGINT) AS version, MD5(text) AS body_md5
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -321,7 +321,12 @@ object Similarity {
       var prevSum = lblSum(labels)
       var converged = false
       var iters = 0
-      while (!converged && iters < 20) {
+      // diameter bound: a 64-hop chain of DISTINCT band collisions is
+      // pathological for near-dup graphs; hitting it unconverged FAILS
+      // LOUDLY below — a silently truncated clustering would diverge
+      // from the oracle's unbounded closure while looking exact
+      val maxIters = 64
+      while (!converged && iters < maxIters) {
         val bucketMin = memb.join(labels, "doc_id")
           .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
         val docMin = memb.join(bucketMin, "bucket")
@@ -336,6 +341,9 @@ object Similarity {
         labels = next
         iters += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"q_dedup_cluster: label propagation not converged after $maxIters hops")
       labels.select(col("doc_id"), col("lbl").as("cluster"),
           (col("doc_id") === col("lbl")).as("is_canon"))
         .orderBy("doc_id")

@@ -41,7 +41,10 @@ object Sources {
     // parquet view directly, so a lossy roundtrip (quoting, type
     // inference, decimal text) fails the hash.
     "q_source_csv" -> ((s, d) => {
-      val p = "/tmp/graft_source_csv"
+      // SF-scoped path: a concurrent run at another SF (the round
+      // driver overlaps Verify and Bench) must not clobber the data
+      // between this eager write and the lazy read-back
+      val p = s"/tmp/graft_source_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       load(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
@@ -54,7 +57,7 @@ object Sources {
     // JSON-lines source/sink roundtrip, same oracle-against-parquet
     // contract (JSON numbers infer as BIGINT, strings pass through).
     "q_source_json" -> ((s, d) => {
-      val p = "/tmp/graft_source_json"
+      val p = s"/tmp/graft_source_json_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
       s.read.json(p)
         .select(col("n_nationkey").cast("long").as("n_nationkey"),

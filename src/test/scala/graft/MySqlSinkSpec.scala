@@ -59,13 +59,21 @@ class MySqlSinkSpec extends SparkTestBase {
 
   test("append is idempotent-safe against PK: re-writing same ids fails, not dups") {
     // the bootstrapped PRIMARY KEY rejects a double-load (the reference
-    // relied on DROP+CREATE before every load; here the schema guards)
+    // relied on DROP+CREATE before every load; here the schema guards).
+    // Self-contained: bootstrap + first load here, so the intercept
+    // below can only pass on the PK violation — never vacuously on a
+    // missing table when this test runs in isolation.
     val out = WikiEtl.run(spark, xml)
+    MySqlSink.derbyReset(url, "app", "app")
+    MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyDdl)
+    MySqlSink.writer(out.bodies, url, "bodies", "app", "app").save()
+    val n = read("bodies").count()
+    assert(n > 0)
     intercept[Exception] {
       MySqlSink.writer(out.bodies, url, "bodies", "app", "app").save()
     }
     out.cleanup()
     // row count unchanged by the failed second load
-    assert(read("bodies").count() == read("bodies").dropDuplicates("id").count())
+    assert(read("bodies").count() == n)
   }
 }
