@@ -1,8 +1,10 @@
 package graft.streaming
 
-import graft.etl.{WikiText, WikiXml}
+import graft.etl.{MySqlSink, WikiText, WikiXml}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
 
 /** Structured Streaming form of the reference's dump ETL front half:
   * dump files dropped into a directory are parsed and cleaned
@@ -35,4 +37,22 @@ object WikiStream {
       .select(col("aid"), col("title"), col("rdr"),
         when(col("rdr") === "", clean(col("text"))).as("body"))
   }
+
+  /** Streaming JDBC sink via `foreachBatch` — the continuous form of
+    * the reference's MySQL load (A8–A11): each micro-batch lands as one
+    * batched append through the same [[MySqlSink]] writer the batch ETL
+    * uses. Replay-idempotent on top of the file source's at-least-once:
+    * rows are tagged with the micro-batch id and a replayed batch
+    * DELETEs its own tag before re-appending, so checkpoint recovery
+    * never duplicates rows (the standard exactly-once recipe for
+    * transactional JDBC targets). The target table needs a `batch_id`
+    * column; the caller bootstraps DDL, as with the batch sink. */
+  def toJdbc(stream: DataFrame, url: String, table: String,
+             user: String, password: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      MySqlSink.bootstrap(url, user, password,
+        Seq(s"DELETE FROM $table WHERE batch_id = $id"))
+      MySqlSink.writer(batch.withColumn("batch_id", lit(id)),
+        url, table, user, password).save()
+    }
 }
