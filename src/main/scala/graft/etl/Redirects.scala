@@ -43,9 +43,15 @@ object Redirects {
     // turns those walks into dead-ends — same result, and the frontier
     // drains in O(longest chain) iterations instead of burning the full
     // budget keeping cyclic rows alive.
+    // The reference resolves through DICTS (redirects / ttl2bid,
+    // dbfy.py:183-185) — one entry per title by construction. Mirror
+    // that: unique keys on both join sides, deterministically (min), so
+    // a dirty dump with duplicate titles can't fan a frontier row into
+    // duplicate hits through the left joins below.
     val edges = redirects.filter(col("src") =!= col("dst"))
-      .select(col("src").as("e_src"), col("dst").as("e_dst"))
-    val tgt = content.select(col("title").as("c_title"), col("bid").as("c_bid"))
+      .groupBy(col("src").as("e_src")).agg(min(col("dst")).as("e_dst"))
+    val tgt = content.groupBy(col("title").as("c_title"))
+      .agg(min(col("bid")).as("c_bid"))
 
     // One expensive materialization per hop: a single left-join pass
     // tags hits (c_bid non-null) and the next frontier (has an outgoing

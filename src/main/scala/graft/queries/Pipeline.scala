@@ -80,6 +80,11 @@ object Pipeline {
     // (N·10⁴ DIV df — log-free so both engines agree bit-for-bit):
     // top-3 terms per document. The df side is one word-keyed shuffle;
     // N is a broadcast scalar — the classic IR shape that scales.
+    // Deliberate: `toks` is traversed twice (tf and df) rather than
+    // checkpointed — the exploded token stream is the same order of
+    // magnitude as the corpus itself, so materializing it costs about
+    // what the second tokenize pass costs (unlike q_decontaminate,
+    // whose shared pass reduces to compact doc-id+hash rows).
     "q_tfidf" -> ((s, d) => {
       val toks = load(s, d, "documents")
         .select(col("doc_id"), explode(expr(tokens)).as("word"))
@@ -173,6 +178,10 @@ object Pipeline {
     "q_decontaminate" -> ((s, d) => {
       val isEval = substring(md5(concat(col("doc_id").cast("string"),
         lit("|eval")).cast("binary")), 1, 1) < "1"
+      // one tokenize+shingle+md5 pass over the corpus: both the eval
+      // and train branches read the materialized (doc_id, gh) rows
+      // (compact: id + 32-byte hash) instead of re-running the
+      // dominant CPU work per branch — at 100 TB that halves the job
       val grams = load(s, d, "documents")
         .withColumn("toks", expr(tokens))
         .select(col("doc_id"), explode(expr(
@@ -180,6 +189,7 @@ object Pipeline {
             " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
             "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+        .localCheckpoint()
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
       grams.filter(!isEval)
         .join(evalGrams, "gh")

@@ -219,9 +219,16 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
       val wCell = Window.partitionBy(col("v_id"))
         .orderBy(col("ccos").desc, col("c_id").asc)
+      // assignment key is the RAW cosine (no round): it's only an
+      // ordering key, and the unrounded quotient of identical integer
+      // dot/norms is bit-identical IEEE math in both engines — round()
+      // would reintroduce the Spark-vs-DuckDB boundary-rounding risk
+      // for zero benefit
       val assign = q.crossJoin(broadcast(cents))
         .select(col("vec_id").as("v_id"), col("c_id"), col("qv"),
-          cosine(dotQ("qv", "qc"), col("nq"), col("nc")).as("ccos"))
+          (dotQ("qv", "qc").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+            .as("ccos"))
         .withColumn("crn", row_number().over(wCell))
         .filter(col("crn") === 1)
         .select(col("c_id").as("cell"), col("qv"))
@@ -450,7 +457,7 @@ object Similarity {
         |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
         |       GROUP BY a.vec_id, b.vec_id),
         |cc AS (SELECT v_id, c_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))) AS ccos
         |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
         |assign AS (SELECT v_id, c_id AS cell FROM (
         |    SELECT v_id, c_id, ROW_NUMBER() OVER (PARTITION BY v_id

@@ -42,8 +42,18 @@ class WikiDumpSource extends TableProvider {
     WikiDumpSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new WikiDumpTable(properties.get("path"))
+                        properties: java.util.Map[String, String]): Table = {
+    // single-path loads arrive as "path"; multi-path `.load(a, b, …)`
+    // arrives as "paths", a JSON string array
+    val paths: Seq[String] = Option(properties.get("paths")
+      ).map { js =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(js, classOf[Array[String]]).toSeq
+      }.orElse(Option(properties.get("path")).map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException(
+        "wikidump source requires at least one path: .load(<file-or-dir>, ...)"))
+    new WikiDumpTable(paths)
+  }
 }
 
 object WikiDumpSource {
@@ -88,33 +98,34 @@ object WikiDumpSource {
   }
 }
 
-class WikiDumpTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"wikidump(`$path`)"
+class WikiDumpTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"wikidump(`${paths.mkString(",")}`)"
   override def schema(): StructType = WikiDumpSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WikiDumpScanBuilder(path)
+    new WikiDumpScanBuilder(paths)
 }
 
-class WikiDumpScanBuilder(path: String)
+class WikiDumpScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WikiDumpSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WikiDumpScan(path, required)
+  override def build(): Scan = new WikiDumpScan(paths, required)
 }
 
 case class WikiDumpFilePartition(file: String) extends InputPartition
 
-class WikiDumpScan(path: String, required: StructType) extends Scan with Batch {
+class WikiDumpScan(paths: Seq[String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"wikidump $path [${required.fieldNames.mkString(",")}]"
+    s"wikidump ${paths.mkString(",")} [${required.fieldNames.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    WikiDumpSource.listFiles(path).map(WikiDumpFilePartition.apply).toArray
+    paths.flatMap(WikiDumpSource.listFiles)
+      .map(WikiDumpFilePartition.apply).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WikiDumpReaderFactory(required)

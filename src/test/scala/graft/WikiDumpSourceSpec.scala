@@ -33,10 +33,15 @@ class WikiDumpSourceSpec extends SparkTestBase {
     val df = spark.read.format(fmt).load(dir.getPath)
     assert(df.rdd.getNumPartitions == 2)
     assert(df.select("aid").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // multi-path load (Spark passes these as a "paths" JSON array)
+    val multi = spark.read.format(fmt)
+      .load(s"${dir.getPath}/a.xml", s"${dir.getPath}/b.xml")
+    assert(multi.select("aid").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("column pruning reaches the reader (scan reads only requested fields)") {
-    val b = new WikiDumpScanBuilder("/nonexistent")
+    val b = new WikiDumpScanBuilder(Seq("/nonexistent"))
     b.pruneColumns(StructType(WikiDumpSource.schema.filter(_.name == "title")))
     assert(b.build().readSchema().fieldNames.toSeq == Seq("title"))
 
