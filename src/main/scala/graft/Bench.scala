@@ -44,6 +44,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // The full line above is ~3 KB and the driver records only a stdout
+    // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
+    // summary line LAST so it survives any front-truncation; full
+    // per-query detail stays in the file below.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size}}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

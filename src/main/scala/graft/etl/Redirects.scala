@@ -1,5 +1,6 @@
 package graft.etl
 
+import graft.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ object Redirects {
     * @return (src, bid) for every redirect whose chain reaches content
     *
     * Scale: the frontier shrinks every hop (real redirect chains are a
-    * few hops) and is `localCheckpoint`ed each iteration — lineage stays
+    * few hops) and is checkpointed (Checkpoints.ckpt) each iteration — lineage stays
     * O(1) per hop instead of compounding joins across iterations, and
     * the eager checkpoint doubles as the materialization for the
     * early-exit count. Joins against `content` shuffle on the title key;
@@ -55,7 +56,7 @@ object Redirects {
 
     // One expensive materialization per hop: a single left-join pass
     // tags hits (c_bid non-null) and the next frontier (has an outgoing
-    // edge) in the SAME localCheckpoint, so hits are never recomputed
+    // edge) in the SAME checkpoint, so hits are never recomputed
     // when the final union materializes, the per-hop count is a cheap
     // scan of cached blocks, and lineage resets every hop. Hits are
     // buffered and unioned ONCE at the end (r1 unioned inside the loop,
@@ -65,10 +66,9 @@ object Redirects {
     var iter = 0
     var remaining = 1L
     while (iter < maxIters && remaining > 0) {
-      val step = frontier
+      val step = Checkpoints.ckpt(frontier
         .join(tgt, col("cur") === col("c_title"), "left")
-        .join(edges, col("cur") === col("e_src"), "left")
-        .localCheckpoint()
+        .join(edges, col("cur") === col("e_src"), "left"))
       hits += step.filter(col("c_bid").isNotNull)
         .select(col("src"), col("c_bid").as("bid"))
       frontier = step // non-hits with an edge walk on; dead-ends drop

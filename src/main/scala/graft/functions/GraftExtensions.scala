@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
       (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
+      (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].longValue())))
+    e.injectFunction((
+      FunctionIdentifier("graft_lshsig"),
+      new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),
+      (exprs: Seq[Expression]) => LshSig(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_rollminhash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
       (exprs: Seq[Expression]) => RollingMinHash(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -57,12 +57,168 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_quantize(vec, scale)` — FLOAT/DOUBLE vector → BIGINT vector,
+  * `CAST(ROUND(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)` per element.
+  *
+  * Exists because the `transform(embedding, x -> ...)` lambda is a
+  * higher-order function, which Spark never compiles — and CollapseProject
+  * merges it into the same Project as the downstream similarity
+  * expressions, dragging the WHOLE projection to interpreted eval. With
+  * quantization native, every similarity hot path (cosine, LSH, IVF) is
+  * one fully codegen'd Project.
+  *
+  * Rounding replicates Spark's `Round` on DoubleType bit-for-bit:
+  * `BigDecimal.valueOf(d)` (shortest-string) + HALF_UP — so results are
+  * unchanged vs the r2 lambda and the DuckDB oracles.
+  * Elements are assumed non-null (embedding vectors by construction).
+  */
+case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantize"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(t, _) =>
+      t == org.apache.spark.sql.types.FloatType
+    case other =>
+      throw new IllegalArgumentException(s"graft_quantize expects an array, got $other")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * scale
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val getter = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getter($i) * ${scale}L;
+         |  $out[$i] = java.math.BigDecimal.valueOf($d)
+         |    .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 16-bit random-hyperplane LSH signature of a BIGINT-quantized vector
+  * (sign of 16 fixed dot products). Replaces the last interpreted UDF in
+  * the ANN hot path (VERDICT r2 #4): the udf boundary deserializes every
+  * row to `Seq[Long]` and boxes each element; this compiles to a flat
+  * primitive loop inside whole-stage codegen.
+  *
+  * The hyperplane table is deterministic (splitmix64-derived weights in
+  * [-1000, 1000], identical to the r2 UDF, so `q_ann_lsh` buckets are
+  * unchanged) and shared as one flat `long[16*128]` codegen reference —
+  * no per-row allocation.
+  */
+case class LshSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lshsig"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val p = LshSig.PLANES
+    val n = math.min(xs.length, LshSig.Dims)
+    var sig = 0L
+    var j = 0
+    while (j < LshSig.Bits) {
+      val base = j * LshSig.Dims
+      var s = 0L
+      var i = 0
+      while (i < n) { s += xs(i) * p(base + i); i += 1 }
+      if (s > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("lshPlanes", LshSig.PLANES, "long[]")
+      val xs = ctx.freshName("xs")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |int $n = java.lang.Math.min($xs.length, ${LshSig.Dims});
+         |long $sig = 0L;
+         |for (int $j = 0; $j < ${LshSig.Bits}; $j++) {
+         |  int $base = $j * ${LshSig.Dims};
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $xs[$i] * $planes[$base + $i]; }
+         |  if ($s > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSig {
+  val Bits = 16
+  val Dims = 128
+
+  /** splitmix64(j·1000003 + i) mod 2001 − 1000 — same family as the r2
+    * UDF so signatures (and LSH buckets) are bit-identical. */
+  val PLANES: Array[Long] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(Bits * Dims) { k =>
+      val j = k / Dims
+      val i = k % Dims
+      math.floorMod(mix(j * 1000003L + i), 2001L) - 1000L
+    }
+  }
+}
+
 object VectorExprs {
   /** Idempotently register the expressions on a session so `expr(...)` /
     * SQL can call them. Safe to call per query. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_ldot"),
       new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
       (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
+      (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].longValue()))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lshsig"),
+      new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),
+      (exprs: Seq[Expression]) => LshSig(exprs.head))
+  }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Checkpoints
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -182,14 +183,14 @@ object Pipeline {
       // and train branches read the materialized (doc_id, gh) rows
       // (compact: id + 32-byte hash) instead of re-running the
       // dominant CPU work per branch — at 100 TB that halves the job
-      val grams = load(s, d, "documents")
+      val grams0 = load(s, d, "documents")
         .withColumn("toks", expr(tokens))
         .select(col("doc_id"), explode(expr(
           "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3)," +
             " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
             "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-        .localCheckpoint()
+      val grams = Checkpoints.ckpt(grams0)
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
       grams.filter(!isEval)
         .join(evalGrams, "gh")
@@ -290,10 +291,10 @@ object Pipeline {
       s"""WITH tc AS (SELECT doc_id, word, COUNT(*) AS c FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)
          |  GROUP BY doc_id, word),
-         |agg AS (SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_distinct,
-         |    MAX(c) AS top_c, SUM(c * LENGTH(word)) AS len_sum
+         |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks, COUNT(*) AS n_distinct,
+         |    MAX(c) AS top_c, CAST(SUM(c * LENGTH(word)) AS BIGINT) AS len_sum
          |  FROM tc GROUP BY doc_id)
-         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, n_distinct,
+         |SELECT doc_id, n_toks, n_distinct,
          |  (n_toks - n_distinct) * 10000 // n_toks AS dup_bp,
          |  top_c * 10000 // n_toks AS top_tok_bp,
          |  len_sum * 100 // n_toks AS mean_len_cc,

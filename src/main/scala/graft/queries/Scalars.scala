@@ -84,7 +84,7 @@ object Scalars {
     "q_array_funcs2" -> ((s, d) =>
       load(s, d, "embeddings")
         .withColumn("q", expr(
-          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+          "graft_quantize(embedding, 1000)"))
         .select(col("vec_id"),
           expr("array_join(transform(slice(q, 1, 4), x -> CAST(x AS STRING)), ',')").as("head4"),
           expr("CAST(aggregate(zip_with(slice(q, 1, 8), slice(q, 9, 8), (a, b) -> a + b)," +

@@ -51,6 +51,43 @@ class SimilaritySpec extends SparkTestBase {
       !pairsPlan.contains("v_word"), s"pairs broadcasts vocab: $pairsPlan")
   }
 
+  test("graft_lshsig matches an independent Scala recomputation of the hyperplane family") {
+    // the native Expression (codegen path, executed distributed) must
+    // agree bit-for-bit with a driver-side reimplementation of the
+    // documented splitmix64 hyperplane family — guards both the codegen
+    // template and the plane-table layout
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def refSig(qv: Array[Long]): Long = {
+      var sig = 0L
+      for (j <- 0 until 16) {
+        var s = 0L
+        for (i <- 0 until math.min(qv.length, 128))
+          s += qv(i) * (math.floorMod(mix(j * 1000003L + i), 2001L) - 1000L)
+        if (s > 0) sig |= (1L << j)
+      }
+      sig
+    }
+    // graft_quantize must agree with the HOF formulation it replaced,
+    // and graft_lshsig with the driver-side hyperplane recomputation
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "graft_quantize(embedding, 100000000) AS qv",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv_hof")
+      .selectExpr("vec_id", "qv", "graft_lshsig(qv) AS sig", "qv_hof")
+      .limit(64).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](1).toArray
+      assert(qv.toSeq == r.getSeq[Long](3).toSeq,
+        s"graft_quantize != transform lambda for vec ${r.getLong(0)}")
+      assert(r.getLong(2) == refSig(qv), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact; approx median within p40-p60") {
     val rows = Aggregates.queries("q_agg_approx")(spark, sfDir).collect()
     val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap

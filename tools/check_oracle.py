@@ -10,6 +10,12 @@ by name, exact value equality (floats bit-exact, NaN==NaN), row order
 preserved. Mirrors the driver's row/schema/hash check so mismatches are
 caught before the round ends.
 
+Dtype-STRICT (r2 lesson): the driver hashes values, so DuckDB float64
+4375.0 vs Spark BIGINT 4375 is a FAIL even though Python `==` calls them
+equal. We compare both the declared column types (con.description, sorted
+by column name) and the Python runtime type of every value (bool < int <
+float < Decimal are all distinct).
+
 Dev tool only — not part of the engine (the engine has zero Python).
 """
 import sys, json, glob, math
@@ -42,14 +48,23 @@ def main():
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
             gcols = [d[0] for d in con.description]
+            gtypes = {d[0]: str(d[1]) for d in con.description}
             want = con.execute(sql).fetchall()
             wcols = [d[0] for d in con.description]
+            wtypes = {d[0]: str(d[1]) for d in con.description}
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} duck={sorted(wcols)}")
+            n_fail += 1
+            continue
+        dt_bad = [(c, gtypes[c], wtypes[c]) for c in sorted(gcols)
+                  if gtypes[c] != wtypes[c]]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch "
+                  + ", ".join(f"{c}: spark={g} duck={w}" for c, g, w in dt_bad))
             n_fail += 1
             continue
         gi = [gcols.index(c) for c in sorted(gcols)]
@@ -63,6 +78,10 @@ def main():
             for a, b in zip([g[i] for i in gi], [w[i] for i in wi]):
                 if a is None and b is None:
                     continue
+                if a is not None and b is not None and type(a) is not type(b):
+                    bad = (r, f"{a!r}:{type(a).__name__}",
+                           f"{b!r}:{type(b).__name__}", None)
+                    break
                 if isinstance(a, float) and isinstance(b, float):
                     if a == b or (math.isnan(a) and math.isnan(b)):
                         continue
