@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceMicros: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -38,8 +39,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -47,7 +48,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceMicros: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -80,14 +82,22 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(right.output.size)
       var cand: InternalRow = null
       var candKey: InternalRow = null
+      var candTime = 0L
       lIt.map { l =>
         val lkt = lKeyTime(l)
         while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
           val r = rBuf.next().copy()
           cand = r
+          val kt = rKeyTime(r)
           candKey = rKeyOnly(r).copy()
+          candTime = kt.getLong(1)
         }
-        val matched = cand != null && kOrd.compare(candKey, lKeyOnly(l)) == 0
+        val matched = cand != null && kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
+          // candidates are time-sorted, so if the LATEST one is already
+          // older than the lookback bound, so is every earlier one.
+          // matched implies a non-null left time (see NULL note in asof),
+          // so getLong is safe; TIMESTAMP is micros internally.
+          (toleranceMicros < 0L || lkt.getLong(1) - candTime <= toleranceMicros)
         resultProj(joined(l, if (matched) cand else nullRight))
       }
     }
@@ -104,7 +114,16 @@ final case class AsOfJoinExec(
 object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime, -1L)
+
+  /** As-of with a bounded lookback: right rows older than
+    * `leftTime - toleranceMicros` do not match (null-padded). Time
+    * columns must be TIMESTAMP (micros) or BIGINT. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           toleranceMicros: Long): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -121,9 +140,15 @@ object AsOfJoin {
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val lp = left.queryExecution.analyzed
     val rp = rightClean.queryExecution.analyzed
+    if (toleranceMicros >= 0) {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val tt = attr(left, leftTime).dataType
+      require(tt == TimestampType || tt == LongType,
+        s"asof tolerance needs TIMESTAMP/BIGINT time columns, got $tt")
+    }
     val plan = AsOfJoinPlan(lp, rp,
       attr(left, leftKey), attr(rightClean, rightKey),
-      attr(left, leftTime), attr(rightClean, rightTime))
+      attr(left, leftTime), attr(rightClean, rightTime), toleranceMicros)
     graft.plans.Bridge.ofRows(spark, plan)
   }
 }

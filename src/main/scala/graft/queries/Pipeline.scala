@@ -270,7 +270,60 @@ object Pipeline {
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .filter(col("n_occ") > 1)
-        .orderBy("h"))
+        .orderBy("h")),
+
+    // End-to-end corpus pipeline (VERDICT r2 #7): gopher quality gate →
+    // decontamination gate → near-dup cluster canon → per-lang packing,
+    // composed from the SAME building blocks as the individual queries —
+    // proves the operators compose, the real user story. Shapes: three
+    // hash-agg gates + the bipartite CC loop + one stratified window;
+    // no cartesian anywhere, no global sort except presentation.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val toksDf = docs.withColumn("toks", expr(tokens))
+      // 1. quality: same thresholds as q_gopher_quality
+      val quality = toksDf
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .filter(expr("(n_toks - n_distinct) * 10000 DIV n_toks <= 4500 AND " +
+          "top_c * 10000 DIV n_toks <= 1000"))
+        .select(col("doc_id"))
+      // 2. decontamination: same eval split + 4-gram hashes as
+      // q_decontaminate; eval docs AND any train doc sharing a gram drop
+      val isEval = substring(md5(concat(col("doc_id").cast("string"),
+        lit("|eval")).cast("binary")), 1, 1) < "1"
+      val grams = Checkpoints.ckpt(toksDf
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3)," +
+            " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
+            "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
+      val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+      val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
+        .select(col("doc_id")).distinct()
+      val survivors = quality.filter(!isEval)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. near-dup canon among survivors: same LSH + hash-min CC as
+      // q_dedup_cluster, restricted to the filtered doc set
+      val labels = Similarity.hashMinLabels(
+        Similarity.lshBuckets(Similarity.fourGramShingles(
+          docs.join(survivors, "doc_id"))), survivors)
+      val canon = labels.filter(col("doc_id") === col("lbl"))
+        .select(col("doc_id"))
+      // 4. pack the canon set per-lang: same shard rule as q_pack_greedy
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toksDf.join(canon, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          expr("(cum - n_toks) DIV 256").as("shard"))
+        .orderBy("lang", "doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -375,6 +428,48 @@ object Pipeline {
          |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
          |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
          |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+         |tc AS (SELECT doc_id, word, COUNT(*) AS c FROM
+         |  (SELECT doc_id, UNNEST(toks) AS word FROM t) GROUP BY doc_id, word),
+         |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+         |    COUNT(*) AS n_distinct, MAX(c) AS top_c FROM tc GROUP BY doc_id),
+         |quality AS (SELECT doc_id FROM agg
+         |  WHERE (n_toks - n_distinct) * 10000 // n_toks <= 4500
+         |    AND top_c * 10000 // n_toks <= 1000),
+         |g AS (SELECT doc_id, MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+         |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+         |ev AS (SELECT doc_id FROM documents
+         |       WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 1) < '1'),
+         |eg AS (SELECT DISTINCT gh FROM g JOIN ev USING (doc_id)),
+         |bad AS (SELECT DISTINCT doc_id FROM g JOIN eg USING (gh)
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |surv AS (SELECT doc_id FROM quality
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+         |    AND doc_id NOT IN (SELECT doc_id FROM bad)),
+         |w AS (SELECT DISTINCT t.doc_id, ARRAY_TO_STRING(t.toks[k : k + 3], ' ') AS word
+         |      FROM t JOIN surv USING (doc_id),
+         |        UNNEST(RANGE(1, LEN(t.toks) - 2)) AS u(k)),
+         |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+         |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+         |      GROUP BY doc_id, i),
+         |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+         |      FROM h GROUP BY doc_id, i // 2),
+         |e AS (SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+         |      FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig),
+         |r AS (SELECT a AS n, a AS lbl FROM (SELECT DISTINCT a FROM e)
+         |      UNION SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.n),
+         |c AS (SELECT n, MIN(lbl) AS cluster FROM r GROUP BY n),
+         |canon AS (SELECT s.doc_id FROM surv s LEFT JOIN c ON c.n = s.doc_id
+         |          WHERE COALESCE(c.cluster, s.doc_id) = s.doc_id),
+         |sel AS (SELECT t.doc_id, t.lang, CAST(LEN(t.toks) AS BIGINT) AS n_toks
+         |        FROM t JOIN canon USING (doc_id)),
+         |cum AS (SELECT doc_id, lang, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sel)
+         |SELECT doc_id, lang, n_toks, CAST((cum - n_toks) // 256 AS BIGINT) AS shard
+         |FROM cum ORDER BY lang, doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH r AS (SELECT lang, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang

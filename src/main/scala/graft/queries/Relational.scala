@@ -200,6 +200,25 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Native as-of with a bounded lookback (pandas merge_asof
+    // tolerance / QuestDB ASOF JOIN TOLERANCE): clicks older than 24 h
+    // before the purchase null-pad instead of matching. Same one-pass
+    // merge — the tolerance check is O(1) on the latest candidate.
+    "q_join_asof_tol" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
+          24L * 3600 * 1000000)
+        .select(col("p_id"), col("user_id"),
+          graft.Det.tstr(col("p_ts")).as("p_ts"),
+          col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
+        .orderBy("p_id")
+    }),
+
     "q_sort_multi" -> ((s, d) =>
       load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -249,6 +268,23 @@ object Relational {
       graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
         .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
         .orderBy("k", "l_linenumber")
+    }),
+
+    // The salted join under REAL skew (VERDICT r2 #5): half of
+    // lineitem collapses onto one hot order key — the constant-column
+    // case whose compressed MapStatus defeats AQE's skew estimate, so
+    // static salting is the only fix. Row-identical to the plain join
+    // of the same skewed input (oracled); JoinStrategiesSpec asserts
+    // the max-task shuffle read actually shrinks.
+    "q_join_salted_skew" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(expr("CASE WHEN l_orderkey % 2 = 0 THEN CAST(1 AS BIGINT) ELSE l_orderkey END").as("k"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
+        .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+        .orderBy("k", "l_linenumber", "l_quantity", "o_totalprice")
     }),
 
     // Unpivot/melt: the pivot result folded back to long form.
@@ -353,6 +389,19 @@ object Relational {
         |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
         |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_uid, ts AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |             ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |               ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_uid AND c.c_ts <= p.p_ts
+        |             AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR)
+        |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "q_join_asof" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
         |           FROM events WHERE event_type = 'purchase'),
@@ -398,6 +447,14 @@ object Relational {
         |  l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY k, l_linenumber""".stripMargin,
+    "q_join_salted_skew" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(1 AS BIGINT)
+        |    ELSE l_orderkey END AS k,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |  FROM lineitem)
+        |SELECT li.k, l_linenumber, l_quantity, o_totalprice
+        |FROM li JOIN orders ON li.k = o_orderkey
+        |ORDER BY k, l_linenumber, l_quantity, o_totalprice""".stripMargin,
     "q_unpivot" ->
       """SELECT yr, status, cnt FROM (
         |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, 'F' AS status,

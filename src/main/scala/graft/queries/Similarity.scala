@@ -74,6 +74,67 @@ object Similarity {
       md5(concat(least(col(s"m${2 * b}"), col(s"m${2 * b + 1}")),
         greatest(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).cast("binary")).as("sig")))
 
+  /** distinct 4-token shingles per document — the near-dup unit
+    * (unigram sets merge the whole corpus into one component). */
+  def fourGramShingles(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+    .select(col("doc_id"), explode(expr(
+      "CASE WHEN size(toks) >= 4 THEN array_distinct(transform(sequence(1, size(toks) - 3)," +
+        " k -> array_join(slice(toks, k, 4), ' ')))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END")).as("word"))
+
+  /** (doc_id, bucket) LSH band-bucket membership from (doc_id, word)
+    * shingle rows — inline md5 hash family, no vocabulary broadcast. */
+  def lshBuckets(shingles: DataFrame): DataFrame =
+    minhashSigs(shingles)
+      .select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+      .select(col("doc_id"),
+        concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
+
+  /** Hash-min label propagation over the BIPARTITE doc–bucket graph:
+    * a hot bucket of k docs costs k rows per iteration, never k² pairs —
+    * the MapReduce-CC shape that survives skewed buckets at 100 TB.
+    * `docIds` is one row per doc (bucketless docs stay singletons).
+    * Returns (doc_id, lbl) with lbl = component-minimum doc_id.
+    * Each hop checkpoints (Checkpoints.ckpt — reliable when
+    * spark.graft.checkpointDir is set) so lineage stays flat; hash-min
+    * labels only ever DECREASE, so the exact-decimal label sum strictly
+    * decreases until the fixpoint — convergence is one narrow aggregate
+    * per hop, not a prev-vs-next join. */
+  def hashMinLabels(memb0: DataFrame, docIds: DataFrame): DataFrame = {
+    val membC = Checkpoints.ckpt(memb0)
+    var labels = Checkpoints.ckpt(
+      docIds.select(col("doc_id"), col("doc_id").as("lbl")))
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var iters = 0
+    // diameter bound: a 64-hop chain of DISTINCT band collisions is
+    // pathological for near-dup graphs; hitting it unconverged FAILS
+    // LOUDLY below — a silently truncated clustering would diverge
+    // from the oracle's unbounded closure while looking exact
+    val maxIters = 64
+    while (!converged && iters < maxIters) {
+      val bucketMin = membC.join(labels, "doc_id")
+        .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
+      val docMin = membC.join(bucketMin, "bucket")
+        .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
+      val next = Checkpoints.ckpt(labels.join(docMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+      val s2 = lblSum(next)
+      converged = s2.compareTo(prevSum) == 0
+      prevSum = s2
+      labels = next
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"hashMinLabels: label propagation not converged after $maxIters hops")
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k: 50 query vectors × full corpus. The
     // query side is broadcast; per-pair cost is one codegen'd integer
@@ -283,51 +344,8 @@ object Similarity {
     // spark.graft.checkpointDir is set) so lineage stays flat.
     "q_dedup_cluster" -> ((s, d) => {
       val docs = load(s, d, "documents")
-      val shingles = docs
-        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 4 THEN array_distinct(transform(sequence(1, size(toks) - 3)," +
-            " k -> array_join(slice(toks, k, 4), ' ')))" +
-            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("word"))
-      val memb0 = minhashSigs(shingles)
-        .select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
-        .select(col("doc_id"),
-          concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
-      val membC = Checkpoints.ckpt(memb0)
-      var labels = Checkpoints.ckpt(
-        docs.select(col("doc_id"), col("doc_id").as("lbl")))
-      // hash-min labels only ever DECREASE, so the label sum strictly
-      // decreases until the fixpoint — convergence is one narrow
-      // aggregate per hop, not a prev-vs-next join. Exact decimal sum:
-      // a long sum would overflow on a trillion-doc corpus
-      def lblSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      var iters = 0
-      // diameter bound: a 64-hop chain of DISTINCT band collisions is
-      // pathological for near-dup graphs; hitting it unconverged FAILS
-      // LOUDLY below — a silently truncated clustering would diverge
-      // from the oracle's unbounded closure while looking exact
-      val maxIters = 64
-      while (!converged && iters < maxIters) {
-        val bucketMin = membC.join(labels, "doc_id")
-          .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
-        val docMin = membC.join(bucketMin, "bucket")
-          .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
-        val next = Checkpoints.ckpt(labels.join(docMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
-        val s2 = lblSum(next)
-        converged = s2.compareTo(prevSum) == 0
-        prevSum = s2
-        labels = next
-        iters += 1
-      }
-      if (!converged)
-        throw new IllegalStateException(
-          s"q_dedup_cluster: label propagation not converged after $maxIters hops")
-      labels.select(col("doc_id"), col("lbl").as("cluster"),
+      hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+        .select(col("doc_id"), col("lbl").as("cluster"),
           (col("doc_id") === col("lbl")).as("is_canon"))
         .orderBy("doc_id")
     }),

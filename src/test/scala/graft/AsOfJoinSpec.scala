@@ -45,6 +45,30 @@ class AsOfJoinSpec extends SparkTestBase {
       "l3" -> None))      // NULL left time: no match (NOT r3's NULL time)
   }
 
+  test("tolerance bounds the lookback: inclusive at the bound, null-pad past it") {
+    import spark.implicits._
+    // long time columns (micros) — k=1 has matches at distance 0, 10,
+    // and 11 from the respective left rows
+    val l = Seq((1L, 100L, "exact"), (1L, 110L, "at-bound"), (1L, 211L, "past"),
+      (2L, 500L, "other-key"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, "r100"), (1L, 200L, "r200"), (2L, 499L, "r499"))
+      .toDF("rk", "rt", "rtag")
+    val res = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", 10L)
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(res == Map(
+      "exact" -> Some("r100"),    // distance 0
+      "at-bound" -> Some("r100"), // distance 10 == tolerance: inclusive
+      "past" -> None,             // latest candidate r200 at distance 11
+      "other-key" -> Some("r499")))
+    // unbounded keeps the r2 behavior
+    val unb = AsOfJoin.asof(l, r, "k", "rk", "t", "rt")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(unb("past") == Some("r200"))
+  }
+
   test("physical plan is the custom exec, not a window over pairs") {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))

@@ -72,6 +72,55 @@ class JoinStrategiesSpec extends SparkTestBase {
     }
   }
 
+  test("salting shrinks the largest join task under constant-key skew") {
+    // the case AQE can NOT fix: a constant hot-key column compresses so
+    // well that MapStatus under-reports the partition size, so the skew
+    // split never fires (r2 skew spec needed incompressible payloads to
+    // make it fire). Static salting is the tool here — measure the
+    // actual per-task shuffle-read row counts with a listener and
+    // require the hot task to shrink.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.enabled" -> "false",        // no AQE rescue
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"), lit(1L).as("v"))
+      def maxTaskShuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        val max = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null)
+              max.getAndAccumulate(m.shuffleReadMetrics.recordsRead, math.max)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          df.write.mode("overwrite").format("noop").save()
+          org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext)
+        } finally spark.sparkContext.removeSparkListener(listener)
+        max.get
+      }
+      val plainMax = maxTaskShuffleRecords(left.join(right, "k"))
+      val saltedMax = maxTaskShuffleRecords(
+        JoinStrategies.saltedJoin(left, right, "k", col("payload"), 8))
+      // plain: the hot key's 100k rows land in ONE task
+      assert(plainMax >= 100000L, s"plain max-task read $plainMax")
+      // salted: spread over 8 sub-keys — the hot task must at least halve
+      assert(saltedMax * 2 <= plainMax,
+        s"salting did not shrink the hot task: salted=$saltedMax plain=$plainMax")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))

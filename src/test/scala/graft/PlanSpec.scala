@@ -123,6 +123,18 @@ class PlanSpec extends SparkTestBase {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("e2e pipeline plan: no cartesian, no nested-loop, sorts only for presentation") {
+    // the composed clean → quality → decontaminate → cluster-canon →
+    // pack query must keep every stage's scale shape: hash joins/aggs
+    // and stratified windows only
+    val df = graft.queries.Pipeline.queries("q_pipeline_e2e")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pack window partitions by lang — never a single-partition window
+    assert(!p.contains("Window [") || p.contains("hashpartitioning(lang"), p)
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
