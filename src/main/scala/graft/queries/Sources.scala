@@ -65,6 +65,23 @@ object Sources {
         .orderBy("n_nationkey")
     }),
 
+    // ORC source/sink roundtrip (columnar alternative to parquet, the
+    // interchange format a warehouse migration hits): supplier → ORC →
+    // read-back, same oracle-against-parquet contract. ORC keeps exact
+    // types (no inference step), so the roundtrip must be lossless
+    // including the decimal account balance.
+    "q_source_orc" -> ((s, d) => {
+      val p = s"/tmp/graft_source_orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .write.mode("overwrite").orc(p)
+      s.read.orc(p)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // A1–A3: raw text streamed per <page>, fields extracted, ns filter.
     "q_source_text" -> ((s, _) =>
       WikiXml.pages(s, dumpPath)
@@ -119,6 +136,10 @@ object Sources {
     "q_source_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_source_orc" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin
   )
 }
