@@ -72,6 +72,16 @@ object EventWindows {
         col("purchase_ts"), col("value"))
   }
 
+  /** Stream–static enrichment join: streaming events against a static
+    * (batch) dimension. No watermark and no join state needed — the
+    * static side is re-planned per micro-batch (picking up dim updates
+    * between batches) and small dims broadcast, so throughput is the
+    * stream's own rate. The left join keeps un-enriched events (a
+    * missing dim row must never drop data on the hot path). */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+
   // ------------------------------------------------------------------
   // Custom state: sessionization via flatMapGroupsWithState — the
   // escape hatch for session semantics the built-in operator can't

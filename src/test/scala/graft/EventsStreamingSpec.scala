@@ -130,6 +130,27 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: dim broadcast per batch, missing dims survive") {
+    val input = MemoryStream[Ev](spark)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = graft.streaming.EventWindows.enrich(input.toDF(), dim)
+      .select(col("user_id"), col("tier"), col("value"))
+    val q = out.writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00", u = 1L, v = 5.0),
+        ev("2024-01-01 10:01:00", u = 2L, v = 7.0),
+        ev("2024-01-01 10:02:00", u = 9L, v = 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich_stream")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)).getOrElse("-"), r.getDouble(2))).toSet
+      assert(rows == Set((1L, "gold", 5.0), (2L, "basic", 7.0), (9L, "-", 3.0)))
+      // static side is re-planned per micro-batch: no stateful operator
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch join; state evicts past the horizon") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
