@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   * Differences, all deliberate: `--sink parquet --out <dir>` writes the
   * two tables as parquet for clusters without a reachable MySQL;
   * `--n_processes` is accepted-and-ignored (parallelism belongs to the
-  * Spark master/conf); downloads are out of scope (zero-egress — use a
-  * local path or file:// URL, matching the reference's file scheme);
+  * Spark master/conf); an `http(s)://` --src is downloaded to the local
+  * temp dir first (`etl.Download.fetch`, mirroring the reference's
+  * download-then-parse at `dbfy.py:84-97`; loopback-tested — this image
+  * itself has no egress);
   * `--remove_multiple_whitespaces` is accepted for compatibility but was
   * a dead flag in the reference too (SURVEY.md A5e note).
   */
@@ -104,7 +106,8 @@ object Dbfy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val outp = WikiEtl.run(spark, c.src, c.removeHtml, c.valid, c.invalid, c.limit)
+    val src = if (etl.Download.isHttp(c.src)) etl.Download.fetch(c.src) else c.src
+    val outp = WikiEtl.run(spark, src, c.removeHtml, c.valid, c.invalid, c.limit)
     // persist articles so the sink write and the count report share one
     // materialization (bodies is already persisted inside the pipeline)
     val articles = outp.articles.persist()

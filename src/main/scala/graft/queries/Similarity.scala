@@ -102,9 +102,18 @@ object Similarity {
     * decreases until the fixpoint — convergence is one narrow aggregate
     * per hop, not a prev-vs-next join. */
   def hashMinLabels(memb0: DataFrame, docIds: DataFrame): DataFrame = {
-    val membC = Checkpoints.ckpt(memb0)
+    // Only buckets holding ≥2 docs can move a label (a singleton
+    // bucket's min IS its doc's own label), so the iteration runs on
+    // the COLLISION subgraph only: per-hop cost is proportional to the
+    // near-dup population, not the corpus — at 100 TB almost every doc
+    // is a singleton and never enters the loop. Docs outside the
+    // subgraph rejoin at the end with their own id as label.
+    val collBuckets = memb0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("bucket")
+    val membC = Checkpoints.ckpt(memb0.join(collBuckets, "bucket"))
+    val activeIds = Checkpoints.ckpt(membC.select("doc_id").distinct())
     var labels = Checkpoints.ckpt(
-      docIds.select(col("doc_id"), col("doc_id").as("lbl")))
+      activeIds.select(col("doc_id"), col("doc_id").as("lbl")))
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = lblSum(labels)
@@ -132,7 +141,12 @@ object Similarity {
     if (!converged)
       throw new IllegalStateException(
         s"hashMinLabels: label propagation not converged after $maxIters hops")
-    labels
+    // singleton docs (no colliding bucket) never entered the loop:
+    // their component is themselves
+    val passive = docIds.select(col("doc_id"))
+      .join(activeIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    labels.unionByName(passive)
   }
 
   val queries: Map[String, Q] = Map(
