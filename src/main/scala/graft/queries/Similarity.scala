@@ -111,7 +111,9 @@ object Similarity {
     val collBuckets = memb0.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("bucket")
     val membC = Checkpoints.ckpt(memb0.join(collBuckets, "bucket"))
-    val activeIds = Checkpoints.ckpt(membC.select("doc_id").distinct())
+    // derived from the checkpointed membership — one cheap distinct per
+    // use (labels init + final anti-join), no extra materialization
+    val activeIds = membC.select("doc_id").distinct()
     var labels = Checkpoints.ckpt(
       activeIds.select(col("doc_id"), col("doc_id").as("lbl")))
     def lblSum(df: DataFrame): java.math.BigDecimal =
