@@ -96,6 +96,22 @@ object Aggregates {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy("l_returnflag")),
 
+    // MERGEABLE distinct-count sketches (DataSketches HLL): monthly
+    // partial sketches unioned per flag — the incremental-aggregation
+    // shape a warehouse runs (sketch each day once, union forever, never
+    // rescan history). Algorithm-specific bytes, so no cross-engine
+    // oracle; the spec asserts ±5% of exact AND that the merged estimate
+    // equals a one-shot global sketch exactly (the union is lossless).
+    "q_agg_hll_merge" -> ((s, d) => {
+      val monthly = load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      monthly.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy("l_returnflag")
+    }),
+
     // Content-hash dedup (extension; the reference dedups only via the
     // redirect graph, SURVEY.md §2.A A6 — no content hashing anywhere).
     "q_dedup_exact" -> ((s, d) =>

@@ -110,6 +110,27 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("HLL sketch union is lossless: merged monthlies == one-shot sketch, ±5% of exact") {
+    val merged = Aggregates.queries("q_agg_hll_merge")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val oneShot = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.nonEmpty)
+    merged.foreach { case (k, (est, nSketches)) =>
+      assert(nSketches > 1, s"$k: need multiple partials to prove the merge")
+      // the union of partial sketches is the SAME sketch a global pass
+      // builds — not an approximation of an approximation
+      assert(est == oneShot(k), s"$k: merged=$est one-shot=${oneShot(k)}")
+      assert(math.abs(est - exact(k)).toDouble / exact(k) <= 0.05,
+        s"$k: est=$est exact=${exact(k)}")
+    }
+  }
+
   test("dedup clusters: labels are component minima, canon count = cluster count") {
     val out = Similarity.queries("q_dedup_cluster")(spark, sfDir).collect()
     assert(out.length > 0)
