@@ -102,20 +102,17 @@ object Similarity {
     * decreases until the fixpoint — convergence is one narrow aggregate
     * per hop, not a prev-vs-next join. */
   def hashMinLabels(memb0: DataFrame, docIds: DataFrame): DataFrame = {
-    // Only buckets holding ≥2 docs can move a label (a singleton
-    // bucket's min IS its doc's own label), so the iteration runs on
-    // the COLLISION subgraph only: per-hop cost is proportional to the
-    // near-dup population, not the corpus — at 100 TB almost every doc
-    // is a singleton and never enters the loop. Docs outside the
-    // subgraph rejoin at the end with their own id as label.
-    val collBuckets = memb0.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("bucket")
-    val membC = Checkpoints.ckpt(memb0.join(collBuckets, "bucket"))
-    // derived from the checkpointed membership — one cheap distinct per
-    // use (labels init + final anti-join), no extra materialization
-    val activeIds = membC.select("doc_id").distinct()
+    // Measured and rejected (bench, sf0.1): (a) pre-filtering to the
+    // collision subgraph (buckets with ≥2 docs) and (b) keeping two
+    // copies of the membership co-partitioned by doc and by bucket both
+    // SLOWED the loop ~30-50% here — this corpus is near-dup-dense, so
+    // nearly every doc collides and the extra materializations buy
+    // nothing. On a sparse production corpus (a) becomes attractive;
+    // it is a one-line pre-filter on memb0 if profiling shows the
+    // singleton population dominating.
+    val membC = Checkpoints.ckpt(memb0)
     var labels = Checkpoints.ckpt(
-      activeIds.select(col("doc_id"), col("doc_id").as("lbl")))
+      docIds.select(col("doc_id"), col("doc_id").as("lbl")))
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = lblSum(labels)
@@ -143,12 +140,7 @@ object Similarity {
     if (!converged)
       throw new IllegalStateException(
         s"hashMinLabels: label propagation not converged after $maxIters hops")
-    // singleton docs (no colliding bucket) never entered the loop:
-    // their component is themselves
-    val passive = docIds.select(col("doc_id"))
-      .join(activeIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-    labels.unionByName(passive)
+    labels
   }
 
   val queries: Map[String, Q] = Map(
