@@ -96,6 +96,17 @@ object Aggregates {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
         .orderBy("l_returnflag")),
 
+    // mode(): most frequent value per group (per-flag line numbers
+    // have a unique max in this data, so the result is deterministic
+    // and oracle-able; on ties both engines' choices would be
+    // implementation-defined).
+    "q_agg_mode" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("mode(l_linenumber)").cast("long").as("mode_line"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // MERGEABLE distinct-count sketches (DataSketches HLL): monthly
     // partial sketches unioned per flag — the incremental-aggregation
     // shape a warehouse runs (sketch each day once, union forever, never
@@ -316,6 +327,10 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT l_returnflag, CAST(MODE(l_linenumber) AS BIGINT) AS mode_line,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_bool" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (o_totalprice > 300000) AS n_big,
