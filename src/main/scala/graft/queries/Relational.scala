@@ -219,6 +219,21 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    // Spark 3.2+): top-2 nations per region by name — the per-row
+    // dependent-subquery shape that decorrelates into a ranked join.
+    "q_join_lateral" -> ((s, d) => {
+      load(s, d, "region").createOrReplaceTempView("graft_lat_region")
+      load(s, d, "nation").createOrReplaceTempView("graft_lat_nation")
+      s.sql(
+        """SELECT r.r_name, n.n_name
+          |FROM graft_lat_region r,
+          |  LATERAL (SELECT n_name FROM graft_lat_nation
+          |           WHERE n_regionkey = r.r_regionkey
+          |           ORDER BY n_name LIMIT 2) n
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
     "q_sort_multi" -> ((s, d) =>
       load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -447,6 +462,13 @@ object Relational {
         |  l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY k, l_linenumber""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT r.r_name, n.n_name
+        |FROM region r,
+        |  LATERAL (SELECT n_name FROM nation
+        |           WHERE n_regionkey = r.r_regionkey
+        |           ORDER BY n_name LIMIT 2) n
+        |ORDER BY r_name, n_name""".stripMargin,
     "q_join_salted_skew" ->
       """WITH li AS (SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(1 AS BIGINT)
         |    ELSE l_orderkey END AS k,
