@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet table directories — the companion
+  * problem of incremental ingestion: a per-interval AvailableNow job
+  * (IncrementalIngestSpec) lands one small file per trigger, and a year
+  * of that makes scans metadata-bound (every file costs a footer read
+  * and a task). Compact rewrites the directory to ~`targetBytes` files
+  * and swaps it in atomically (write to sibling temp dir, rename old
+  * out, rename new in) so concurrent readers never see a half-written
+  * table.
+  *
+  * The rewrite preserves rows, not file-level layout: row order within
+  * the directory is scan order, as for any parquet table.
+  */
+object Compaction {
+
+  /** @return (filesBefore, filesAfter) parquet part-file counts */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(dir)
+    val fs = path.getFileSystem(hconf)
+    def partFiles(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("part-") && !n.endsWith(".crc")
+      }
+    val before = partFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
+    val old = new Path(path.getParent, s".${path.getName}_compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    // coalesce, not repartition: no shuffle — each output task reads a
+    // contiguous set of input files
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // atomic-enough swap: two renames; readers between them retry on
+    // the moved-out window, never read a partial mix
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compaction swap failed: $path -> $old")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
+    (before.length, partFiles(path).length)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Compaction
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Compaction + schema-evolution reads: the maintenance pair for
+  * incrementally-ingested parquet directories. */
+class CompactionSpec extends SparkTestBase {
+
+  test("compaction shrinks the file count and preserves every row") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 12 tiny appends — the incremental-ingest debris shape
+    (0 until 12).foreach { i =>
+      spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val beforeRows = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    val (nBefore, nAfter) = Compaction.compact(spark, dir, targetBytes = 10L * 1024 * 1024)
+    assert(nBefore == 12, s"expected 12 input part files, saw $nBefore")
+    assert(nAfter < nBefore, s"compaction must shrink: $nBefore -> $nAfter")
+    val afterRows = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum(col("id"))).head()
+    assert(afterRows == beforeRows, s"rows changed: $beforeRows -> $afterRows")
+  }
+
+  test("mergeSchema reads across schema evolution; old files null the new column") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    spark.range(0, 5).toDF("id")
+      .write.mode("append").parquet(dir)
+    spark.range(5, 10).toDF("id").withColumn("lang", lit("en"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "lang"))
+    val byLang = merged.groupBy(col("lang")).count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang == Map(None -> 5L, Some("en") -> 5L))
+  }
+}
