@@ -113,8 +113,12 @@ object Similarity {
     val membC = Checkpoints.ckpt(memb0)
     var labels = Checkpoints.ckpt(
       docIds.select(col("doc_id"), col("doc_id").as("lbl")))
+    // sum over an EMPTY doc set is NULL — map it to zero so a fully
+    // filtered-out corpus (possible upstream of q_pipeline_e2e's gates)
+    // converges immediately instead of NPE-ing on compareTo
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var converged = false
     var iters = 0

@@ -131,6 +131,18 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("label propagation on an empty doc set returns empty, no crash") {
+    // the e2e pipeline's quality/decon gates can legally drop EVERY doc
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val emptyMemb = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType), StructField("bucket", StringType))))
+    val emptyDocs = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType))))
+    assert(Similarity.hashMinLabels(emptyMemb, emptyDocs).count() == 0)
+  }
+
   test("dedup clusters: labels are component minima, canon count = cluster count") {
     val out = Similarity.queries("q_dedup_cluster")(spark, sfDir).collect()
     assert(out.length > 0)
