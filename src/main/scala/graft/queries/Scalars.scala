@@ -35,6 +35,27 @@ object Scalars {
     // The cleaning stages A5d/A5e verbatim as SQL regexes
     // (/root/reference/filters.py:32,44,48): whitelist char-class delete,
     // then first-whitespace-wins collapse.
+    // Fuzzy matching via edit distance (data-cleaning staple): bounded
+    // block of customer names × same-segment names, levenshtein ≤ 4
+    // candidate pairs. Both engines implement the same integer DP, so
+    // the distances are exactly comparable. The block bound keeps the
+    // pair count fixed; at scale the blocking key is the join key (the
+    // q_embed_neardup pattern).
+    "q_fuzzy_match" -> ((s, d) => {
+      val a = load(s, d, "customer").filter(col("c_custkey") <= 60)
+        .select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+          col("c_mktsegment").as("seg"))
+      val b = load(s, d, "customer").filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
+          col("c_mktsegment").as("seg"))
+      a.join(b, Seq("seg"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_str_regex" -> ((s, d) =>
       load(s, d, "documents")
         .select(col("doc_id"),
@@ -195,6 +216,15 @@ object Scalars {
         |  REGEXP_REPLACE(c_name, 'Customer', 'Cust', 'g') AS repl,
         |  ARRAY_TO_STRING(STRING_SPLIT(c_name, '#'), '|') AS parts
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fuzzy_match" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name, c_mktsegment AS seg
+        |           FROM customer WHERE c_custkey <= 60),
+        |     b AS (SELECT c_custkey AS b_id, c_name AS b_name, c_mktsegment AS seg
+        |           FROM customer WHERE c_custkey <= 300)
+        |SELECT a_id, b_id, CAST(LEVENSHTEIN(a_name, b_name) AS BIGINT) AS dist
+        |FROM a JOIN b USING (seg)
+        |WHERE a_id < b_id AND LEVENSHTEIN(a_name, b_name) <= 4
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_str_regex" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(text, '[^\x20-\x7e]', '', 'g'),
