@@ -25,6 +25,24 @@ class CompactionSpec extends SparkTestBase {
     assert(afterRows == beforeRows, s"rows changed: $beforeRows -> $afterRows")
   }
 
+  test("observe() collects pipeline metrics in the same pass as the write") {
+    // operational counters (rows kept, null rate, byte volume) without
+    // a second scan — the audit a production ETL attaches to every stage
+    import org.apache.spark.sql.Observation
+    val obs = Observation("etl-audit")
+    val df = Tables.load(spark, sfDir, "documents")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        count_if(col("lang").isNull).as("null_lang"))
+      .filter(col("doc_id") >= 0)
+    df.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] ==
+      Tables.load(spark, sfDir, "documents").count())
+    assert(m("n_chars").asInstanceOf[Long] > 0L)
+    assert(m("null_lang").asInstanceOf[Long] == 0L)
+  }
+
   test("mergeSchema reads across schema evolution; old files null the new column") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
     spark.range(0, 5).toDF("id")
