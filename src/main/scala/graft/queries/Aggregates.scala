@@ -123,6 +123,22 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // EXACT mergeable distinct counts via bitmaps (the precise sibling
+    // of the HLL sketch): monthly partials build per-bucket bitmaps
+    // (bitmap_construct_agg over bit positions), buckets OR-merge
+    // across months, popcounts sum per group. Unlike HLL the merged
+    // answer is exact, so it oracles directly against COUNT(DISTINCT).
+    "q_agg_bitmap" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("m"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").as("bm"))
+        .groupBy(col("l_returnflag"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("dist_parts"))
+        .orderBy("l_returnflag")),
+
     // Content-hash dedup (extension; the reference dedups only via the
     // redirect graph, SURVEY.md §2.A A6 — no content hashing anywhere).
     "q_dedup_exact" -> ((s, d) =>
@@ -327,6 +343,9 @@ object Aggregates {
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_agg_bitmap" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dist_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_mode" ->
       """SELECT l_returnflag, CAST(MODE(l_linenumber) AS BIGINT) AS mode_line,
         |  COUNT(*) AS cnt

@@ -272,6 +272,30 @@ object Pipeline {
         .filter(col("n_occ") > 1)
         .orderBy("h")),
 
+    // Column profiler: the warehouse ANALYZE-style summary a pipeline
+    // snapshots per ingest batch — one pass over the table computing
+    // per-column null counts, distinct counts, and min/max, unpivoted
+    // to (column, metric) rows. One hash aggregate; the unpivot is
+    // row-local.
+    "q_dq_profile" -> ((s, d) => {
+      val agg = load(s, d, "documents").agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("lang").isNull).as("lang_nulls"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        min(col("lang")).as("lang_min"), max(col("lang")).as("lang_max"),
+        count_if(col("n_chars").isNull).as("chars_nulls"),
+        countDistinct(col("n_chars")).as("chars_distinct"),
+        min(col("n_chars")).cast("string").as("chars_min"),
+        max(col("n_chars")).cast("string").as("chars_max"))
+      agg.selectExpr("n_rows", "stack(2, " +
+          "'lang', lang_nulls, lang_distinct, lang_min, lang_max, " +
+          "'n_chars', chars_nulls, chars_distinct, chars_min, chars_max) " +
+          "AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+        .orderBy("col_name")
+    }),
+
     // End-to-end corpus pipeline (VERDICT r2 #7): gopher quality gate →
     // decontamination gate → near-dup cluster canon → per-lang packing,
     // composed from the SAME building blocks as the individual queries —
@@ -428,6 +452,21 @@ object Pipeline {
          |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
          |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
          |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dq_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |    COUNT(*) FILTER (lang IS NULL) AS lang_nulls,
+        |    COUNT(DISTINCT lang) AS lang_distinct,
+        |    MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+        |    COUNT(*) FILTER (n_chars IS NULL) AS chars_nulls,
+        |    COUNT(DISTINCT n_chars) AS chars_distinct,
+        |    CAST(MIN(n_chars) AS VARCHAR) AS chars_min,
+        |    CAST(MAX(n_chars) AS VARCHAR) AS chars_max
+        |  FROM documents)
+        |SELECT 'lang' AS col_name, n_rows, lang_nulls AS n_nulls,
+        |  lang_distinct AS n_distinct, lang_min AS min_v, lang_max AS max_v FROM a
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, chars_nulls, chars_distinct, chars_min, chars_max FROM a
+        |ORDER BY col_name""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
          |tc AS (SELECT doc_id, word, COUNT(*) AS c FROM
