@@ -153,6 +153,24 @@ object Relational {
         .orderBy("a_id", "b_id")
     }),
 
+    // Null-safe equality join: NULL keys MATCH each other (<=> /
+    // IS NOT DISTINCT FROM) — the semantics a changelog join needs when
+    // "no value" is itself a join key. Derived nullable keys on both
+    // sides exercise the null-bucket path.
+    "q_join_nullsafe" -> ((s, d) => {
+      val a = load(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("ka"))
+      val b = load(s, d, "orders").groupBy(
+          when(col("o_orderstatus") === "P", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("kb"))
+        .agg(count(lit(1)).as("n_side"))
+      a.join(b, col("ka") <=> col("kb"))
+        .select(col("o_orderkey"), col("ka"), col("n_side"))
+        .orderBy(col("o_orderkey"), col("ka").asc_nulls_first)
+    }),
+
     "q_join_cross" -> ((s, d) =>
       load(s, d, "region").crossJoin(load(s, d, "nation"))
         .select(col("r_name"), col("n_name"))
@@ -462,6 +480,15 @@ object Relational {
         |  l_quantity, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY k, l_linenumber""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS ka
+        |  FROM orders),
+        |b AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+        |        ELSE o_orderstatus END AS kb, COUNT(*) AS n_side
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, ka, n_side FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+        |ORDER BY o_orderkey, ka NULLS FIRST""".stripMargin,
     "q_join_lateral" ->
       """SELECT r.r_name, n.n_name
         |FROM region r,

@@ -35,6 +35,19 @@ object Scalars {
     // The cleaning stages A5d/A5e verbatim as SQL regexes
     // (/root/reference/filters.py:32,44,48): whitelist char-class delete,
     // then first-whitespace-wins collapse.
+    // Error-tolerant arithmetic/casts (ANSI-safe ingestion): try_divide
+    // nulls on zero, try_cast nulls on malformed input, try_add on
+    // overflow — the dirty-input behavior a pipeline wants instead of a
+    // failed job. Oracled via DuckDB's NULLIF/TRY_CAST equivalents.
+    "q_try_funcs" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          expr("try_divide(l_extendedprice, l_quantity - 25)").as("per_unit_off25"),
+          expr("try_cast(concat('x', CAST(l_partkey AS STRING)) AS BIGINT)").as("bad_cast"),
+          expr("try_cast(CAST(l_partkey AS STRING) AS BIGINT)").as("good_cast"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // Fuzzy matching via edit distance (data-cleaning staple): bounded
     // block of customer names × same-segment names, levenshtein ≤ 4
     // candidate pairs. Both engines implement the same integer DP, so
@@ -216,6 +229,12 @@ object Scalars {
         |  REGEXP_REPLACE(c_name, 'Customer', 'Cust', 'g') AS repl,
         |  ARRAY_TO_STRING(STRING_SPLIT(c_name, '#'), '|') AS parts
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_try_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice / NULLIF(l_quantity - 25, 0) AS per_unit_off25,
+        |  TRY_CAST('x' || CAST(l_partkey AS VARCHAR) AS BIGINT) AS bad_cast,
+        |  TRY_CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS good_cast
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_fuzzy_match" ->
       """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name, c_mktsegment AS seg
         |           FROM customer WHERE c_custkey <= 60),
