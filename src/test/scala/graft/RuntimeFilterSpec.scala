@@ -36,6 +36,31 @@ class RuntimeFilterSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("ANALYZE TABLE statistics feed the cost-based optimizer") {
+    // table + column stats are what CBO's join reorder and broadcast
+    // decisions run on at 100 TB (file sizes alone mis-estimate
+    // filtered/derived relations)
+    spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.saveAsTable("cbo_orders")
+    try {
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus")
+      val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val stats = spark.table("cbo_orders").queryExecution.optimizedPlan.stats
+        val expected = spark.table("cbo_orders").count()
+        assert(stats.rowCount.contains(BigInt(expected)),
+          s"CBO row count ${stats.rowCount} != $expected")
+        assert(stats.attributeStats.nonEmpty, "column stats missing")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None    => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+    } finally spark.sql("DROP TABLE cbo_orders")
+  }
+
   test("runtime bloom filter from a selective dim lands on the fact scan") {
     val confs = Map(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
