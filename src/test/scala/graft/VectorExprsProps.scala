@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** The codegen'd vector expressions must agree with Spark's own
+  * built-in formulations on ARBITRARY finite inputs — lengths 0 to
+  * beyond the 128-dim plane table, full float range. Each sample runs
+  * through a real DataFrame, so the codegen path (not just the
+  * interpreted eval) is what's checked. */
+object VectorExprsProps extends Properties("VectorExprs") {
+
+  private lazy val spark = SparkTestBase.session
+
+  private val finiteFloat: Gen[Float] =
+    Gen.chooseNum(-10f, 10f).map(f => if (f.isNaN || f.isInfinite) 0f else f)
+
+  private val vec: Gen[Seq[Float]] =
+    Gen.chooseNum(0, 160).flatMap(n => Gen.listOfN(n, finiteFloat))
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def refSig(qv: Seq[Long]): Long = {
+    var sig = 0L
+    for (j <- 0 until 16) {
+      var s = 0L
+      for (i <- 0 until math.min(qv.length, 128))
+        s += qv(i) * (math.floorMod(mix(j * 1000003L + i), 2001L) - 1000L)
+      if (s > 0) sig |= (1L << j)
+    }
+    sig
+  }
+
+  property("graft_quantize == transform-lambda; graft_lshsig == reference, any length") =
+    Prop.forAll(Gen.listOfN(12, vec)) { vecs =>
+      import spark.implicits._
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "graft_quantize(embedding, 100000000) AS qv",
+          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv_hof")
+        .selectExpr("vec_id", "qv", "qv_hof", "graft_lshsig(qv) AS sig")
+        .collect()
+      rows.forall { r =>
+        val qv = r.getSeq[Long](1)
+        qv == r.getSeq[Long](2) && r.getLong(3) == refSig(qv)
+      }
+    }
+}
