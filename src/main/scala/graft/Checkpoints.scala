@@ -12,6 +12,14 @@ import org.apache.spark.sql.DataFrame
   * `spark.graft.checkpointDir` to a reliable (HDFS/S3) path and every
   * iterative operator switches to `checkpoint()` — blocks survive
   * executor loss and the job recomputes nothing on failure.
+  *
+  * Retention: each hop writes a full dataset copy under the dir, and
+  * Spark does NOT delete superseded checkpoints by default. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * SparkConf, at session build) so the ContextCleaner removes a hop's
+  * files once its RDD is unreferenced, or point the dir at
+  * lifecycle-managed storage — otherwise a long-running workload grows
+  * the dir without bound.
   */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"

@@ -106,7 +106,17 @@ object Dbfy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val src = if (etl.Download.isHttp(c.src)) etl.Download.fetch(c.src) else c.src
+    val src = if (etl.Download.isHttp(c.src)) {
+      // the fetched file lands on the DRIVER's local temp dir; on a
+      // multi-node master executors cannot read it — tell the user
+      // instead of failing later with FileNotFoundException per task
+      if (!spark.sparkContext.isLocal)
+        System.err.println(
+          "[dbfy] WARNING: --src was downloaded to the driver's local " +
+            "temp dir; on a multi-node cluster pre-download the dump to " +
+            "shared storage (HDFS/NFS) and pass that path instead.")
+      etl.Download.fetch(c.src)
+    } else c.src
     val outp = WikiEtl.run(spark, src, c.removeHtml, c.valid, c.invalid, c.limit)
     // persist articles so the sink write and the count report share one
     // materialization (bodies is already persisted inside the pipeline)

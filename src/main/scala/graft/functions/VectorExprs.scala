@@ -69,8 +69,12 @@ case class LongDot(left: Expression, right: Expression)
   *
   * Rounding replicates Spark's `Round` on DoubleType bit-for-bit:
   * `BigDecimal.valueOf(d)` (shortest-string) + HALF_UP — so results are
-  * unchanged vs the r2 lambda and the DuckDB oracles.
-  * Elements are assumed non-null (embedding vectors by construction).
+  * unchanged vs the r2 lambda and the DuckDB oracles on all finite
+  * in-range inputs. Non-finite or null elements and long-overflowing
+  * products FAIL LOUDLY with a descriptive error (under the session's
+  * default ANSI mode the old ROUND∘CAST lambda also threw, with a less
+  * specific message; silently wrapping or nulling would corrupt every
+  * downstream dot product).
   */
 case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
   override def dataType: DataType =
@@ -91,9 +95,11 @@ case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_quantize: null element at index $i")
       val d = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) * scale
-      out(i) = java.math.BigDecimal.valueOf(d)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      out(i) = QuantizeVec.quantize(d, i)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -110,9 +116,10 @@ case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
          |int $n = $a.numElements();
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i))
+         |    throw new IllegalArgumentException("graft_quantize: null element at index " + $i);
          |  double $d = $getter($i) * ${scale}L;
-         |  $out[$i] = java.math.BigDecimal.valueOf($d)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |  $out[$i] = graft.functions.QuantizeVec.quantize($d, $i);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -180,6 +187,23 @@ case class LshSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object QuantizeVec {
+  /** Shared by the interpreted and generated paths (one definition, no
+    * template drift). Public + JVM-static-reachable for codegen. */
+  def quantize(d: Double, idx: Int): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new IllegalArgumentException(
+        s"graft_quantize: non-finite element at index $idx: $d")
+    try java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    catch {
+      case _: ArithmeticException =>
+        throw new ArithmeticException(
+          s"graft_quantize: element at index $idx overflows BIGINT after scaling: $d")
+    }
+  }
 }
 
 object LshSig {

@@ -28,6 +28,14 @@ object Compaction {
         val n = st.getPath.getName
         st.isFile && n.startsWith("part-") && !n.endsWith(".crc")
       }
+    // A FileStreamSink directory resolves reads through its
+    // _spark_metadata commit log; replacing the files without rewriting
+    // that log would HIDE the compacted history from every streaming-
+    // aware reader. Refuse — compact the downstream copy instead.
+    if (fs.exists(new Path(path, "_spark_metadata")))
+      throw new IllegalArgumentException(
+        s"$dir is a streaming file-sink directory (_spark_metadata); " +
+          "compacting it would orphan the sink's commit log")
     val before = partFiles(path)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -40,6 +48,17 @@ object Compaction {
     // contiguous set of input files
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
+    // concurrent-writer guard: if any part file was committed after
+    // the listing that fed the rewrite, swapping now would silently
+    // delete it — abort and let the caller retry at a quiet moment
+    val nowNames = partFiles(path).map(_.getPath.getName).toSet
+    val beforeNames = before.map(_.getPath.getName).toSet
+    if (nowNames != beforeNames) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"concurrent writes detected in $dir during compaction " +
+          s"(${(nowNames -- beforeNames).size} new files); aborted cleanly")
+    }
     // atomic-enough swap: two renames; readers between them retry on
     // the moved-out window, never read a partial mix
     if (!fs.rename(path, old))

@@ -185,10 +185,8 @@ object Pipeline {
       // dominant CPU work per branch — at 100 TB that halves the job
       val grams0 = load(s, d, "documents")
         .withColumn("toks", expr(tokens))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3)," +
-            " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
-            "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+        .select(col("doc_id"),
+          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
       val grams = Checkpoints.ckpt(grams0)
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
@@ -320,10 +318,8 @@ object Pipeline {
       val isEval = substring(md5(concat(col("doc_id").cast("string"),
         lit("|eval")).cast("binary")), 1, 1) < "1"
       val grams = Checkpoints.ckpt(toksDf
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3)," +
-            " k -> array_join(slice(toks, k, 4), ' ')) ELSE " +
-            "CAST(array() AS ARRAY<STRING>) END")).as("gram"))
+        .select(col("doc_id"),
+          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
       val contaminated = grams.filter(!isEval).join(evalGrams, "gh")

@@ -78,10 +78,8 @@ object Similarity {
     * (unigram sets merge the whole corpus into one component). */
   def fourGramShingles(docs: DataFrame): DataFrame = docs
     .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-    .select(col("doc_id"), explode(expr(
-      "CASE WHEN size(toks) >= 4 THEN array_distinct(transform(sequence(1, size(toks) - 3)," +
-        " k -> array_join(slice(toks, k, 4), ' ')))" +
-        " ELSE CAST(array() AS ARRAY<STRING>) END")).as("word"))
+    .select(col("doc_id"),
+      explode(expr(Shingles.fourGramSql(distinct = true))).as("word"))
 
   /** (doc_id, bucket) LSH band-bucket membership from (doc_id, word)
     * shingle rows — inline md5 hash family, no vocabulary broadcast. */

@@ -75,12 +75,13 @@ object EventWindows {
   /** Stream–static enrichment join: streaming events against a static
     * (batch) dimension. No watermark and no join state needed — the
     * static side is re-planned per micro-batch (picking up dim updates
-    * between batches) and small dims broadcast, so throughput is the
-    * stream's own rate. The left join keeps un-enriched events (a
-    * missing dim row must never drop data on the hot path). */
+    * between batches); the planner broadcasts dims under the threshold
+    * and shuffle-joins larger ones (no forced hint — a mandatory
+    * broadcast of a large profile table would OOM every micro-batch).
+    * The left join keeps un-enriched events (a missing dim row must
+    * never drop data on the hot path). */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    events.join(dim, Seq("user_id"), "left")
 
   // ------------------------------------------------------------------
   // Custom state: sessionization via flatMapGroupsWithState — the

@@ -56,6 +56,32 @@ class DownloadSpec extends SparkTestBase {
     }
   }
 
+  test("redirects are followed manually (the http→https mirror case)") {
+    val bytes = bz2Fixture
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val port = server.getAddress.getPort
+    server.createContext("/old/mini-wiki.xml.bz2", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Location",
+          s"http://127.0.0.1:$port/new/mini-wiki.xml.bz2")
+        ex.sendResponseHeaders(301, -1)
+        ex.close()
+      }
+    })
+    server.createContext("/new/mini-wiki.xml.bz2", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val local = Download.fetch(s"http://127.0.0.1:$port/old/mini-wiki.xml.bz2")
+      assert(Files.size(Paths.get(local)) == bytes.length.toLong)
+    } finally server.stop(0)
+  }
+
   test("non-2xx responses fail loudly") {
     withServer(Map("/missing.xml.bz2" ->
       ((404, "not here".getBytes, 8L)))) { base =>

@@ -5,15 +5,19 @@ import org.scalacheck.{Gen, Prop, Properties}
 
 /** The codegen'd vector expressions must agree with Spark's own
   * built-in formulations on ARBITRARY finite inputs — lengths 0 to
-  * beyond the 128-dim plane table, full float range. Each sample runs
+  * beyond the 128-dim plane table, a wide finite range with rounding
+  * tie candidates. Each sample runs
   * through a real DataFrame, so the codegen path (not just the
   * interpreted eval) is what's checked. */
 object VectorExprsProps extends Properties("VectorExprs") {
 
   private lazy val spark = SparkTestBase.session
 
-  private val finiteFloat: Gen[Float] =
-    Gen.chooseNum(-10f, 10f).map(f => if (f.isNaN || f.isInfinite) 0f else f)
+  private val finiteFloat: Gen[Float] = Gen.oneOf(
+    Gen.chooseNum(-10f, 10f),
+    Gen.chooseNum(-1e6f, 1e6f),
+    Gen.oneOf(0f, -0f, 1e-8f, -1e-8f, 0.5f, -0.5f, 1.5e-9f))
+    .map(f => if (f.isNaN || f.isInfinite) 0f else f)
 
   private val vec: Gen[Seq[Float]] =
     Gen.chooseNum(0, 160).flatMap(n => Gen.listOfN(n, finiteFloat))
