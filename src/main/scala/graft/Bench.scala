@@ -33,22 +33,37 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     if (SparkEntry.queries.contains("q_agg_hash"))
       try run("q_agg_hash") catch { case _: Throwable => () }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // min-of-N per query (VERDICT r3 #2): this box drifts ±2-3× under
+    // concurrent load — three r3 "regressions" were pure noise. The min
+    // is the least-noise estimator of a query's true cost (noise is
+    // strictly additive); raw runs go to the JSON file for audit.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args(0).split(",").toSet) else names0
+    val raw: Seq[(String, Seq[Double])] = names.map { name =>
+      name -> (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
     }
+    val results = raw.map { case (k, rs) => k -> rs.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = raw.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"runs":$runsJson}"""
+    val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
+    println(stdoutLine)
     // The full line above is ~3 KB and the driver records only a stdout
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
-    // per-query detail stays in the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size}}""")
+    // per-query detail (incl. raw runs) stays in the file below.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"reps":$reps}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -27,7 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quantize"),
       new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
       (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].longValue())))
+        VectorExprs.literalLong(exprs(1), "graft_quantize", "scale"))))
     e.injectFunction((
       FunctionIdentifier("graft_lshsig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),
@@ -37,7 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
       (exprs: Seq[Expression]) => RollingMinHash(
         exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        VectorExprs.literalLong(exprs(1), "graft_rollminhash", "width").toInt)))
+    e.injectFunction((
+      FunctionIdentifier("graft_try_long"),
+      new ExpressionInfo(classOf[TryLong].getName, "graft_try_long"),
+      (exprs: Seq[Expression]) => TryLong(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_tokcount"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_tokcount"),

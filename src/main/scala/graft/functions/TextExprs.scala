@@ -107,5 +107,5 @@ object TextExprs {
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
       (exprs: Seq[Expression]) => RollingMinHash(
         exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].intValue()))
+        VectorExprs.literalLong(exprs(1), "graft_rollminhash", "width").toInt))
 }

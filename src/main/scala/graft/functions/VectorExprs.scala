@@ -81,6 +81,21 @@ case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_quantize"
 
+  // analysis-time contract: ARRAY<FLOAT> or ARRAY<DOUBLE> only. Without
+  // this, an ARRAY<INT> input would reach getDouble over UnsafeArrayData's
+  // 4-byte-packed elements and read misaligned garbage silently.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_quantize expects ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
+    }
+
   private def elemIsFloat: Boolean = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(t, _) =>
       t == org.apache.spark.sql.types.FloatType
@@ -228,6 +243,21 @@ object LshSig {
 }
 
 object VectorExprs {
+  /** Resolution-time guard for literal scalar arguments: a non-foldable
+    * expression (column, subquery) would otherwise hit `eval(null)` and
+    * die with an opaque ClassCastException/NPE inside function
+    * resolution. Shared by this registry and [[GraftExtensions]]. */
+  private[functions] def literalLong(e: Expression, fn: String, arg: String): Long = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal number, got non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal number, got $other")
+    }
+  }
+
   /** Idempotently register the expressions on a session so `expr(...)` /
     * SQL can call them. Safe to call per query. */
   def register(spark: SparkSession): Unit = {
@@ -239,7 +269,7 @@ object VectorExprs {
       FunctionIdentifier("graft_quantize"),
       new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
       (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Number].longValue()))
+        literalLong(exprs(1), "graft_quantize", "scale")))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_lshsig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),

@@ -19,17 +19,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Physical contract: both children hash-clustered on the key and
   * sorted by (key, time) — EnsureRequirements inserts the exchanges and
-  * sorts, AQE still applies. One forward merge pass per partition: for
-  * each left row, the right cursor advances to the last right row with
-  * (key, time) ≤ (left key, left time); a key-equality check at emit
-  * discards stale candidates from earlier keys. Ties on right time
-  * resolve to the last row in sort order.
+  * sorts, AQE still applies. One forward merge pass per partition.
+  *
+  * Directions (pandas `merge_asof` surface):
+  *  - `backward` (default): latest right row with time ≤ left time.
+  *    Ties on right time resolve to the last row in sort order.
+  *  - `forward`: earliest right row with time ≥ left time. Ties resolve
+  *    to the first row in sort order.
+  *  - `nearest`: whichever of the two is closer in time; an exact
+  *    distance tie resolves backward.
+  * With `toleranceMicros ≥ 0`, a candidate farther than the tolerance
+  * null-pads instead of matching (applies per side for `nearest`).
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    toleranceMicros: Long = -1L) extends BinaryNode {
+    toleranceMicros: Long = -1L,
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -39,8 +46,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +56,8 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    toleranceMicros: Long = -1L) extends BinaryExecNode {
+    toleranceMicros: Long = -1L,
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -80,25 +88,85 @@ final case class AsOfJoinExec(
       // downstream operators consume UnsafeRow — project the joined view
       val resultProj = UnsafeProjection.create(output, output)
       val nullRight = new GenericInternalRow(right.output.size)
+      // trailing (backward) candidate — persists across left rows; left
+      // rows arrive (key, time)-sorted so the cursor never rewinds
       var cand: InternalRow = null
       var candKey: InternalRow = null
       var candTime = 0L
-      lIt.map { l =>
-        val lkt = lKeyTime(l)
-        while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
-          val r = rBuf.next().copy()
-          cand = r
-          val kt = rKeyTime(r)
-          candKey = rKeyOnly(r).copy()
-          candTime = kt.getLong(1)
-        }
-        val matched = cand != null && kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
-          // candidates are time-sorted, so if the LATEST one is already
-          // older than the lookback bound, so is every earlier one.
-          // matched implies a non-null left time (see NULL note in asof),
-          // so getLong is safe; TIMESTAMP is micros internally.
-          (toleranceMicros < 0L || lkt.getLong(1) - candTime <= toleranceMicros)
-        resultProj(joined(l, if (matched) cand else nullRight))
+
+      direction match {
+        case "backward" =>
+          lIt.map { l =>
+            val lkt = lKeyTime(l)
+            while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
+              val r = rBuf.next().copy()
+              cand = r
+              val kt = rKeyTime(r)
+              candKey = rKeyOnly(r).copy()
+              candTime = kt.getLong(1)
+            }
+            val matched = cand != null && kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
+              // candidates are time-sorted, so if the LATEST one is already
+              // older than the lookback bound, so is every earlier one.
+              // matched implies a non-null left time (a null left time sorts
+              // before every same-key right row, so the key check fails),
+              // so getLong is safe; TIMESTAMP is micros internally.
+              (toleranceMicros < 0L || lkt.getLong(1) - candTime <= toleranceMicros)
+            resultProj(joined(l, if (matched) cand else nullRight))
+          }
+
+        case "forward" =>
+          lIt.map { l =>
+            val lkt = lKeyTime(l)
+            // stop at the FIRST right row with (key, time) ≥ (l key, l time);
+            // unlike backward nothing needs copying — the candidate is the
+            // un-consumed head, valid until the next advance
+            while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) < 0)
+              rBuf.next()
+            // a null left time sorts before every same-key right time, so the
+            // head would be that key's EARLIEST row — SQL semantics say null
+            // never matches, hence the explicit isNullAt guard
+            val matched = rBuf.hasNext && !lkt.isNullAt(1) &&
+              kOrd.compare(rKeyOnly(rBuf.head), lKeyOnly(l)) == 0 &&
+              (toleranceMicros < 0L ||
+                rKeyTime(rBuf.head).getLong(1) - lkt.getLong(1) <= toleranceMicros)
+            resultProj(joined(l, if (matched) rBuf.head else nullRight))
+          }
+
+        case "nearest" =>
+          lIt.map { l =>
+            val lkt = lKeyTime(l)
+            // consume rows ≤ left (key, time) into the backward candidate;
+            // the head that remains is the forward candidate
+            while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
+              val r = rBuf.next().copy()
+              cand = r
+              val kt = rKeyTime(r)
+              candKey = rKeyOnly(r).copy()
+              candTime = kt.getLong(1)
+            }
+            val lTimeNull = lkt.isNullAt(1)
+            val lt = if (lTimeNull) 0L else lkt.getLong(1)
+            val bOk = !lTimeNull && cand != null &&
+              kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
+              (toleranceMicros < 0L || lt - candTime <= toleranceMicros)
+            val fOk = !lTimeNull && rBuf.hasNext &&
+              kOrd.compare(rKeyOnly(rBuf.head), lKeyOnly(l)) == 0 &&
+              (toleranceMicros < 0L ||
+                rKeyTime(rBuf.head).getLong(1) - lt <= toleranceMicros)
+            val r =
+              if (bOk && fOk) {
+                // exact-distance tie resolves backward (≤)
+                if (lt - candTime <= rKeyTime(rBuf.head).getLong(1) - lt) cand
+                else rBuf.head
+              } else if (bOk) cand
+              else if (fOk) rBuf.head
+              else nullRight
+            resultProj(joined(l, r))
+          }
+
+        case other =>
+          throw new IllegalArgumentException(s"unknown as-of direction: $other")
       }
     }
 
@@ -117,13 +185,26 @@ object AsOfJoin {
            leftTime: String, rightTime: String): DataFrame =
     asof(left, right, leftKey, rightKey, leftTime, rightTime, -1L)
 
-  /** As-of with a bounded lookback: right rows older than
-    * `leftTime - toleranceMicros` do not match (null-padded). Time
-    * columns must be TIMESTAMP (micros) or BIGINT. */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           toleranceMicros: Long): DataFrame = {
+           toleranceMicros: Long): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      toleranceMicros, "backward")
+
+  /** As-of with a bounded lookback/lookahead and a direction
+    * (`backward` | `forward` | `nearest`). Right rows farther than
+    * `toleranceMicros` from the left time do not match (null-padded).
+    * Time columns must be TIMESTAMP (micros) or BIGINT whenever a
+    * tolerance is set or direction is `nearest` (both need an integer
+    * time distance). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           toleranceMicros: Long,
+           direction: String): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asof direction must be backward/forward/nearest, got $direction")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -140,15 +221,25 @@ object AsOfJoin {
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val lp = left.queryExecution.analyzed
     val rp = rightClean.queryExecution.analyzed
-    if (toleranceMicros >= 0) {
+    // the merge compares left-vs-right keys and times with ONE natural
+    // ordering built from the LEFT types — both sides must agree exactly
+    // (a BIGINT left time merged against TIMESTAMP right would compare
+    // raw bits "successfully" and silently mis-join)
+    val lkT = attr(left, leftKey).dataType
+    val rkT = attr(rightClean, rightKey).dataType
+    require(lkT == rkT, s"asof key types must match, got $lkT vs $rkT")
+    val ltT = attr(left, leftTime).dataType
+    val rtT = attr(rightClean, rightTime).dataType
+    require(ltT == rtT, s"asof time types must match, got $ltT vs $rtT")
+    if (toleranceMicros >= 0 || direction == "nearest") {
       import org.apache.spark.sql.types.{LongType, TimestampType}
-      val tt = attr(left, leftTime).dataType
-      require(tt == TimestampType || tt == LongType,
-        s"asof tolerance needs TIMESTAMP/BIGINT time columns, got $tt")
+      require(ltT == TimestampType || ltT == LongType,
+        s"asof tolerance/nearest needs TIMESTAMP/BIGINT time columns, got $ltT")
     }
     val plan = AsOfJoinPlan(lp, rp,
       attr(left, leftKey), attr(rightClean, rightKey),
-      attr(left, leftTime), attr(rightClean, rightTime), toleranceMicros)
+      attr(left, leftTime), attr(rightClean, rightTime),
+      toleranceMicros, direction)
     graft.plans.Bridge.ofRows(spark, plan)
   }
 }

@@ -237,6 +237,44 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Native as-of, direction=forward (pandas merge_asof
+    // direction='forward'): for each purchase, the EARLIEST click
+    // at-or-after it. Same one-pass merge; the candidate is the
+    // un-consumed head of the right cursor, so forward needs no
+    // copied trailing state at all.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
+          -1L, "forward")
+        .select(col("p_id"), col("user_id"),
+          graft.Det.tstr(col("p_ts")).as("p_ts"),
+          col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
+        .orderBy("p_id")
+    }),
+
+    // Native as-of, direction=nearest: the click closest in time on
+    // either side, distance ties resolving backward. Exercises both
+    // candidates (trailing copy + cursor head) in one pass.
+    "q_join_asof_near" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
+          -1L, "nearest")
+        .select(col("p_id"), col("user_id"),
+          graft.Det.tstr(col("p_ts")).as("p_ts"),
+          col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
+        .orderBy("p_id")
+    }),
+
     // Correlated LATERAL subquery (SQL:1999 lateral derived table,
     // Spark 3.2+): top-2 nations per region by name — the per-row
     // dependent-subquery shape that decorrelates into a ranked join.
@@ -432,6 +470,32 @@ object Relational {
         |               ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
         |           FROM p LEFT JOIN c ON p.user_id = c.c_uid AND c.c_ts <= p.p_ts
         |             AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR)
+        |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_uid, ts AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |             ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |               ORDER BY c.c_ts ASC NULLS LAST, c.c_id ASC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_uid AND c.c_ts >= p.p_ts)
+        |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "q_join_asof_near" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_uid, ts AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |             ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |               ORDER BY ABS(EPOCH_US(c.c_ts) - EPOCH_US(p.p_ts)) ASC NULLS LAST,
+        |                 CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END ASC,
+        |                 c.c_id ASC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_uid)
         |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
         |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,

@@ -36,17 +36,25 @@ object Scalars {
     // (/root/reference/filters.py:32,44,48): whitelist char-class delete,
     // then first-whitespace-wins collapse.
     // Error-tolerant arithmetic/casts (ANSI-safe ingestion): try_divide
-    // nulls on zero, try_cast nulls on malformed input, try_add on
-    // overflow — the dirty-input behavior a pipeline wants instead of a
-    // failed job. Oracled via DuckDB's NULLIF/TRY_CAST equivalents.
-    "q_try_funcs" -> ((s, d) =>
+    // nulls on zero, graft_try_long nulls on malformed input — the
+    // dirty-input behavior a pipeline wants instead of a failed job.
+    // NOT Spark's try_cast for the string→long legs: TRY-mode cast
+    // constructs a full SparkNumberFormatException per failing row
+    // (measured 6.7 s/600 k invalid rows at sf0.1, 30× the valid path —
+    // VERDICT r3 #1); graft_try_long (functions/TryExprs.scala) parses
+    // with the non-throwing UTF8String.toLong scanner inside whole-stage
+    // codegen, so dirty rows cost the same as clean ones. Oracled via
+    // DuckDB's NULLIF/TRY_CAST equivalents.
+    "q_try_funcs" -> ((s, d) => {
+      graft.functions.TryExprs.register(s)
       load(s, d, "lineitem")
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           expr("try_divide(l_extendedprice, l_quantity - 25)").as("per_unit_off25"),
-          expr("try_cast(concat('x', CAST(l_partkey AS STRING)) AS BIGINT)").as("bad_cast"),
-          expr("try_cast(CAST(l_partkey AS STRING) AS BIGINT)").as("good_cast"))
-        .orderBy("l_orderkey", "l_linenumber")),
+          expr("graft_try_long(concat('x', CAST(l_partkey AS STRING)))").as("bad_cast"),
+          expr("graft_try_long(CAST(l_partkey AS STRING))").as("good_cast"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     // Fuzzy matching via edit distance (data-cleaning staple): bounded
     // block of customer names × same-segment names, levenshtein ≤ 4

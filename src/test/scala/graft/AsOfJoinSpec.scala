@@ -69,6 +69,73 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(unb("past") == Some("r200"))
   }
 
+  test("forward direction: earliest right row at-or-after, tolerance bounds lookahead") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "exact"), (1L, 150L, "ahead"), (1L, 250L, "none-after"),
+      (2L, 10L, "other-key"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, "r100"), (1L, 200L, "r200"), (2L, 40L, "r40"))
+      .toDF("rk", "rt", "rtag")
+    val res = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", -1L, "forward")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(res == Map(
+      "exact" -> Some("r100"),      // time == left time matches (>=)
+      "ahead" -> Some("r200"),      // earliest at-or-after 150
+      "none-after" -> None,         // no right row at-or-after 250
+      "other-key" -> Some("r40")))
+    // tolerance: r200 is 50 past "ahead" — at bound 49 it null-pads
+    val tol = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", 49L, "forward")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(tol("ahead") == None)
+    assert(tol("exact") == Some("r100"))
+  }
+
+  test("nearest direction: closer side wins, exact tie resolves backward") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "tie"),        // r90 dist 10, r110 dist 10 → backward
+      (1L, 104L, "fwd-closer"),           // r90 dist 14, r110 dist 6 → forward
+      (1L, 92L, "bwd-closer"),            // r90 dist 2, r110 dist 18 → backward
+      (3L, 7L, "no-candidates"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, "r90"), (1L, 110L, "r110"))
+      .toDF("rk", "rt", "rtag")
+    val res = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", -1L, "nearest")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(res == Map(
+      "tie" -> Some("r90"),
+      "fwd-closer" -> Some("r110"),
+      "bwd-closer" -> Some("r90"),
+      "no-candidates" -> None))
+    // tolerance applies per side: at 6, only candidates within 6 match
+    val tol = AsOfJoin.asof(l, r, "k", "rk", "t", "rt", 6L, "nearest")
+      .select(col("tag"), col("rtag")).collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(tol == Map(
+      "tie" -> None,               // distance 10 on both sides, > 6
+      "fwd-closer" -> Some("r110"),
+      "bwd-closer" -> Some("r90"),
+      "no-candidates" -> None))
+  }
+
+  test("mismatched key/time types are rejected at construction") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val rTsTime = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("rk", "rt")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rTsTime, "k", "rk", "t", "rt", 10L)
+    }
+    assert(e1.getMessage.contains("time types must match"))
+    val rIntKey = Seq((1, 100L)).toDF("rk", "rt")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, rIntKey, "k", "rk", "t", "rt")
+    }
+    assert(e2.getMessage.contains("key types must match"))
+  }
+
   test("physical plan is the custom exec, not a window over pairs") {
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
