@@ -8,14 +8,26 @@ import org.apache.spark.sql.SparkSession
   * (IncrementalIngestSpec) lands one small file per trigger, and a year
   * of that makes scans metadata-bound (every file costs a footer read
   * and a task). Compact rewrites the directory to ~`targetBytes` files
-  * and swaps it in atomically (write to sibling temp dir, rename old
-  * out, rename new in) so concurrent readers never see a half-written
-  * table.
+  * and swaps it in via two renames (write to sibling temp dir, rename
+  * old out, rename new in): readers never see a mix of old and new
+  * files, though a read landing between the renames fails its task and
+  * is retried by Spark. Concurrent writers are handled by an advisory
+  * lock file plus two re-list guards (see [[LockFile]] and the guard
+  * comments in [[compact]]).
   *
   * The rewrite preserves rows, not file-level layout: row order within
   * the directory is scan order, as for any parquet table.
   */
 object Compaction {
+
+  /** Name of the advisory lock file taken for the duration of a
+    * compaction. Cooperating writers (e.g. the incremental-ingest job)
+    * should skip a write interval when it is present; non-cooperating
+    * writers are caught by the re-list guards below, except in the
+    * few-ms window between the last re-list and the final rename —
+    * that residual window is closable only by honoring this lock.
+    */
+  val LockFile = "_graft_compact.lock"
 
   /** @return (filesBefore, filesAfter) parquet part-file counts */
   def compact(spark: SparkSession, dir: String,
@@ -36,38 +48,82 @@ object Compaction {
       throw new IllegalArgumentException(
         s"$dir is a streaming file-sink directory (_spark_metadata); " +
           "compacting it would orphan the sink's commit log")
-    val before = partFiles(path)
-    val totalBytes = before.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // A partitionBy'd table keeps its data under key=value
+    // subdirectories; a flat rewrite would read them fine but write one
+    // unpartitioned directory, silently destroying partition pruning —
+    // and the file-level guards below can't see writes inside them.
+    // Refuse rather than guess the layout.
+    val dataDirs = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (dataDirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$dir has partition subdirectories " +
+          s"(${dataDirs.take(3).map(_.getPath.getName).mkString(", ")}…); " +
+          "flat compaction would drop the partition layout — compact " +
+          "each leaf partition directory instead")
+    // Advisory lease: atomic create fails if another compaction holds it.
+    val lock = new Path(path, LockFile)
+    try fs.create(lock, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"$dir is locked by another compaction ($LockFile exists)", e)
+    }
+    try {
+      val before = partFiles(path)
+      val beforeNames = before.map(_.getPath.getName).toSet
+      val totalBytes = before.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
-    val old = new Path(path.getParent, s".${path.getName}_compact_old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    // coalesce, not repartition: no shuffle — each output task reads a
-    // contiguous set of input files
-    spark.read.parquet(dir).coalesce(nOut)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // concurrent-writer guard: if any part file was committed after
-    // the listing that fed the rewrite, swapping now would silently
-    // delete it — abort and let the caller retry at a quiet moment
-    val nowNames = partFiles(path).map(_.getPath.getName).toSet
-    val beforeNames = before.map(_.getPath.getName).toSet
-    if (nowNames != beforeNames) {
+      val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
+      val old = new Path(path.getParent, s".${path.getName}_compact_old")
       fs.delete(tmp, true)
-      throw new java.io.IOException(
-        s"concurrent writes detected in $dir during compaction " +
-          s"(${(nowNames -- beforeNames).size} new files); aborted cleanly")
+      fs.delete(old, true)
+      // coalesce, not repartition: no shuffle — each output task reads a
+      // contiguous set of input files
+      spark.read.parquet(dir).coalesce(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // guard 1: if any part file was committed after the listing that
+      // fed the rewrite, swapping now would silently delete it — abort
+      // and let the caller retry at a quiet moment
+      val nowNames = partFiles(path).map(_.getPath.getName).toSet
+      if (nowNames != beforeNames) {
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"concurrent writes detected in $dir during compaction " +
+            s"(${(nowNames -- beforeNames).size} new files); aborted cleanly")
+      }
+      // swap: two renames; readers between them see a brief missing
+      // directory and fail that task (Spark retries the task), never a
+      // partial mix of old and new files
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"compaction swap failed: $path -> $old")
+      // guard 2: a file committed between guard 1 and the rename
+      // traveled with the directory into `old` — re-list there and roll
+      // back rather than lose it
+      val lateNames = partFiles(old).map(_.getPath.getName).toSet
+      if (lateNames != beforeNames) {
+        if (!fs.rename(old, path))
+          throw new java.io.IOException(
+            s"compaction rollback failed: $old -> $path — data is intact " +
+              s"in $old but must be moved back manually")
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"concurrent writes detected in $dir during compaction swap " +
+            s"(${(lateNames -- beforeNames).size} late files); rolled back")
+      }
+      if (!fs.rename(tmp, path)) {
+        fs.rename(old, path) // roll back
+        throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+      }
+      fs.delete(old, true)
+      (before.length, partFiles(path).length)
+    } finally {
+      // On success the lock traveled into `old` and was deleted with it;
+      // on any abort it is still in the live directory — remove it.
+      fs.delete(new Path(path, LockFile), false)
     }
-    // atomic-enough swap: two renames; readers between them retry on
-    // the moved-out window, never read a partial mix
-    if (!fs.rename(path, old))
-      throw new java.io.IOException(s"compaction swap failed: $path -> $old")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // roll back
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
-    }
-    fs.delete(old, true)
-    (before.length, partFiles(path).length)
   }
 }

@@ -379,7 +379,64 @@ object Relational {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("yr"))
+        .orderBy("yr")),
+
+    // TPC-H Q3 shape (VERDICT r3 #6): the first multi-join analytics
+    // query — segment-filtered customers ⋈ orders ⋈ lineitem, revenue
+    // per urgent order, top 10. All three filters sit on the scan side
+    // (PushedFilters), the two joins share no key so AQE picks the
+    // strategy per stage; revenue is exact decimal end-to-end and only
+    // cast to double at presentation (the engine-portable money rule).
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = load(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val li = load(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+          .as("rev_d"))
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"),
+          round(col("rev_d"), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: the 6-table join — customer ⋈ orders ⋈ lineitem
+    // ⋈ supplier (supplier in the CUSTOMER's nation) ⋈ nation ⋈ region,
+    // revenue per ASIA nation over two order years. The join-order /
+    // broadcast decisions are the whole game here: region (1 row after
+    // the filter) and nation (25 rows) are explicit broadcasts; the
+    // c_nationkey = s_nationkey conjunct rides the l_suppkey equi-join
+    // rather than forcing its own shuffle.
+    "q_tpch_q5" -> ((s, d) => {
+      val asia = broadcast(load(s, d, "region").filter(col("r_name") === "ASIA"))
+      val nat = broadcast(load(s, d, "nation"))
+      val ord = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      load(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(load(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(load(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(asia, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(3, 2)) - col("l_discount").cast(DecimalType(3, 2))))
+          .as("rev_d"))
+        .select(col("n_name"),
+          round(col("rev_d"), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,6 +641,35 @@ object Relational {
         |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
         |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
-        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -25,6 +25,36 @@ class CompactionSpec extends SparkTestBase {
     assert(afterRows == beforeRows, s"rows changed: $beforeRows -> $afterRows")
   }
 
+  test("compaction refuses a partitionBy'd directory rather than flatten it") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    spark.range(0, 100).toDF("id")
+      .withColumn("day", (col("id") % 4).cast("string"))
+      .write.partitionBy("day").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+    // and the table is untouched
+    assert(spark.read.parquet(dir).count() == 100L)
+  }
+
+  test("compaction lock file blocks a second concurrent compaction") {
+    val dir = Files.createTempDirectory("graft-compact-lock").toString + "/t"
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, Compaction.LockFile)
+    fs.create(lock, false).close() // simulate a compaction in flight
+    try {
+      val e = intercept[java.io.IOException] { Compaction.compact(spark, dir) }
+      assert(e.getMessage.contains("locked by another compaction"))
+    } finally fs.delete(lock, false)
+    // lock released → compaction proceeds
+    val (b, a) = Compaction.compact(spark, dir)
+    assert(b == 1 && a == 1)
+    assert(!fs.exists(lock), "lock must not leak into the compacted table")
+  }
+
   test("dynamic partition overwrite rewrites only the partitions in the batch") {
     // re-materializing one day of a partitioned corpus must not touch
     // the other days — static overwrite mode would drop them all
