@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,25 +10,31 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode / feature
   * extraction / resize / frame-sample stages.
   *
-  * The decode step is a deterministic STUB (no image/audio codecs ship
-  * in this container): `fakeDecode` stands in for a real libjpeg/ffmpeg
-  * call. Everything around it — the schema, the binary column handling,
-  * the per-partition batch shape (`mapPartitions`, one decoder instance
-  * per partition, mirroring how a Python `mapInPandas`/Arrow-batch UDF
-  * would amortize decoder setup), and the partitioning — is real and
-  * tested (MultimodalSpec). Swap `fakeDecode` for a codec and the
-  * pipeline is production-shaped.
+  * The decode steps are REAL, with zero dependencies beyond the JDK:
+  *  - images: `javax.imageio.ImageIO` (ships with every JDK; reads
+  *    PNG/JPEG/BMP/GIF) decodes actual encoded pixels — fixtures are
+  *    deterministic PNG/BMP payloads generated from `doc_id` so the
+  *    decoded features are assertable bit-for-bit (MultimodalSpec).
+  *  - audio: `javax.sound.sampled.AudioSystem` (also JDK-builtin)
+  *    parses real RIFF/WAVE containers — fixtures are deterministic
+  *    16-bit PCM mono waveforms.
+  * Both decoders run in the per-partition batch shape (`mapPartitions`,
+  * decoder state amortized across a partition's rows — the same shape
+  * an Arrow-batch/`mapInPandas` UDF has in a Python stack), so the
+  * plumbing is exactly what a libjpeg-turbo/ffmpeg swap-in would use.
+  * Video stays a metadata-only binary payload: there is genuinely no
+  * container parser in the JDK, and shipping one is out of scope.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   final case class Media(media_id: Long, kind: String, bytes: Array[Byte],
                          width: Int, height: Int, sample_rate: Int)
-  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                                 mean_byte: Double, first_frame: Array[Byte])
 
   /** Deterministic fake media table derived from `documents`: the text's
-    * UTF-8 bytes play the role of the encoded payload. */
+    * UTF-8 bytes play the role of the encoded payload. Used by the
+    * metadata/fingerprint query (`q_media_meta`, oracle-able since the
+    * payload is the text itself) and the stride sampler. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     load(s, d, "documents").select(
       col("doc_id").as("media_id"),
@@ -37,28 +45,166 @@ object Multimodal {
       ((col("doc_id") % 9 + 1) * 64).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
 
-  /** STUB decoder — deterministic fake standing in for a codec.
-    * Real shape: bytes → decoded frame/waveform; here: the identity
-    * "frame" plus simple statistics so results are assertable. */
-  private def fakeDecode(bytes: Array[Byte]): (Double, Array[Byte]) = {
-    if (bytes == null || bytes.isEmpty) (0.0, Array.emptyByteArray)
-    else {
-      var s = 0L
-      var i = 0
-      while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
-      (s.toDouble / bytes.length, bytes.take(16)) // "first frame" sample
-    }
+  // ---------------------------------------------------------------- images
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** Decode + feature-extract via typed `mapPartitions`: one decoder
-    * per partition (the Arrow-batch-UDF shape), rows stream through. */
-  def extractFeatures(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic 24-bit RGB pixel for (image id, x, y) — the ground
+    * truth both the encoder fixture and the spec's expected-value
+    * computation share. */
+  def pixel(id: Long, x: Int, y: Int): Int =
+    (mix(id * 1000003L + y.toLong * 4099L + x) & 0xffffffL).toInt
+
+  /** (width, height) for an image id: 8..128 × 8..72 px — big enough to
+    * exercise real raster loops, small enough to encode 500 of them in
+    * a test in milliseconds. */
+  def imageDims(id: Long): (Int, Int) =
+    (((id % 16) + 1).toInt * 8, ((id % 9) + 1).toInt * 8)
+
+  /** Encode the deterministic raster for `id` as a real PNG or BMP
+    * payload (both lossless, so decode→means are exact; JPEG would
+    * decode fine too but its lossy round-trip isn't assertable). */
+  def encodeImage(id: Long, fmt: String): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $fmt")
+    bos.toByteArray
+  }
+
+  final case class ImageRow(media_id: Long, fmt: String, bytes: Array[Byte])
+  final case class ImageFeatures(media_id: Long, fmt: String, n_bytes: Long,
+                                 width: Long, height: Long,
+                                 mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** Real encoded-image table: one PNG or BMP payload per document id.
+    * Encoded per partition (encoder amortized), exactly where a real
+    * pipeline would carry fetched image bytes. */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d).as[Media].mapPartitions { it =>
-      // a real codec would be initialized once per partition here
-      it.map { m =>
-        val (mean, frame) = fakeDecode(m.bytes)
-        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, mean, frame)
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          ImageRow(id, fmt, encodeImage(id, fmt))
+        }
+      }.toDF()
+  }
+
+  /** REAL image decode + feature extraction: `ImageIO.read` parses the
+    * encoded payload, then one pass over the decoded raster computes
+    * width/height and per-channel means. Means are integer basis points
+    * (`sum*10000 / nPixels`, integer division) per the engine's
+    * cross-engine determinism rule — no float drift between runs.
+    * Undecodable bytes fail loudly with the row id; silently nulling
+    * would corrupt any downstream model-quality signal. */
+  def decodeImages(s: SparkSession, images: DataFrame): DataFrame = {
+    import s.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      // ImageIO plugin lookup is per-JVM; per-partition scope is where a
+      // heavier codec (libjpeg handle, ffmpeg context) would init once
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"media_id=${r.media_id}: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageFeatures(r.media_id, r.fmt, r.bytes.length.toLong, w.toLong, h.toLong,
+          sr * 10000 / n, sg * 10000 / n, sb * 10000 / n)
+      }
+    }.toDF()
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Deterministic 16-bit PCM sample i of waveform `id`. */
+  def sample(id: Long, i: Int): Short =
+    (mix(id * 7368787L + i) & 0xffffL).toShort
+
+  def audioFrames(id: Long): Int = ((id % 50) + 10).toInt * 16
+
+  /** Encode the deterministic waveform as a real RIFF/WAVE payload
+    * (16-bit signed PCM, mono, 8 kHz, little-endian). */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioFrames(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sample(id, i)
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), af, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class AudioRow(media_id: Long, bytes: Array[Byte])
+  final case class AudioFeatures(media_id: Long, n_bytes: Long,
+                                 sample_rate: Long, n_frames: Long,
+                                 mean_abs: Long)
+
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => AudioRow(id, encodeWav(id))))
+      .toDF()
+  }
+
+  /** REAL audio decode: `AudioSystem` parses the WAVE container (format
+    * fields come from the decoded header, not the fixture params), then
+    * one pass over the PCM frames computes the mean absolute amplitude
+    * (integer division — deterministic). */
+  def decodeAudio(s: SparkSession, audio: DataFrame): DataFrame = {
+    import s.implicits._
+    audio.as[AudioRow].mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.bytes))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+          s"media_id=${r.media_id}: expected 16-bit mono PCM, got $f")
+        val n = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort
+          sumAbs += math.abs(v.toLong)
+          i += 1
+        }
+        AudioFeatures(r.media_id, r.bytes.length.toLong,
+          f.getSampleRate.toLong, n.toLong, if (n == 0) 0L else sumAbs / n)
       }
     }.toDF()
   }
@@ -81,12 +227,16 @@ object Multimodal {
           col("height").cast("long").as("height"))
         .orderBy("media_id")),
 
-    // The decode pipeline itself (stubbed decode, real plumbing) — not
-    // oracled; MultimodalSpec asserts the feature values.
+    // Real PNG/BMP decode via javax.imageio — not oracle-able (DuckDB
+    // has no image codec); MultimodalSpec asserts the decoded features
+    // against an independent recomputation from the pixel function.
     "q_media_features" -> ((s, d) =>
-      extractFeatures(s, d)
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"))
+      decodeImages(s, imageTable(s, d))
+        .orderBy("media_id")),
+
+    // Real WAVE decode via javax.sound.sampled — same oracle posture.
+    "q_media_audio" -> ((s, d) =>
+      decodeAudio(s, audioTable(s, d))
         .orderBy("media_id"))
   )
 
