@@ -3,9 +3,13 @@ package graft
 import graft.sources.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema, per-partition decode shape, stride
-  * sampling. The decode itself is a deterministic stub (no codecs in
-  * the image) — these tests pin the plumbing around it. */
+/** Multimodal plumbing AND real decode: binary columns with typed
+  * metadata, per-partition decode shape, stride sampling. The image
+  * (javax.imageio) and audio (javax.sound.sampled) decoders are real —
+  * these tests assert the decoded features against an independent
+  * recomputation from the shared deterministic generators
+  * (`pixel`/`imageDims`, `sample`/`audioFrames`), NOT against the
+  * encoder output, so an encode or decode bug cannot cancel out. */
 class MultimodalSpec extends SparkTestBase {
 
   test("media table: binary payload with typed metadata") {
@@ -16,16 +20,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.count() > 0)
   }
 
-  test("feature extraction via mapPartitions matches a direct computation") {
-    val feats = Multimodal.extractFeatures(spark, sfDir)
-      .filter(col("media_id") === 0).collect().head
-    val text = Tables.load(spark, sfDir, "documents")
-      .filter(col("doc_id") === 0).select("text").collect().head.getString(0)
-    val bytes = text.getBytes("UTF-8")
-    assert(feats.getAs[Long]("n_bytes") == bytes.length.toLong)
-    val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
-    assert(math.abs(feats.getAs[Double]("mean_byte") - mean) < 1e-9)
-    assert(feats.getAs[Array[Byte]]("first_frame").toSeq == bytes.take(16).toSeq)
+  test("image decode: PNG/BMP payloads decode to the ground-truth raster features") {
+    val feats = Multimodal.decodeImages(spark, Multimodal.imageTable(spark, sfDir))
+      .filter(col("media_id") < 20).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(feats.size == 20)
+    for (id <- 0L until 20L) {
+      val (w, h) = Multimodal.imageDims(id)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.pixel(id, x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      val n = w.toLong * h
+      val r = feats(id)
+      assert(r.getAs[String]("fmt") == (if (id % 2 == 0) "png" else "bmp"))
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+        s"id=$id dims ${r.getAs[Long]("width")}x${r.getAs[Long]("height")} vs ${w}x$h")
+      assert(r.getAs[Long]("mean_r") == sr * 10000 / n, s"id=$id mean_r")
+      assert(r.getAs[Long]("mean_g") == sg * 10000 / n, s"id=$id mean_g")
+      assert(r.getAs[Long]("mean_b") == sb * 10000 / n, s"id=$id mean_b")
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
+  test("image decode fails loudly on an undecodable payload") {
+    import spark.implicits._
+    val junk = Seq(Multimodal.ImageRow(7L, "png", Array[Byte](1, 2, 3))).toDF()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(spark, junk).collect()
+    }
+    assert(e.getMessage.contains("media_id=7") ||
+      Option(e.getCause).exists(_.getMessage.contains("media_id=7")))
+  }
+
+  test("audio decode: WAVE payloads decode to the ground-truth PCM features") {
+    val feats = Multimodal.decodeAudio(spark, Multimodal.audioTable(spark, sfDir))
+      .filter(col("media_id") < 20).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(feats.size == 20)
+    for (id <- 0L until 20L) {
+      val n = Multimodal.audioFrames(id)
+      var sumAbs = 0L
+      for (i <- 0 until n) sumAbs += math.abs(Multimodal.sample(id, i).toLong)
+      val r = feats(id)
+      assert(r.getAs[Long]("sample_rate") == 8000L, s"id=$id rate")
+      assert(r.getAs[Long]("n_frames") == n.toLong, s"id=$id frames")
+      assert(r.getAs[Long]("mean_abs") == sumAbs / n, s"id=$id mean_abs")
+    }
   }
 
   test("frame sampling strides the payload") {
