@@ -30,13 +30,21 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    distance tie resolves backward.
   * With `toleranceMicros ≥ 0`, a candidate farther than the tolerance
   * null-pads instead of matching (applies per side for `nearest`).
+  *
+  * `rightTies` (optional) appends ascending sort keys to the right
+  * side's required ordering: with duplicate (key, time) right rows the
+  * merge's "first/last row in sort order" would otherwise be whatever
+  * order the shuffle happened to deliver — a nondeterministic join.
+  * With ties declared, backward's "last" is the greatest tie value and
+  * forward's "first" the least, deterministically.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     toleranceMicros: Long = -1L,
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    rightTies: Seq[Expression] = Nil) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -46,8 +54,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol, dir, ties) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, dir, ties) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +65,8 @@ final case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     toleranceMicros: Long = -1L,
-    direction: String = "backward") extends BinaryExecNode {
+    direction: String = "backward",
+    rightTies: Seq[Expression] = Nil) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -69,7 +78,9 @@ final case class AsOfJoinExec(
     Seq(SortOrder.apply(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder.apply(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
     Seq(SortOrder.apply(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder.apply(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+      SortOrder.apply(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
+      rightTies.map(SortOrder.apply(_,
+        org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -100,10 +111,16 @@ final case class AsOfJoinExec(
             val lkt = lKeyTime(l)
             while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
               val r = rBuf.next().copy()
-              cand = r
               val kt = rKeyTime(r)
-              candKey = rKeyOnly(r).copy()
-              candTime = kt.getLong(1)
+              // a null right time must never become the candidate: SQL
+              // semantics say it can't match, and reading its time slot
+              // would yield garbage 0. The public API pre-filters null
+              // right times, but the exec is constructible directly.
+              if (!kt.isNullAt(1)) {
+                cand = r
+                candKey = rKeyOnly(r).copy()
+                candTime = kt.getLong(1)
+              }
             }
             val matched = cand != null && kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
               // candidates are time-sorted, so if the LATEST one is already
@@ -125,8 +142,10 @@ final case class AsOfJoinExec(
               rBuf.next()
             // a null left time sorts before every same-key right time, so the
             // head would be that key's EARLIEST row — SQL semantics say null
-            // never matches, hence the explicit isNullAt guard
+            // never matches, hence the explicit isNullAt guard (and the
+            // mirror guard on the head's own time slot)
             val matched = rBuf.hasNext && !lkt.isNullAt(1) &&
+              !rKeyTime(rBuf.head).isNullAt(1) &&
               kOrd.compare(rKeyOnly(rBuf.head), lKeyOnly(l)) == 0 &&
               (toleranceMicros < 0L ||
                 rKeyTime(rBuf.head).getLong(1) - lkt.getLong(1) <= toleranceMicros)
@@ -140,10 +159,14 @@ final case class AsOfJoinExec(
             // the head that remains is the forward candidate
             while (rBuf.hasNext && ktOrd.compare(rKeyTime(rBuf.head), lkt) <= 0) {
               val r = rBuf.next().copy()
-              cand = r
               val kt = rKeyTime(r)
-              candKey = rKeyOnly(r).copy()
-              candTime = kt.getLong(1)
+              // same null-time guard as backward: a null-time row must
+              // not survive as the trailing candidate
+              if (!kt.isNullAt(1)) {
+                cand = r
+                candKey = rKeyOnly(r).copy()
+                candTime = kt.getLong(1)
+              }
             }
             val lTimeNull = lkt.isNullAt(1)
             val lt = if (lTimeNull) 0L else lkt.getLong(1)
@@ -151,6 +174,7 @@ final case class AsOfJoinExec(
               kOrd.compare(candKey, lKeyOnly(l)) == 0 &&
               (toleranceMicros < 0L || lt - candTime <= toleranceMicros)
             val fOk = !lTimeNull && rBuf.hasNext &&
+              !rKeyTime(rBuf.head).isNullAt(1) &&
               kOrd.compare(rKeyOnly(rBuf.head), lKeyOnly(l)) == 0 &&
               (toleranceMicros < 0L ||
                 rKeyTime(rBuf.head).getLong(1) - lt <= toleranceMicros)
@@ -202,7 +226,23 @@ object AsOfJoin {
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            toleranceMicros: Long,
-           direction: String): DataFrame = {
+           direction: String): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTime, rightTime,
+      toleranceMicros, direction, Nil)
+
+  /** As above, plus `rightTieBreak`: right-side columns appended
+    * (ascending) to the merge ordering so that duplicate
+    * (key, time) right rows resolve deterministically — backward takes
+    * the row with the greatest tie value ("last in sort order"),
+    * forward the least ("first in sort order"); `nearest` inherits
+    * whichever side wins. Without it, equal-time rows land in shuffle
+    * order and the join result can differ run to run. */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String,
+           toleranceMicros: Long,
+           direction: String,
+           rightTieBreak: Seq[String]): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"asof direction must be backward/forward/nearest, got $direction")
     val spark = left.sparkSession
@@ -239,7 +279,8 @@ object AsOfJoin {
     val plan = AsOfJoinPlan(lp, rp,
       attr(left, leftKey), attr(rightClean, rightKey),
       attr(left, leftTime), attr(rightClean, rightTime),
-      toleranceMicros, direction)
+      toleranceMicros, direction,
+      rightTieBreak.map(attr(rightClean, _)))
     graft.plans.Bridge.ofRows(spark, plan)
   }
 }

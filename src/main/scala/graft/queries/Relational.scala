@@ -211,7 +211,8 @@ object Relational {
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
-      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts")
+      graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
+          -1L, "backward", Seq("c_id"))
         .select(col("p_id"), col("user_id"),
           graft.Det.tstr(col("p_ts")).as("p_ts"),
           col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
@@ -230,7 +231,7 @@ object Relational {
         .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
       graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
-          24L * 3600 * 1000000)
+          24L * 3600 * 1000000, "backward", Seq("c_id"))
         .select(col("p_id"), col("user_id"),
           graft.Det.tstr(col("p_ts")).as("p_ts"),
           col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
@@ -250,7 +251,7 @@ object Relational {
         .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
       graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
-          -1L, "forward")
+          -1L, "forward", Seq("c_id"))
         .select(col("p_id"), col("user_id"),
           graft.Det.tstr(col("p_ts")).as("p_ts"),
           col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
@@ -268,7 +269,7 @@ object Relational {
         .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
           col("event_id").as("c_id"))
       graft.plans.AsOfJoin.asof(p, c, "user_id", "c_uid", "p_ts", "c_ts",
-          -1L, "nearest")
+          -1L, "nearest", Seq("c_id"))
         .select(col("p_id"), col("user_id"),
           graft.Det.tstr(col("p_ts")).as("p_ts"),
           col("c_id"), graft.Det.tstr(col("c_ts")).as("c_ts"))
@@ -551,7 +552,7 @@ object Relational {
         |             ROW_NUMBER() OVER (PARTITION BY p.p_id
         |               ORDER BY ABS(EPOCH_US(c.c_ts) - EPOCH_US(p.p_ts)) ASC NULLS LAST,
         |                 CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END ASC,
-        |                 c.c_id ASC NULLS LAST) AS rn
+        |                 CASE WHEN c.c_ts <= p.p_ts THEN -c.c_id ELSE c.c_id END ASC NULLS LAST) AS rn
         |           FROM p LEFT JOIN c ON p.user_id = c.c_uid)
         |SELECT p_id, user_id, STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
         |  c_id, STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts

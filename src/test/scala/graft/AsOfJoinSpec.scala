@@ -120,6 +120,51 @@ class AsOfJoinSpec extends SparkTestBase {
       "no-candidates" -> None))
   }
 
+  test("duplicate (key, time) right rows resolve deterministically with a tie-break") {
+    import spark.implicits._
+    // three right rows share (k=1, t=100) — without a declared tie-break
+    // the merge would pick whichever the shuffle delivered last/first
+    val l = Seq((1L, 150L, "bwd"), (1L, 50L, "fwd"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L, 7L), (1L, 100L, 3L), (1L, 100L, 5L))
+      .toDF("rk", "rt", "rid")
+    def run(dir: String) =
+      AsOfJoin.asof(l, r, "k", "rk", "t", "rt", -1L, dir, Seq("rid"))
+        .select(col("tag"), col("rid")).collect()
+        .map(x => x.getString(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // backward: last in ascending tie order = greatest rid
+    assert(run("backward")("bwd") == 7L)
+    // forward: first in ascending tie order = least rid
+    assert(run("forward")("fwd") == 3L)
+    // nearest inherits the winning side's rule
+    val near = run("nearest")
+    assert(near("bwd") == 7L && near("fwd") == 3L)
+  }
+
+  test("a NULL-time right row never becomes the merge candidate (direct exec)") {
+    import spark.implicits._
+    // bypass the public API (which pre-filters null right times) and
+    // build the plan directly — the exec's own guard must hold
+    val l = Seq((1L, 100L, "l1")).toDF("k", "t", "tag")
+    val r = Seq((Some(1L), None: Option[Long], "r-null"))
+      .toDF("rk", "rt", "rtag")
+    def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.queryExecution.analyzed.output.find(_.name == n).get
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val plan = graft.plans.AsOfJoinPlan(
+        l.queryExecution.analyzed, r.queryExecution.analyzed,
+        attr(l, "k"), attr(r, "rk"), attr(l, "t"), attr(r, "rt"),
+        -1L, dir)
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      val res = graft.plans.Bridge.ofRows(spark, plan)
+        .select(col("tag"), col("rtag")).collect()
+      assert(res.length == 1 && res.head.isNullAt(1),
+        s"direction=$dir matched a NULL-time right row: ${res.mkString}")
+    }
+  }
+
   test("mismatched key/time types are rejected at construction") {
     import spark.implicits._
     val l = Seq((1L, 100L)).toDF("k", "t")
