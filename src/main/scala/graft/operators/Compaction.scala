@@ -29,9 +29,17 @@ object Compaction {
     */
   val LockFile = "_graft_compact.lock"
 
+  /** Default age past which a held lock is presumed to come from a
+    * crashed compaction (the JVM died between taking the lock and the
+    * `finally` cleanup) and is broken. Generous: a healthy compaction
+    * of even a very large directory finishes well inside it, and a
+    * wrongly-broken lock degrades to the concurrent-writer guards. */
+  val StaleLockMs: Long = 30L * 60 * 1000
+
   /** @return (filesBefore, filesAfter) parquet part-file counts */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              staleLockMs: Long = StaleLockMs): (Int, Int) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val path = new Path(dir)
     val fs = path.getFileSystem(hconf)
@@ -63,13 +71,42 @@ object Compaction {
           s"(${dataDirs.take(3).map(_.getPath.getName).mkString(", ")}…); " +
           "flat compaction would drop the partition layout — compact " +
           "each leaf partition directory instead")
-    // Advisory lease: atomic create fails if another compaction holds it.
+    // Advisory lease: atomic create fails if another compaction holds
+    // it. A crashed holder never reaches the finally-cleanup, so a lock
+    // older than `staleLockMs` is presumed dead and broken (delete +
+    // one retake); a younger lock aborts with the holder's identity.
     val lock = new Path(path, LockFile)
-    try fs.create(lock, false).close()
+    def takeLock(): Unit = {
+      val out = fs.create(lock, false)
+      out.write((s"pid=${ProcessHandle.current().pid()} " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"taken=${java.time.Instant.now()}\n").getBytes("UTF-8"))
+      out.close()
+    }
+    try takeLock()
     catch {
       case e: java.io.IOException =>
-        throw new java.io.IOException(
-          s"$dir is locked by another compaction ($LockFile exists)", e)
+        val ageMs =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        if (ageMs > staleLockMs) {
+          fs.delete(lock, false) // idempotent if a racer beat us to it
+          try takeLock()         // a racer may also retake first — then fail below
+          catch {
+            case e2: java.io.IOException =>
+              throw new java.io.IOException(
+                s"$dir: broke a stale $LockFile (age ${ageMs / 1000}s) but " +
+                  "another compaction retook it first", e2)
+          }
+        } else {
+          val holder =
+            try new String(fs.open(lock).readAllBytes(), "UTF-8").trim
+            catch { case _: java.io.IOException => "<unreadable>" }
+          throw new java.io.IOException(
+            s"$dir is locked by another compaction ($LockFile, " +
+              s"age ${ageMs / 1000}s, $holder); a lock older than " +
+              s"${staleLockMs / 1000}s is broken automatically", e)
+        }
     }
     try {
       val before = partFiles(path)

@@ -55,6 +55,29 @@ class CompactionSpec extends SparkTestBase {
     assert(!fs.exists(lock), "lock must not leak into the compacted table")
   }
 
+  test("a stale lock from a crashed compaction is broken; a fresh one is not") {
+    val dir = Files.createTempDirectory("graft-compact-stale").toString + "/t"
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir, Compaction.LockFile)
+    // a crashed holder: lock exists, nobody will ever delete it
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600 * 1000, -1) // 1h old
+    // default max-age 30min → broken and the compaction proceeds
+    val (b, a) = Compaction.compact(spark, dir)
+    assert(b == 1 && a == 1)
+    assert(!fs.exists(lock), "broken stale lock must not survive compaction")
+    // a FRESH lock (age < max-age) still blocks, and the error names the holder
+    fs.create(lock, false).close()
+    try {
+      val e = intercept[java.io.IOException] { Compaction.compact(spark, dir) }
+      assert(e.getMessage.contains("locked by another compaction"))
+      assert(e.getMessage.contains("broken automatically"),
+        "error must tell the operator about the staleness policy")
+    } finally fs.delete(lock, false)
+  }
+
   test("dynamic partition overwrite rewrites only the partitions in the batch") {
     // re-materializing one day of a partitioned corpus must not touch
     // the other days — static overwrite mode would drop them all
