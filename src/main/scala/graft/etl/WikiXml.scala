@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Strategy (SURVEY.md §7.5): split the dump into one record per
   * `<page>` via `lineSep = "</page>"` — a streaming, splittable-input
-  * text scan (for bz2 dumps, which are not splittable, pre-decompress or
-  * accept a single-task read feeding a repartition; the parse itself is
-  * distributed either way). Fields come out with anchored regex
-  * extraction; the XML-layer entity unescape happens here, BEFORE any
-  * HTML-entity pass, exactly as iterparse did for the reference.
+  * text scan. This is splittable for bz2 dumps too: bz2 is
+  * block-compressed (~100-900 KB per block) and Hadoop's `BZip2Codec`
+  * is a `SplittableCompressionCodec`, so Spark starts an input task at
+  * any block boundary and a multi-GB dump decompresses and parses in
+  * parallel — no pre-decompression step (multi-block splitting proven
+  * in WikiXmlBz2Spec; at 100 TB, size the tasks with
+  * `spark.sql.files.maxPartitionBytes` as for any scan). Fields come
+  * out with anchored regex extraction; the XML-layer entity unescape
+  * happens here, BEFORE any HTML-entity pass, exactly as iterparse did
+  * for the reference.
   */
 object WikiXml {
 

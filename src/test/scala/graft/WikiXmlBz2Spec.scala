@@ -24,6 +24,50 @@ class WikiXmlBz2Spec extends SparkTestBase {
     assert(compressed == plain && plain.size == 6)
   }
 
+  test("a multi-block bz2 dump splits across input tasks with identical rows") {
+    // SURVEY §7.3 watch item: a real 20 GB enwiki dump must not parse on
+    // one core. bz2 is BLOCK-compressed and Hadoop's BZip2Codec is a
+    // SplittableCompressionCodec — Spark's text source can start a task
+    // at any block boundary. Fixture: ~3 MB of low-compressibility pages
+    // at bzip2 blockSize=1 (100 KB blocks) → dozens of blocks.
+    def word(i: Long): String = java.lang.Long.toHexString(i * 0x9e3779b97f4a7c15L)
+    val nPages = 2000
+    val sb = new StringBuilder("<mediawiki>\n")
+    for (p <- 0 until nPages) {
+      sb.append(s"<page><title>Page $p</title><ns>0</ns><id>${p + 1}</id>")
+        .append("<revision><id>1</id><text>")
+      for (wI <- 0 until 120) sb.append(word(p.toLong * 1000 + wI)).append(' ')
+      sb.append("</text></revision></page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    val base = s"/tmp/graft-multiblock-${System.nanoTime()}"
+    val xmlPath = s"$base.xml"
+    val bz2Path = s"$base.xml.bz2"
+    Files.write(Paths.get(xmlPath), sb.toString.getBytes("UTF-8"))
+    val bos = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+      Files.newOutputStream(Paths.get(bz2Path)), 1)
+    bos.write(sb.toString.getBytes("UTF-8"))
+    bos.close()
+
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "131072") // 128 KB
+    try {
+      val raw = spark.read.option("lineSep", "</page>").text(bz2Path)
+      val nSplits = raw.rdd.getNumPartitions
+      assert(nSplits > 1,
+        s"bz2 read must split into multiple input tasks, got $nSplits")
+      val rows = WikiXml.pages(spark, bz2Path)
+      assert(rows.rdd.getNumPartitions > 1)
+      val got = rows.collect().map(_.toSeq).toSet
+      val plain = WikiXml.pages(spark, xmlPath).collect().map(_.toSeq).toSet
+      assert(got.size == nPages, s"expected $nPages pages, got ${got.size}")
+      assert(got == plain, "split bz2 parse must equal the plain parse")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   test("invalid UTF-8 bytes are DELETED, not replaced (A5a errors='ignore')") {
     // gensim: to_unicode(text, "utf8", errors="ignore") drops invalid
     // byte sequences (/root/reference/filters.py:53); the JVM reader
