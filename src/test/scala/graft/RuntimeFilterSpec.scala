@@ -61,6 +61,66 @@ class RuntimeFilterSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE cbo_orders")
   }
 
+  test("CBO column stats flip a filtered-dim join from sort-merge to broadcast") {
+    // The decision CBO exists for: a dim whose FILES are too big to
+    // broadcast but whose FILTERED row count is tiny. Size-only stats
+    // pass the full file size through the filter (no selectivity
+    // model), so the planner picks sort-merge; with ANALYZE column
+    // stats, FilterEstimation turns `key = const` into ~rows/ndv rows
+    // and the filtered dim drops under the broadcast threshold.
+    spark.sql("DROP TABLE IF EXISTS cbo_flip_dim")
+    import spark.implicits._
+    // low-compressibility payload so the parquet footprint stays well
+    // above the broadcast threshold set below
+    // filter column ≠ join column: an equality on the join key would be
+    // propagated onto the fact side by constraint inference and shrink
+    // BOTH sides (see the DPP test above) — the flip must come from the
+    // dim's own selectivity estimate alone
+    spark.range(0, 200000)
+      .select((col("id") % 1000).as("d_key"), col("id").as("d_sel"),
+        md5(concat(col("id").cast("string"), lit("pad"))).as("d_pad"))
+      .write.saveAsTable("cbo_flip_dim")
+    // threshold below BOTH raw file sizes (sf0.001 lineitem is ~112 KB)
+    // so nothing broadcasts on size alone; only the stats-estimated
+    // filtered dim drops under it
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString,
+      "spark.sql.cbo.enabled" -> "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // full-width fact: column pruning scales the scan's size estimate
+      // by schema ratio, and a 2-of-16-column projection would drop the
+      // fact itself under the threshold
+      val fact = Tables.load(spark, sfDir, "lineitem")
+      def planFor(): String = {
+        val dim = spark.table("cbo_flip_dim").filter(col("d_sel") === 12345L)
+        fact.join(dim, col("l_orderkey") === col("d_key"))
+          .queryExecution.sparkPlan.toString
+      }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sanity: the dim's on-disk size really is above the threshold,
+      // else the flip would happen without stats too
+      val dimBytes = spark.table("cbo_flip_dim")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(dimBytes > BigInt(64 * 1024),
+        s"fixture too small to prove the flip: $dimBytes bytes")
+      val withoutStats = planFor()
+      assert(withoutStats.contains("SortMergeJoin") &&
+        !withoutStats.contains("BroadcastHashJoin"),
+        s"without column stats the filtered dim must NOT broadcast:\n$withoutStats")
+      spark.sql("ANALYZE TABLE cbo_flip_dim COMPUTE STATISTICS FOR COLUMNS d_key, d_sel")
+      val withStats = planFor()
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"with column stats the filtered dim must broadcast:\n$withStats")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE cbo_flip_dim")
+    }
+  }
+
   test("runtime bloom filter from a selective dim lands on the fact scan") {
     val confs = Map(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
