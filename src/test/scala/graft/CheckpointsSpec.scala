@@ -29,6 +29,66 @@ class CheckpointsSpec extends SparkTestBase {
     }
   }
 
+  test("chaos: lost cached blocks kill localCheckpoint, reliable checkpoint recovers") {
+    // the 100 TB failure mode this conf exists for: localCheckpoint
+    // truncates lineage AND stores blocks only on executor local store,
+    // so losing an executor makes the data non-recomputable. Simulate
+    // the loss by unpersisting the checkpointed blocks (the local-mode
+    // equivalent of the executor dying) and require the documented
+    // behaviors on both paths.
+    val df = spark.range(0, 10000, 1, 8).toDF("id")
+
+    val lc = df.localCheckpoint()
+    assert(lc.count() == 10000L)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val e = intercept[org.apache.spark.SparkException] { lc.count() }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(chain.contains("Checkpoint block") || chain.contains("not found"),
+      s"expected the designed non-recoverable localCheckpoint failure, got:\n$chain")
+
+    // reliable path: blocks gone → recompute reads the checkpoint FILES
+    val dir = Files.createTempDirectory("graft-ckpt-chaos").toFile
+    spark.conf.set(Checkpoints.ConfKey, dir.getAbsolutePath)
+    try {
+      val rc = Checkpoints.ckpt(df)
+      assert(rc.count() == 10000L)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      assert(rc.count() == 10000L,
+        "reliable checkpoint must survive losing every cached block")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("chaos: the CC loop's result survives block loss mid-iteration on the reliable path") {
+    // same failure injected INSIDE an iterative operator: run
+    // q_dedup_cluster with reliable checkpointing while a background
+    // thread repeatedly drops every cached block — per-hop checkpoint
+    // files must keep every hop recomputable and the result identical.
+    val q = SparkEntry.queries("q_dedup_cluster")
+    val baseline = q(spark, sfDir).collect().toSeq
+    val dir = Files.createTempDirectory("graft-ckpt-chaos-cc").toFile
+    spark.conf.set(Checkpoints.ConfKey, dir.getAbsolutePath)
+    @volatile var stop = false
+    val chaos = new Thread(() => {
+      while (!stop) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        Thread.sleep(50)
+      }
+    })
+    chaos.setDaemon(true)
+    try {
+      chaos.start()
+      val chaosed = q(spark, sfDir).collect().toSeq
+      assert(chaosed == baseline,
+        "CC result must be identical under continuous cached-block loss")
+    } finally {
+      stop = true
+      chaos.join()
+      spark.conf.unset(Checkpoints.ConfKey)
+    }
+  }
+
   test("redirect resolution works under reliable checkpointing") {
     import spark.implicits._
     val redirects = Seq(("A", "B"), ("B", "C"), ("L1", "L2"), ("L2", "L1"))
