@@ -73,10 +73,22 @@ object Multimodal {
     val (w, h) = imageDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // write straight into the raster's backing BGR byte buffer —
+    // per-pixel setRGB costs an sRGB conversion per call and dominated
+    // the encode loop (same bytes either way for this image type)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(id, x, y)); x += 1 }
+      while (x < w) {
+        val p = pixel(id, x, y)
+        val i = (y * w + x) * 3
+        buf(i) = (p & 0xff).toByte            // B
+        buf(i + 1) = ((p >> 8) & 0xff).toByte // G
+        buf(i + 2) = ((p >> 16) & 0xff).toByte// R
+        x += 1
+      }
       y += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -123,15 +135,30 @@ object Multimodal {
             s"media_id=${r.media_id}: payload is not a decodable image")
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-            x += 1
+        // both the PNG and BMP readers hand back TYPE_3BYTE_BGR for
+        // 24-bit input — sum the backing buffer directly (≈10× over
+        // per-pixel getRGB, which converts through sRGB every call);
+        // any other layout falls back to the portable path
+        if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          val end = w * h * 3
+          while (i < end) {
+            sb += buf(i) & 0xff; sg += buf(i + 1) & 0xff; sr += buf(i + 2) & 0xff
+            i += 3
           }
-          y += 1
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
         }
         val n = w.toLong * h
         ImageFeatures(r.media_id, r.fmt, r.bytes.length.toLong, w.toLong, h.toLong,
