@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Text.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.Events.queries ++
+      graft.queries.Graph.queries ++
       graft.queries.Udaf.queries ++
       graft.queries.Pipeline.queries ++
       graft.sources.Multimodal.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.Events.oracles ++
+      graft.queries.Graph.oracles ++
       graft.queries.Udaf.oracles ++
       graft.queries.Pipeline.oracles ++
       graft.sources.Multimodal.oracles ++

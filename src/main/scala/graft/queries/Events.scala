@@ -49,7 +49,47 @@ object Events {
           tstr(max(col("ts"))).as("last_ts"))
         .select(col("user_id"), tstr(col("w.start")).as("sess_start"),
           col("n_events"), col("total"), col("last_ts"))
-        .orderBy("user_id", "sess_start"))
+        .orderBy("user_id", "sess_start")),
+
+    // Gaps-and-islands sessionization in pure window SQL — the batch
+    // twin of session_window, and the formulation that generalizes to
+    // any "new group when condition on previous row" break. One shuffle
+    // on user_id; both windows and the final aggregate share it.
+    "q_sessionize_sql" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      load(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        // strict > 30 min, matching the session_window oracle convention
+        .withColumn("brk", when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000, 1L).otherwise(0L))
+        .withColumn("sess_n", sum(col("brk")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_n"))
+        .agg(count(lit(1)).as("n_events"),
+          tstr(min(col("ts"))).as("sess_start"), tstr(max(col("ts"))).as("sess_end"))
+        .orderBy("user_id", "sess_n")
+    }),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per week offset. The 100 TB shape: dedup (user, week)
+    // FIRST (map-side-combining distinct), derive each user's cohort
+    // with a min-aggregate, then count plain rows — no COUNT(DISTINCT)
+    // over the raw event stream. Week = integer days-since-epoch-base
+    // div 7, identical arithmetic in both engines (no engine-specific
+    // week-truncation semantics).
+    "q_cohort_retention" -> ((s, d) => {
+      val uw = load(s, d, "events")
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +125,33 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
         |  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM islands GROUP BY user_id, island
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q_sessionize_sql" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_n
+        |  FROM flagged)
+        |SELECT user_id, sess_n, COUNT(*) AS n_events,
+        |  STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM islands GROUP BY user_id, sess_n
+        |ORDER BY user_id, sess_n""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT c.cohort_wk, u.wk - c.cohort_wk AS wk_offset, COUNT(*) AS n_users
+        |FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

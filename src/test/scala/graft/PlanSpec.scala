@@ -142,4 +142,21 @@ class PlanSpec extends SparkTestBase {
     // a row-local redactor must not exchange anything except the final sort
     assert(!p.contains("hashpartitioning"), p)
   }
+
+  test("SQL sessionization reuses ONE user_id shuffle for both windows and the aggregate") {
+    // lag-window, running-sum window, and groupBy(user_id, sess_n) all
+    // cluster by user_id; hashpartitioning(user_id) satisfies the
+    // aggregate's (user_id, sess_n) distribution, so exactly one hash
+    // exchange must appear (plus the presentation range sort)
+    val p = plan(graft.queries.Events.queries("q_sessionize_sql")(spark, sfDir))
+    val nHash = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(nHash == 1, s"expected exactly 1 hash exchange, got $nHash:\n$p")
+  }
+
+  test("pagerank step is the two-shuffle kernel — equi-join on src, no broadcast rank vector") {
+    val p = plan(graft.queries.Graph.queries("q_pagerank_step")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // partial aggregates must combine map-side before each shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
 }
