@@ -40,6 +40,31 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("h"))
         .orderBy("doc_id")),
 
+    // Stratified downsampling with per-language rates — the corpus
+    // rebalance step (q_mix_weights computes targets; this EXECUTES
+    // one): dominant-language docs keep 4/16, the rest 8/16, decided by
+    // the md5 hash digit so the same docs survive on any engine/retry.
+    // Row-local filter — zero shuffles before the presentation sort.
+    "q_sample_stratified" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("h", substring(md5(concat(col("doc_id").cast("string"),
+          lit("|strat")).cast("binary")), 1, 1))
+        .filter(col("h") < when(col("lang") === "en", "4").otherwise("8"))
+        .select(col("doc_id"), col("lang"), col("h"))
+        .orderBy("doc_id")),
+
+    // Record-level provenance from the scan's own metadata: source file
+    // and row position inside it — the lineage columns a training-data
+    // audit (which shard did this example come from?) carries through
+    // the whole pipeline. Spark exposes them as the hidden `_metadata`
+    // struct on any file source; zero cost beyond the two columns.
+    "q_provenance" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("src_file"),
+          col("_metadata.row_index").as("row_idx"))
+        .orderBy("doc_id")),
+
     // Deterministic train/val/test assignment by hash bucket (12/2/2 of
     // 16) + per-(lang, split) counts — the split manifest a training
     // run snapshots. Hex digits order '0'<'9'<'a'<'f' in ASCII.
@@ -352,6 +377,20 @@ object Pipeline {
         |FROM documents
         |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 1) < '2'
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 1) AS h
+        |FROM documents
+        |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 1)
+        |      < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
+        |ORDER BY doc_id""".stripMargin,
+    // documents.parquet is doc_id-ordered (verified at all three SFs),
+    // so the file row position equals the doc_id rank; Spark reads the
+    // REAL _metadata.row_index and the oracle derives it from the sort.
+    "q_provenance" ->
+      """SELECT doc_id, 'documents.parquet' AS src_file,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_split_train" ->
       """WITH t AS (SELECT doc_id, lang,
         |    SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|split'), 1, 1) AS h
