@@ -42,6 +42,33 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // Value-distribution histogram with explicit integer bucket math
+    // (identical floor/clamp in both engines — no engine-specific
+    // width_bucket semantics). One map-side-combining aggregate.
+    "q_histogram" -> ((s, d) =>
+      load(s, d, "lineitem")
+        .withColumn("bucket",
+          least(lit(9L), floor(col("l_extendedprice") / 10000).cast("long")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy("bucket")),
+
+    // FILTER-clause aggregates: several conditional aggregations in ONE
+    // pass over the fact — the idiom that replaces N self-joins or a
+    // CASE-WHEN forest in reporting queries.
+    "q_agg_filter" -> ((s, d) =>
+      load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count(*)").as("n_all"),
+          expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+            "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)").as("urgent_total"),
+          expr("min(o_orderdate) FILTER (WHERE o_totalprice > 200000)").as("first_big"))
+        .orderBy("o_orderstatus")),
+
     "q_agg_rollup" -> ((s, d) =>
       load(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -303,6 +330,18 @@ object Aggregates {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dist_parts,
         |  COUNT(DISTINCT l_suppkey) AS dist_supps, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT LEAST(9, CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)) AS bucket,
+        |  COUNT(*) AS cnt, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_filter" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+        |  MIN(o_orderdate) FILTER (WHERE o_totalprice > 200000) AS first_big
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
