@@ -72,6 +72,28 @@ object EventWindows {
         col("purchase_ts"), col("value"))
   }
 
+  /** Left-outer form of [[clickAttribution]]: purchases with no click
+    * in the window are KEPT, null-padded — attribution reporting must
+    * see the unattributed revenue, not silently drop it. The null row
+    * for an unmatched purchase can only be emitted once the watermark
+    * proves no matching click can still arrive (watermark past the
+    * purchase time, the join condition's upper bound for click_ts), so
+    * unmatched results trail the event time by the watermark delay —
+    * the price of correctness on unbounded input. Same bounded state
+    * as the inner form. */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      expr("c_user = p_user AND click_ts <= purchase_ts" +
+        " AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Stream–static enrichment join: streaming events against a static
     * (batch) dimension. No watermark and no join state needed — the
     * static side is re-planned per micro-batch (picking up dim updates

@@ -151,6 +151,43 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched purchases null-pad once the watermark proves no match can arrive") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val joined = graft.streaming.EventWindows.clickAttributionOuter(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    def rows() = spark.table("attr_outer")
+      .select(col("user_id"),
+        date_format(col("click_ts"), "HH:mm").as("c"),
+        date_format(col("purchase_ts"), "HH:mm").as("p"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    try {
+      // u1's purchase has a click in-window; u2's has NONE
+      clicks.addData(ev("2024-01-01 10:00:00", u = 1))
+      purchases.addData(
+        ev("2024-01-01 10:20:00", u = 1, typ = "purchase", v = 5.0),
+        ev("2024-01-01 10:20:00", u = 2, typ = "purchase", v = 9.0))
+      q.processAllAvailable()
+      // matched pair emits immediately; the unmatched one must WAIT —
+      // a click for u2 could still arrive within the watermark delay
+      assert(rows() == Set((1L, Some("10:00"), "10:20")), rows().toString)
+
+      // advance the watermark past the purchase time (+1 h delay), then
+      // nudge one more batch: null emission happens in the batch AFTER
+      // the watermark update
+      clicks.addData(ev("2024-01-01 12:00:00", u = 8))
+      purchases.addData(ev("2024-01-01 12:00:00", u = 9, typ = "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev("2024-01-01 12:30:00", u = 8))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None, "10:20")),
+        s"unmatched purchase must null-pad after the watermark passes: ${rows()}")
+      assert(rows().contains((1L, Some("10:00"), "10:20")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch join; state evicts past the horizon") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
