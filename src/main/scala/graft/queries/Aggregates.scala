@@ -42,6 +42,26 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // Join-key skew probe — the diagnostic you run BEFORE deciding
+    // between a plain join, AQE, and explicit salting
+    // (operators/JoinStrategies): key cardinality, row count, the
+    // hottest key and its share in basis points. One groupBy (the same
+    // shuffle the join would do) + a top-1 TakeOrdered + two scalar
+    // aggregates; the 1×1 cross join is broadcast-trivial.
+    "q_skew_probe" -> ((s, d) => {
+      val counts = load(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      val summary = counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val hot = counts.orderBy(col("cnt").desc, col("l_orderkey").asc)
+        .limit(1).select(col("l_orderkey").as("hot_key"))
+      summary.crossJoin(hot)
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("max_cnt * 10000 div n_rows").as("max_share_bp"), col("hot_key"))
+    }),
+
     // Value-distribution histogram with explicit integer bucket math
     // (identical floor/clamp in both engines — no engine-specific
     // width_bucket semantics). One map-side-combining aggregate.
@@ -330,6 +350,16 @@ object Aggregates {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dist_parts,
         |  COUNT(DISTINCT l_suppkey) AS dist_supps, COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_probe" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+        |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |        MAX(cnt) AS max_cnt FROM counts),
+        |hot AS (SELECT l_orderkey AS hot_key FROM counts
+        |        ORDER BY cnt DESC, l_orderkey ASC LIMIT 1)
+        |SELECT n_keys, n_rows, max_cnt,
+        |  max_cnt * 10000 // n_rows AS max_share_bp, hot_key
+        |FROM s CROSS JOIN hot""".stripMargin,
     "q_histogram" ->
       """SELECT LEAST(9, CAST(FLOOR(l_extendedprice / 10000) AS BIGINT)) AS bucket,
         |  COUNT(*) AS cnt, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi

@@ -276,6 +276,32 @@ object Relational {
         .orderBy("p_id")
     }),
 
+    // Per-brand 2-D skyline (Pareto frontier: minimize retail price,
+    // maximize size). NOT the textbook NOT-EXISTS anti-join — that is
+    // quadratic per brand. The sweep formulation: collapse to one row
+    // per (brand, price) with the group's max size, running-max over
+    // the price-ordered groups (window stratified by brand — no
+    // SinglePartition), keep groups that strictly raise the max, join
+    // back for the member rows. Duplicate (price, size) optima are
+    // all kept — equal rows don't dominate each other.
+    "q_skyline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = load(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val grp = parts.groupBy(col("p_brand"), col("p_retailprice"))
+        .agg(max(col("p_size")).as("grp_max"))
+      val wr = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val kept = grp.withColumn("run_max", max(col("grp_max")).over(wr))
+        .filter(col("run_max").isNull || col("grp_max") > col("run_max"))
+        .select(col("p_brand"), col("p_retailprice"), col("grp_max"))
+      parts.join(kept, Seq("p_brand", "p_retailprice"))
+        .filter(col("p_size") === col("grp_max"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("long").as("p_size"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
     // Correlated LATERAL subquery (SQL:1999 lateral derived table,
     // Spark 3.2+): top-2 nations per region by name — the per-row
     // dependent-subquery shape that decorrelates into a ranked join.
@@ -611,6 +637,20 @@ object Relational {
         |  FROM orders GROUP BY 1)
         |SELECT o_orderkey, ka, n_side FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
         |ORDER BY o_orderkey, ka NULLS FIRST""".stripMargin,
+    "q_skyline" ->
+      """WITH grp AS (
+        |  SELECT p_brand, p_retailprice, MAX(p_size) AS grp_max
+        |  FROM part GROUP BY p_brand, p_retailprice),
+        |kept AS (
+        |  SELECT p_brand, p_retailprice, grp_max,
+        |    MAX(grp_max) OVER (PARTITION BY p_brand ORDER BY p_retailprice ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM grp)
+        |SELECT p.p_brand, p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p JOIN kept k
+        |  ON p.p_brand = k.p_brand AND p.p_retailprice = k.p_retailprice
+        |WHERE (k.run_max IS NULL OR k.grp_max > k.run_max) AND p.p_size = k.grp_max
+        |ORDER BY p.p_brand, p.p_partkey""".stripMargin,
     "q_join_lateral" ->
       """SELECT r.r_name, n.n_name
         |FROM region r,
