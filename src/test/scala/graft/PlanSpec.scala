@@ -159,4 +159,14 @@ class PlanSpec extends SparkTestBase {
     // partial aggregates must combine map-side before each shuffle
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
   }
+
+  test("skyline sweep window is brand-stratified — no single-partition exchange") {
+    val p = plan(Relational.queries("q_skyline")(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("skew probe's hot-key top-1 is a TakeOrdered, not a global sort") {
+    val p = plan(graft.queries.Aggregates.queries("q_skew_probe")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
