@@ -73,39 +73,84 @@ object Compaction {
           "each leaf partition directory instead")
     // Advisory lease: atomic create fails if another compaction holds
     // it. A crashed holder never reaches the finally-cleanup, so a lock
-    // older than `staleLockMs` is presumed dead and broken (delete +
-    // one retake); a younger lock aborts with the holder's identity.
+    // older than `staleLockMs` is presumed dead and BROKEN — but the
+    // break must be claimed atomically (rename to a unique name, one
+    // winner) rather than a blind delete, or two breakers could each
+    // delete-and-retake and both believe they hold the lease. A younger
+    // lock aborts with the holder's identity.
     val lock = new Path(path, LockFile)
+    final case class LockMetaWriteFailed(cause: Exception) extends Exception(cause)
     def takeLock(): Unit = {
-      val out = fs.create(lock, false)
-      out.write((s"pid=${ProcessHandle.current().pid()} " +
-        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"taken=${java.time.Instant.now()}\n").getBytes("UTF-8"))
-      out.close()
+      val out = fs.create(lock, false) // IOException HERE means contended
+      try {
+        out.write((s"pid=${ProcessHandle.current().pid()} " +
+          s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"taken=${java.time.Instant.now()}\n").getBytes("UTF-8"))
+        out.close()
+      } catch {
+        // created but couldn't write metadata (disk full, pipeline
+        // error): WE own this half-written lock — remove it and fail as
+        // a write error, never as "locked by another compaction"
+        case e: Exception =>
+          try out.close() catch { case _: Exception => () }
+          fs.delete(lock, false)
+          throw LockMetaWriteFailed(e)
+      }
     }
     try takeLock()
     catch {
+      case LockMetaWriteFailed(cause) =>
+        throw new java.io.IOException(
+          s"$dir: could not write $LockFile metadata", cause)
       case e: java.io.IOException =>
-        val ageMs =
-          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-        if (ageMs > staleLockMs) {
-          fs.delete(lock, false) // idempotent if a racer beat us to it
-          try takeLock()         // a racer may also retake first — then fail below
-          catch {
-            case e2: java.io.IOException =>
+        val status =
+          try Some(fs.getFileStatus(lock))
+          catch { case _: java.io.FileNotFoundException => None }
+        status match {
+          case None =>
+            // the holder released between our create and the stat —
+            // the lease is genuinely free now; one retake
+            try takeLock()
+            catch {
+              case LockMetaWriteFailed(cause) =>
+                throw new java.io.IOException(
+                  s"$dir: could not write $LockFile metadata", cause)
+              case e2: java.io.IOException =>
+                throw new java.io.IOException(
+                  s"$dir was re-locked by another compaction immediately " +
+                    "after the previous holder released; retry later", e2)
+            }
+          case Some(st) =>
+            val ageMs = System.currentTimeMillis() - st.getModificationTime
+            if (ageMs > staleLockMs) {
+              // atomic claim of the break: exactly one renamer wins the
+              // stale file; losers see rename fail and back off
+              val claimed = new Path(path,
+                s".$LockFile.stale-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+              if (!fs.rename(lock, claimed))
+                throw new java.io.IOException(
+                  s"$dir: stale $LockFile (age ${ageMs / 1000}s) was broken " +
+                    "by a concurrent compaction first; retry later", e)
+              fs.delete(claimed, false)
+              try takeLock()
+              catch {
+                case LockMetaWriteFailed(cause) =>
+                  throw new java.io.IOException(
+                    s"$dir: could not write $LockFile metadata", cause)
+                case e2: java.io.IOException =>
+                  throw new java.io.IOException(
+                    s"$dir: broke a stale $LockFile (age ${ageMs / 1000}s) but " +
+                      "another compaction retook it first", e2)
+              }
+            } else {
+              val holder =
+                try new String(fs.open(lock).readAllBytes(), "UTF-8").trim
+                catch { case _: java.io.IOException => "<unreadable>" }
               throw new java.io.IOException(
-                s"$dir: broke a stale $LockFile (age ${ageMs / 1000}s) but " +
-                  "another compaction retook it first", e2)
-          }
-        } else {
-          val holder =
-            try new String(fs.open(lock).readAllBytes(), "UTF-8").trim
-            catch { case _: java.io.IOException => "<unreadable>" }
-          throw new java.io.IOException(
-            s"$dir is locked by another compaction ($LockFile, " +
-              s"age ${ageMs / 1000}s, $holder); a lock older than " +
-              s"${staleLockMs / 1000}s is broken automatically", e)
+                s"$dir is locked by another compaction ($LockFile, " +
+                  s"age ${ageMs / 1000}s, $holder); a lock older than " +
+                  s"${staleLockMs / 1000}s is broken automatically", e)
+            }
         }
     }
     try {

@@ -137,10 +137,27 @@ object Multimodal {
         var (sr, sg, sb) = (0L, 0L, 0L)
         // both the PNG and BMP readers hand back TYPE_3BYTE_BGR for
         // 24-bit input — sum the backing buffer directly (≈10× over
-        // per-pixel getRGB, which converts through sRGB every call);
-        // any other layout falls back to the portable path
-        if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
-          val buf = img.getRaster.getDataBuffer
+        // per-pixel getRGB, which converts through sRGB every call).
+        // getType alone does NOT guarantee the buffer is contiguous
+        // from offset 0 (a sub-image or padded raster shares a larger
+        // bank), so the fast path also requires the exact packed
+        // layout; anything else falls back to the portable path.
+        val raster = img.getRaster
+        val packed = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+          raster.getSampleModelTranslateX == 0 &&
+          raster.getSampleModelTranslateY == 0 &&
+          (raster.getSampleModel match {
+            case csm: java.awt.image.PixelInterleavedSampleModel =>
+              csm.getScanlineStride == w * 3 && csm.getPixelStride == 3
+            case _ => false
+          }) &&
+          (raster.getDataBuffer match {
+            case db: java.awt.image.DataBufferByte =>
+              db.getOffset == 0 && db.getNumBanks == 1 && db.getData.length == w * h * 3
+            case _ => false
+          })
+        if (packed) {
+          val buf = raster.getDataBuffer
             .asInstanceOf[java.awt.image.DataBufferByte].getData
           var i = 0
           val end = w * h * 3

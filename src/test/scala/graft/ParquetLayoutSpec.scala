@@ -82,10 +82,11 @@ class ParquetLayoutSpec extends SparkTestBase {
       } finally reader.close()
     }.sortBy(_._1)
     assert(ranges.size >= 3, s"expected ~4 data files, got ${ranges.size}")
-    // consecutive files must not overlap: file N's max < file N+1's min
-    // (repartitionByRange puts boundary duplicates in one partition)
+    // consecutive files must not overlap — STRICTLY: repartitionByRange
+    // puts all copies of a boundary key in one partition, so a shared
+    // endpoint would mean overlapping zone maps on that key
     for (Seq((_, max1), (min2, _)) <- ranges.sliding(2))
-      assert(max1 <= min2, s"overlapping file ranges: $ranges")
+      assert(max1 < min2, s"overlapping file ranges: $ranges")
     // and the union covers the table
     val (lo, hi) = (li.agg(min("l_orderkey")).head.getLong(0),
       li.agg(max("l_orderkey")).head.getLong(0))

@@ -40,9 +40,9 @@ class WikiXmlBz2Spec extends SparkTestBase {
       sb.append("</text></revision></page>\n")
     }
     sb.append("</mediawiki>\n")
-    val base = s"/tmp/graft-multiblock-${System.nanoTime()}"
-    val xmlPath = s"$base.xml"
-    val bz2Path = s"$base.xml.bz2"
+    val base = Files.createTempDirectory("graft-multiblock")
+    val xmlPath = s"$base/dump.xml"
+    val bz2Path = s"$base/dump.xml.bz2"
     Files.write(Paths.get(xmlPath), sb.toString.getBytes("UTF-8"))
     val bos = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
       Files.newOutputStream(Paths.get(bz2Path)), 1)
@@ -62,9 +62,14 @@ class WikiXmlBz2Spec extends SparkTestBase {
       val plain = WikiXml.pages(spark, xmlPath).collect().map(_.toSeq).toSet
       assert(got.size == nPages, s"expected $nPages pages, got ${got.size}")
       assert(got == plain, "split bz2 parse must equal the plain parse")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
-      case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None    => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      Files.deleteIfExists(Paths.get(bz2Path))
+      Files.deleteIfExists(Paths.get(xmlPath))
+      Files.deleteIfExists(base)
     }
   }
 
