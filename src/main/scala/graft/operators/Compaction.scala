@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   * files, though a read landing between the renames fails its task and
   * is retried by Spark. Concurrent writers are handled by an advisory
   * lock file plus two re-list guards (see [[LockFile]] and the guard
-  * comments in [[compact]]).
+  * comments in [[compact]]). The lock is exactly as strong as the
+  * filesystem's create-no-overwrite: atomic on HDFS/ABFS (full mutual
+  * exclusion); on Hadoop's local filesystem it is check-then-create,
+  * so two racing compactions may both enter — the unique per-attempt
+  * temp/old names then guarantee the loser fails one of its renames
+  * and the table is never corrupted (CompactionSpec's race test).
   *
   * The rewrite preserves rows, not file-level layout: row order within
   * the directory is scan order, as for any parquet table.
@@ -159,10 +164,18 @@ object Compaction {
       val totalBytes = before.map(_.getLen).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-      val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp")
-      val old = new Path(path.getParent, s".${path.getName}_compact_old")
-      fs.delete(tmp, true)
-      fs.delete(old, true)
+      // UNIQUE temp/old names per attempt: (1) the lock is only as
+      // atomic as the filesystem's create-no-overwrite (HDFS: atomic;
+      // Hadoop's LOCAL fs: check-then-create race), so two racing
+      // compactions must at worst fail each other's renames, never
+      // write into the same temp directory; (2) a fixed old-name would
+      // let a fresh run delete a CRASHED run's swapped-out data — with
+      // unique names a crash between the two renames leaves the rows
+      // recoverable in `.<dir>_compact_old_<attempt>` (documented
+      // recovery: rename it back).
+      val attempt = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp_$attempt")
+      val old = new Path(path.getParent, s".${path.getName}_compact_old_$attempt")
       // coalesce, not repartition: no shuffle — each output task reads a
       // contiguous set of input files
       spark.read.parquet(dir).coalesce(nOut)
@@ -197,7 +210,10 @@ object Compaction {
             s"(${(lateNames -- beforeNames).size} late files); rolled back")
       }
       if (!fs.rename(tmp, path)) {
-        fs.rename(old, path) // roll back
+        if (!fs.rename(old, path)) // roll back
+          throw new java.io.IOException(
+            s"compaction swap AND rollback failed — rows are intact in $old; " +
+              s"rename it back to $path manually")
         throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
       }
       fs.delete(old, true)
