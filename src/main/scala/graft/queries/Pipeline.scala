@@ -295,6 +295,44 @@ object Pipeline {
         .filter(col("n_occ") > 1)
         .orderBy("h")),
 
+    // Cross-document repeated-substring detection — the sub-document
+    // granularity the whole-body dedup family (exact md5, chunk, MinHash)
+    // cannot see: boilerplate, licenses, navigation chrome repeated
+    // ACROSS documents. Sorted-shingle formulation (the scalable
+    // suffix-array substitute): positioned 4-token shingles → one
+    // gh-keyed aggregate marks shingles appearing in ≥2 distinct docs →
+    // join back on the 32-byte hash → gaps-and-islands run grouping per
+    // doc. Runs of ≥4 consecutive shared shingles = repeated substrings
+    // of ≥7 tokens. Shapes: explode + two hash aggs + one equi-join on
+    // md5 keys + a doc-stratified window — never a self-join on raw
+    // text, no cartesian. The positioned shingle stream is checkpointed
+    // once (compact: id + pos + 32-byte hash) and read by both the
+    // shared-marking agg and the join-back, halving the dominant
+    // tokenize/shingle CPU at 100 TB (same rationale as
+    // q_decontaminate's shared pass).
+    "q_substring_dedup" -> ((s, d) => {
+      val grams0 = load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"),
+          posexplode(expr(Shingles.fourGramSql(distinct = false))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("col").cast("binary")).as("gh"))
+      val grams = Checkpoints.ckpt(grams0)
+      val shared = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gh"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(shared, "gh")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start_pos"),
+          count(lit(1)).as("n_shingles"))
+        .filter(col("n_shingles") >= 4)
+        .select(col("doc_id"), col("start_pos"), col("n_shingles"),
+          (col("n_shingles") + 3).as("n_tokens"))
+        .orderBy("doc_id", "start_pos")
+    }),
+
     // Column profiler: the warehouse ANALYZE-style summary a pipeline
     // snapshots per ingest batch — one pass over the table computing
     // per-column null counts, distinct counts, and min/max, unpivoted
@@ -553,6 +591,21 @@ object Pipeline {
         |  (SELECT COUNT(*) AS c FROM documents GROUP BY lang))
         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
         |FROM r CROSS JOIN cap WHERE rk <= cap ORDER BY lang, rk""".stripMargin,
+    "q_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, k - 1 AS pos,
+         |    MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+         |  FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+         |shared AS (SELECT gh FROM g GROUP BY gh
+         |           HAVING COUNT(DISTINCT doc_id) >= 2),
+         |sp AS (SELECT doc_id, pos FROM g JOIN shared USING (gh)),
+         |runs AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM sp)
+         |SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) AS n_shingles,
+         |  COUNT(*) + 3 AS n_tokens
+         |FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 4
+         |ORDER BY doc_id, start_pos""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |ch AS (SELECT doc_id,

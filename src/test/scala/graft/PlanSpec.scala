@@ -169,4 +169,14 @@ class PlanSpec extends SparkTestBase {
     val p = plan(graft.queries.Aggregates.queries("q_skew_probe")(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("substring dedup is sort/agg-shaped — md5-keyed equi-join, doc-stratified window, no self-join on text") {
+    val p = plan(graft.queries.Pipeline.queries("q_substring_dedup")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the join-back keys on the 32-byte shingle hash, never raw text
+    assert(p.contains("hashpartitioning(gh"), p)
+    // run grouping is per-doc — a global window would serialize the corpus
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
