@@ -101,6 +101,45 @@ object Sources {
         .select(col("aid"), col("title"), length(col("text")).cast("long").as("text_len"))
         .orderBy("aid")),
 
+    // JDBC as a first-class SOURCE — the reverse direction of
+    // q_sink_jdbc and the missing half of the reference's surface: its
+    // entire query story is SQL over the MySQL it writes
+    // (/root/reference/README.md:47-54). customer goes in via the same
+    // bootstrap→append machinery, then comes back as FOUR
+    // range-partitioned JDBC scans (parallel-ingest shape: at scale the
+    // partition count rides the id range so no single connection drains
+    // the table) with the filter pushed INTO the database —
+    // MySqlSinkSpec asserts PushedFilters on the JDBC relation and the
+    // 4-way split. c_acctbal stays DOUBLE end-to-end so the roundtrip
+    // is bit-exact against the parquet oracle.
+    "q_source_jdbc" -> ((s, d) => {
+      val url = s"jdbc:derby:memory:graft_src_${d.replaceAll("[^A-Za-z0-9]", "_")};create=true"
+      try MySqlSink.bootstrap(url, "app", "app", Seq("DROP TABLE jdbc_customer"))
+      catch { case _: java.sql.SQLException => () }
+      MySqlSink.bootstrap(url, "app", "app", Seq(
+        """CREATE TABLE jdbc_customer (
+          |  c_custkey BIGINT NOT NULL,
+          |  c_name VARCHAR(64) NOT NULL,
+          |  c_mktsegment VARCHAR(16) NOT NULL,
+          |  c_acctbal DOUBLE NOT NULL,
+          |  PRIMARY KEY (c_custkey))""".stripMargin))
+      MySqlSink.writer(
+        load(s, d, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal")),
+        url, "jdbc_customer", "app", "app").save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "jdbc_customer")
+        .option("user", "app").option("password", "app")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "0").option("upperBound", "200000")
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // A8–A11 end-to-end: the full ETL feeding the JDBC sink for real —
     // bootstrap DDL (Derby dialect: no MySQL server in this image, same
     // Spark JDBC write machinery), append bodies then articles, then
@@ -140,6 +179,11 @@ object Sources {
     "q_source_orc" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
-        |FROM supplier ORDER BY s_suppkey""".stripMargin
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_source_jdbc" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin
   )
 }
