@@ -31,8 +31,6 @@ object Bench {
     // Warm the session (codegen, parquet footers, shuffle machinery)
     // so the first timed query doesn't absorb JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
-    if (SparkEntry.queries.contains("q_agg_hash"))
-      try run("q_agg_hash") catch { case _: Throwable => () }
     // min-of-N per query (VERDICT r3 #2): this box drifts ±2-3× under
     // concurrent load — three r3 "regressions" were pure noise. The min
     // is the least-noise estimator of a query's true cost (noise is
@@ -40,6 +38,15 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args(0).split(",").toSet) else names0
+    // Fixed cross-query warmup (VERDICT r6 #3): run the WHOLE battery
+    // once untimed before any timed rep. With only a single-query
+    // warmup, each query's first timed rep absorbed whatever JIT /
+    // codegen-cache state the queries BEFORE it in alphabetical order
+    // happened to leave — so inserting new queries shifted neighbors'
+    // min-of-3 (r6: q_wiki_clean_sql 0.24→0.94 with untouched code).
+    // One untimed full pass JIT-compiles every query's operators up
+    // front, making the timed reps insensitive to battery composition.
+    names.foreach { n => try run(n) catch { case _: Throwable => () } }
     val raw: Seq[(String, Seq[Double])] = names.map { name =>
       name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
