@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokcount"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_tokcount"),
       (exprs: Seq[Expression]) => TokenCount(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_qsketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "graft_qsketch"),
+      (exprs: Seq[Expression]) => QuantileSketch(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toSeq)))
     // Operator-optimization batch: rewrite the canonical
     // size∘filter∘split token-count tree into the primitive scan.
     e.injectOptimizerRule(_ => TokenCountRewrite)

@@ -237,6 +237,28 @@ object Aggregates {
           col("cnt"))
         .orderBy("l_returnflag")),
 
+    // Mergeable quantile sketch (graft.functions.QuantileSketch, a
+    // log-bucketed DDSketch-style TypedImperativeAggregate): per-flag
+    // p25/p50/p75 over the same integer cents as q_agg_median, α = 1%.
+    // The exact companion IS q_agg_median — QuantileSketchSpec pins
+    // merged-partials == one-shot bit-equality and the ≤α relative
+    // error against exact rank elements; no oracle by design (the
+    // estimate is the sketch's, not SQL-expressible).
+    "q_agg_qsketch" -> ((s, d) => {
+      graft.functions.QuantileSketch.register(s)
+      load(s, d, "lineitem")
+        .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("graft_qsketch(cents, 100, array(2500, 5000, 7500))").as("ps"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          element_at(col("ps"), 1).as("p25_est"),
+          element_at(col("ps"), 2).as("p50_est"),
+          element_at(col("ps"), 3).as("p75_est"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_win_rank" -> ((s, d) => {
       val wTotal = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
