@@ -92,4 +92,43 @@ class ParquetLayoutSpec extends SparkTestBase {
       li.agg(max("l_orderkey")).head.getLong(0))
     assert(ranges.head._1 == lo && ranges.last._2 == hi)
   }
+
+  private def avgSpan(dir: String, column: String): Double = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val spans = footerFiles(dir).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) None
+        else {
+          val stats = blocks.flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == column).map(_.getStatistics)
+          Some((stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max -
+            stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min).toDouble)
+        }
+      } finally reader.close()
+    }
+    spans.sum / spans.size
+  }
+
+  test("Z-order clustering tightens BOTH columns' footer ranges vs single-column sorts") {
+    // single-sort keyed on A leaves B's per-file min/max window at
+    // ~the full value range (zone maps prune nothing on B); the
+    // interleaved-bit layout must shrink EACH column's average window
+    // well below what the layout sorted on the OTHER column gives it
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    ParquetLayout.writeSorted(li, s"$base/byA", "l_orderkey", nFiles = 16)
+    ParquetLayout.writeSorted(li, s"$base/byB", "l_partkey", nFiles = 16)
+    ParquetLayout.writeZOrdered(li, s"$base/z", "l_orderkey", "l_partkey", nFiles = 16)
+    // rows survive the rewrite
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+    val zA = avgSpan(s"$base/z", "l_orderkey")
+    val zB = avgSpan(s"$base/z", "l_partkey")
+    val otherA = avgSpan(s"$base/byB", "l_orderkey") // A's window when B is the sort key
+    val otherB = avgSpan(s"$base/byA", "l_partkey")
+    assert(zA < 0.6 * otherA, s"l_orderkey window: zorder=$zA vs sorted-by-partkey=$otherA")
+    assert(zB < 0.6 * otherB, s"l_partkey window: zorder=$zB vs sorted-by-orderkey=$otherB")
+  }
 }
