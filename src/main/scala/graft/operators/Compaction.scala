@@ -84,12 +84,19 @@ object Compaction {
     // delete-and-retake and both believe they hold the lease. A younger
     // lock aborts with the holder's identity.
     val lock = new Path(path, LockFile)
+    // Attempt id: names this run's temp/old artifacts AND identifies
+    // this run's lock — the finally block below releases the lock only
+    // if the metadata still carries this id, so a losing racer (local-fs
+    // double-entry) or a wrongly-broken-then-retaken lock can never
+    // delete the current holder's lease (ADVICE r6).
+    val attempt = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
     final case class LockMetaWriteFailed(cause: Exception) extends Exception(cause)
     def takeLock(): Unit = {
       val out = fs.create(lock, false) // IOException HERE means contended
       try {
         out.write((s"pid=${ProcessHandle.current().pid()} " +
           s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"attempt=$attempt " +
           s"taken=${java.time.Instant.now()}\n").getBytes("UTF-8"))
         out.close()
       } catch {
@@ -159,6 +166,26 @@ object Compaction {
         }
     }
     try {
+      // Age-based GC of orphaned per-attempt artifacts (ADVICE r6):
+      // unique names mean no later run ever reuses-and-overwrites them,
+      // so crashes would accumulate hidden `.<dir>_compact_tmp_*` dirs
+      // and `.lock.stale-*` claim files forever. Under the lock, sweep
+      // any older than staleLockMs — by the lock-break rationale no
+      // healthy attempt lives that long. `.<dir>_compact_old_*` is
+      // deliberately KEPT: it is the documented recovery copy of a
+      // crashed swap (rename it back by hand).
+      val cutoff = System.currentTimeMillis() - staleLockMs
+      fs.listStatus(path.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s".${path.getName}_compact_tmp_") &&
+            st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+      fs.listStatus(path).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s".$LockFile.stale-") && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, false)
+      }
       val before = partFiles(path)
       val beforeNames = before.map(_.getPath.getName).toSet
       val totalBytes = before.map(_.getLen).sum
@@ -173,7 +200,6 @@ object Compaction {
       // unique names a crash between the two renames leaves the rows
       // recoverable in `.<dir>_compact_old_<attempt>` (documented
       // recovery: rename it back).
-      val attempt = s"${ProcessHandle.current().pid()}-${System.nanoTime()}"
       val tmp = new Path(path.getParent, s".${path.getName}_compact_tmp_$attempt")
       val old = new Path(path.getParent, s".${path.getName}_compact_old_$attempt")
       // coalesce, not repartition: no shuffle — each output task reads a
@@ -214,14 +240,25 @@ object Compaction {
           throw new java.io.IOException(
             s"compaction swap AND rollback failed — rows are intact in $old; " +
               s"rename it back to $path manually")
+        // rollback restored the table — the rewrite is garbage now;
+        // without this delete the uniquely-named tmp dir would linger
+        // until the age sweep (ADVICE r6)
+        fs.delete(tmp, true)
         throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
       }
       fs.delete(old, true)
       (before.length, partFiles(path).length)
     } finally {
       // On success the lock traveled into `old` and was deleted with it;
-      // on any abort it is still in the live directory — remove it.
-      fs.delete(new Path(path, LockFile), false)
+      // on any abort OUR lock is still in the live directory. Release
+      // only if the metadata still carries this attempt's id — a losing
+      // local-fs racer or a run whose lock was (wrongly) broken and
+      // retaken must leave the current holder's lease alone (ADVICE r6).
+      val mine =
+        try new String(fs.open(lock).readAllBytes(), "UTF-8")
+          .contains(s"attempt=$attempt")
+        catch { case _: java.io.IOException => false }
+      if (mine) fs.delete(lock, false)
     }
   }
 }

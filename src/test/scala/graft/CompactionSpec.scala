@@ -116,6 +116,58 @@ class CompactionSpec extends SparkTestBase {
       "advisory lock must not leak after the dust settles")
   }
 
+  test("age sweep GCs orphaned tmp/stale-claim artifacts, keeps fresh ones and the recovery copy") {
+    val base = Files.createTempDirectory("graft-compact-gc")
+    val dir = base.toString + "/t"
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldTs = System.currentTimeMillis() - 3600 * 1000 // 1h, > 30min cutoff
+    // crash debris: an aged orphan tmp dir, an aged stale-claim file,
+    // an aged recovery (old) copy — plus a FRESH tmp (a live racer's)
+    val agedTmp = new org.apache.hadoop.fs.Path(base.toString, ".t_compact_tmp_1-1")
+    val freshTmp = new org.apache.hadoop.fs.Path(base.toString, ".t_compact_tmp_2-2")
+    val recovery = new org.apache.hadoop.fs.Path(base.toString, ".t_compact_old_3-3")
+    val claim = new org.apache.hadoop.fs.Path(dir, s".${Compaction.LockFile}.stale-4-4")
+    Seq(agedTmp, freshTmp, recovery).foreach(fs.mkdirs(_))
+    fs.create(claim, false).close()
+    Seq(agedTmp, recovery).foreach(fs.setTimes(_, oldTs, -1))
+    fs.setTimes(claim, oldTs, -1)
+    val (b, a) = Compaction.compact(spark, dir, targetBytes = 10L * 1024 * 1024)
+    assert(b == 1 && a == 1)
+    assert(!fs.exists(agedTmp), "aged orphan tmp must be swept")
+    assert(!fs.exists(claim), "aged stale-claim file must be swept")
+    assert(fs.exists(freshTmp), "a fresh tmp (possible live racer) must survive")
+    assert(fs.exists(recovery), "the _compact_old_ recovery copy is never GC'd")
+  }
+
+  test("an abort inside compaction releases its OWN lock (ownership-checked)") {
+    // corrupt part file → the rewrite fails inside the locked section;
+    // the finally must release the lock this attempt wrote (metadata
+    // carries the attempt id) so the next compaction isn't blocked
+    val dir = Files.createTempDirectory("graft-compact-abort").toString + "/t"
+    spark.range(0, 10).toDF("id").coalesce(1).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(dir, "part-junk.parquet")
+    val out = fs.create(junk, false)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    intercept[Exception] { Compaction.compact(spark, dir) }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, Compaction.LockFile)),
+      "failed compaction must release its own lock")
+    // and a stale FOREIGN lock (different attempt id) broken + retaken
+    // still ends released after a successful run
+    val lock = new org.apache.hadoop.fs.Path(dir, Compaction.LockFile)
+    val lout = fs.create(lock, false)
+    lout.write("pid=1 host=ghost attempt=ghost-1 taken=1970".getBytes("UTF-8"))
+    lout.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600 * 1000, -1)
+    fs.delete(junk, false)
+    val (b, a) = Compaction.compact(spark, dir)
+    assert(b == 1 && a == 1)
+    assert(!fs.exists(lock))
+  }
+
   test("dynamic partition overwrite rewrites only the partitions in the batch") {
     // re-materializing one day of a partitioned corpus must not touch
     // the other days — static overwrite mode would drop them all
