@@ -422,9 +422,14 @@ object Pipeline {
         |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 1)
         |      < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
         |ORDER BY doc_id""".stripMargin,
-    // documents.parquet is doc_id-ordered (verified at all three SFs),
-    // so the file row position equals the doc_id rank; Spark reads the
-    // REAL _metadata.row_index and the oracle derives it from the sort.
+    // documents.parquet is ONE doc_id-ordered flat file, so the file
+    // row position equals the doc_id rank; Spark reads the REAL
+    // _metadata.row_index and the oracle derives it from the sort
+    // (DuckDB's filename/file_row_number don't survive the driver's
+    // views). ProvenanceSpec asserts this precondition LOUDLY at every
+    // SF — a generator layout change fails there with a pointer here,
+    // not as a silent hash mismatch — and separately proves the Spark
+    // side on a 4-file layout against construction-known truth.
     "q_provenance" ->
       """SELECT doc_id, 'documents.parquet' AS src_file,
         |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_idx
