@@ -94,6 +94,28 @@ object EventWindows {
         col("purchase_ts"), col("value"))
   }
 
+  /** Full-outer form of [[clickAttribution]]: the bidirectional audit —
+    * unmatched purchases (unattributed revenue) AND unmatched clicks
+    * (spend that never converted) both survive, null-padded on the
+    * missing side. Each unmatched row emits only once the watermark
+    * proves its window can no longer fill: for a purchase, watermark
+    * past the purchase time; for a click, past `click_ts + 30 min`
+    * (the last purchase it could have attributed). State bounds are
+    * identical to the inner form — the outer-ness changes emission,
+    * not retention. */
+  def clickAttributionFull(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      expr("c_user = p_user AND click_ts <= purchase_ts" +
+        " AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"),
+      "fullOuter")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Stream–static enrichment join: streaming events against a static
     * (batch) dimension. No watermark and no join state needed — the
     * static side is re-planned per micro-batch (picking up dim updates

@@ -188,6 +188,47 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("full-outer interval join: BOTH sides null-pad at watermark proof") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val joined = graft.streaming.EventWindows.clickAttributionFull(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_full")
+      .outputMode("append").start()
+    def rows() = spark.table("attr_full")
+      .select(col("user_id"),
+        date_format(col("click_ts"), "HH:mm").as("c"),
+        date_format(col("purchase_ts"), "HH:mm").as("p"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    try {
+      // u1: matched pair; u2: purchase with NO click; u3: click with NO
+      // purchase — the bidirectional audit must keep all three
+      clicks.addData(ev("2024-01-01 10:00:00", u = 1),
+        ev("2024-01-01 10:05:00", u = 3))
+      purchases.addData(
+        ev("2024-01-01 10:20:00", u = 1, typ = "purchase", v = 5.0),
+        ev("2024-01-01 10:20:00", u = 2, typ = "purchase", v = 9.0))
+      q.processAllAvailable()
+      // only the matched pair emits now: u2's window could still fill,
+      // and u3's click could still attribute a purchase until 10:35
+      assert(rows() == Set((1L, Some("10:00"), Some("10:20"))), rows().toString)
+
+      // advance both watermarks well past every window (+1 h delay),
+      // then nudge one more batch: null emission follows the update
+      clicks.addData(ev("2024-01-01 12:00:00", u = 8))
+      purchases.addData(ev("2024-01-01 12:00:00", u = 9, typ = "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev("2024-01-01 12:30:00", u = 8))
+      purchases.addData(ev("2024-01-01 12:30:00", u = 9, typ = "purchase"))
+      q.processAllAvailable()
+      assert(rows().contains((2L, None, Some("10:20"))),
+        s"unmatched purchase must null-pad: ${rows()}")
+      assert(rows().contains((3L, Some("10:05"), None)),
+        s"unmatched click must null-pad: ${rows()}")
+      assert(rows().contains((1L, Some("10:00"), Some("10:20"))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch join; state evicts past the horizon") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
