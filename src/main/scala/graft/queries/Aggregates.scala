@@ -259,6 +259,23 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Exact mergeable top-k per group (graft.functions.TopKSketch):
+    // the aggregation-based top-k — O(k) state per group combining
+    // map-side, vs the window formulation (q_topk_group) that sorts
+    // every group's full row set. Oracled against the window form:
+    // identical rows, different physical shape.
+    "q_topk_agg" -> ((s, d) => {
+      graft.functions.TopKSketch.register(s)
+      load(s, d, "customer")
+        .withColumn("cents", expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("graft_topk(c_name, cents, 5)").as("tk"))
+        .select(col("c_mktsegment"), posexplode(col("tk")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.item").as("c_name"), col("col.score").as("cents"))
+        .orderBy("c_mktsegment", "rk")
+    }),
+
     "q_win_rank" -> ((s, d) => {
       val wTotal = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
@@ -453,6 +470,14 @@ object Aggregates {
         |  item, cnt
         |FROM (SELECT event_type AS item, COUNT(*) AS cnt FROM events GROUP BY 1)
         |ORDER BY pos""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_name, cents FROM (
+        |  SELECT c_mktsegment, c_name,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_name ASC) AS rk
+        |  FROM customer)
+        |WHERE rk <= 5 ORDER BY c_mktsegment, rk""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag,
         |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,

@@ -41,10 +41,61 @@ object Graph {
         .groupBy("dst")
         .agg(expr("1500 + (85 * sum(c)) div 100").as("rank_bp"))
         .orderBy("dst")
+    }),
+
+    // Triangle counting — the third canonical graph kernel (after the
+    // CC label propagation in Similarity and the PageRank step above):
+    // how clustered is the near-dup graph, the structural signal dedup
+    // QA monitors. Edges are the same doc_id<100 minhash band-bucket
+    // pairs as q_minhash_pairs, ORIENTED a<b — orientation is the
+    // standard trick that makes each triangle count exactly once and
+    // caps the wedge join at low-degree fan-out. Two equi-joins over
+    // the checkpointed compact edge list (read 3×), no cartesian.
+    "q_triangles" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val words = docs
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        .distinct()
+      val sigs = words
+        .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("word"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("word"))
+          .cast("binary"))).as("mh"))
+      val bands = sigs.groupBy(col("doc_id"), expr("i div 2").as("band"))
+        .agg(md5(concat(min(col("mh")), max(col("mh"))).cast("binary")).as("sig"))
+      val edges = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val e = graft.Checkpoints.ckpt(edges)
+      e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"),
+          countDistinct(col("x")).as("n_apex"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM
+        |  (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |   FROM documents WHERE doc_id < 100)),
+        |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+        |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+        |      GROUP BY doc_id, i),
+        |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+        |      FROM h GROUP BY doc_id, i // 2),
+        |e AS (SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+        |      FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
+        |        AND a.doc_id < b2.doc_id)
+        |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT e1.a) AS n_apex
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "q_pagerank_step" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_orderkey AS src, l_suppkey AS dst FROM lineitem),

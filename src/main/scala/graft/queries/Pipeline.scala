@@ -272,6 +272,27 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // SCD Type-2 history dimension from the same base+revision stream
+    // as q_upsert: instead of latest-wins, EVERY version survives with
+    // a validity interval (valid_to = next version, open for the
+    // current row) — the warehouse shape for "what did this record say
+    // when". One key-partitioned lead() window, a single shuffle on
+    // the merge key, no driver loop.
+    "q_scd2" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val base = docs.select(col("doc_id"), lit(1L).as("version"), col("text"))
+      val revised = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(2L).as("version"),
+          concat(lit("UPDATED "), col("text")).as("text"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+      base.unionByName(revised)
+        .select(col("doc_id"), col("version"),
+          md5(col("text").cast("binary")).as("body_md5"))
+        .withColumn("valid_to", lead(col("version"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("doc_id", "version")
+    }),
+
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
     // grouped corpus-wide, buckets with >1 occurrence — the
     // boilerplate-paragraph detector of a real pipeline (shared
@@ -331,6 +352,54 @@ object Pipeline {
         .select(col("doc_id"), col("start_pos"), col("n_shingles"),
           (col("n_shingles") + 3).as("n_tokens"))
         .orderBy("doc_id", "start_pos")
+    }),
+
+    // The REMOVAL companion of q_substring_dedup — exact substring
+    // deduplication in the "Deduplicating Training Data Makes Language
+    // Models Better" sense: every token covered by a cross-document
+    // repeated run (≥4 consecutive shared shingles = ≥7 tokens) is
+    // dropped from EVERY occurrence, and the survivors reassemble in
+    // position order. Shapes: the same checkpointed shingle pass, one
+    // anti-join of positioned tokens against the covered-position set,
+    // and a per-doc ordered reassembly via array_sort (no
+    // collect_list-order assumption). Output is count + md5 per doc —
+    // the cleaned text itself stays distributed.
+    "q_substring_strip" -> ((s, d) => {
+      val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
+      val grams0 = docs
+        .select(col("doc_id"),
+          posexplode(expr(Shingles.fourGramSql(distinct = false))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("col").cast("binary")).as("gh"))
+      val grams = Checkpoints.ckpt(grams0)
+      val shared = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gh"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val covered = grams.join(shared, "gh")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("s"), count(lit(1)).as("L"))
+        .filter(col("L") >= 4)
+        .select(col("doc_id"),
+          explode(expr("sequence(s, s + L + 2)")).as("pos"))
+        .distinct()
+      val toksPos = docs
+        .select(col("doc_id"), posexplode(col("toks")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+      val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
+            " x -> x.tok)"), " ").as("clean"))
+      docs.select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("clean"), lit("")).cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
     }),
 
     // Column profiler: the warehouse ANALYZE-style summary a pipeline
@@ -611,6 +680,41 @@ object Pipeline {
          |  COUNT(*) + 3 AS n_tokens
          |FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 4
          |ORDER BY doc_id, start_pos""".stripMargin,
+    "q_scd2" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS version, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT) AS version, 'UPDATED ' || text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, version, MD5(text) AS body_md5,
+        |  LEAD(version, 1) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to,
+        |  LEAD(version, 1) OVER (PARTITION BY doc_id ORDER BY version) IS NULL AS is_current
+        |FROM all_rows ORDER BY doc_id, version""".stripMargin,
+    "q_substring_strip" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, k - 1 AS pos,
+         |    MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+         |  FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+         |shared AS (SELECT gh FROM g GROUP BY gh
+         |           HAVING COUNT(DISTINCT doc_id) >= 2),
+         |sp AS (SELECT doc_id, pos FROM g JOIN shared USING (gh)),
+         |runs AS (SELECT doc_id, MIN(pos) AS s, COUNT(*) AS L
+         |  FROM (SELECT doc_id, pos,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |    FROM sp)
+         |  GROUP BY doc_id, grp HAVING COUNT(*) >= 4),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM
+         |  (SELECT doc_id, UNNEST(RANGE(s, s + L + 3)) AS pos FROM runs)),
+         |tp AS (SELECT doc_id, k - 1 AS pos, toks[k] AS tok
+         |       FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) AS u(k)),
+         |kept AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+         |    STRING_AGG(tok, ' ' ORDER BY tp.pos) AS clean
+         |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+         |  WHERE cov.pos IS NULL GROUP BY tp.doc_id)
+         |SELECT t.doc_id, CAST(LEN(t.toks) AS BIGINT) AS n_toks,
+         |  COALESCE(kept.n_kept, 0) AS n_kept,
+         |  MD5(COALESCE(kept.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |ch AS (SELECT doc_id,

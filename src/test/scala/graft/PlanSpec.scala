@@ -170,6 +170,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("substring strip: anti-join on (doc,pos), md5-keyed share marking, no cartesian") {
+    val p = plan(graft.queries.Pipeline.queries("q_substring_strip")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("triangle count: oriented wedge joins are equi-joins, never nested-loop") {
+    val p = plan(graft.queries.Graph.queries("q_triangles")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("substring dedup is sort/agg-shaped — md5-keyed equi-join, doc-stratified window, no self-join on text") {
     val p = plan(graft.queries.Pipeline.queries("q_substring_dedup")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
