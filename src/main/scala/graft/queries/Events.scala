@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables.load
 import graft.Det._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over `events` (SURVEY.md §2.B; the reference has
@@ -89,6 +90,52 @@ object Events {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "wk_offset")
+    }),
+
+    // Ordered-step funnel (view → click → purchase): each step's FIRST
+    // event strictly after the previous step's — the conversion staple.
+    // Three min-aggregates chained by equi-joins, all keyed on user_id
+    // so one partitioning serves every stage; left joins keep users who
+    // stalled mid-funnel (the drop-off IS the signal).
+    "q_funnel" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), tstr(col("t1")).as("t_view"),
+          tstr(col("t2")).as("t_click"), tstr(col("t3")).as("t_purchase"),
+          (lit(1L) + col("t2").isNotNull.cast("long")
+            + col("t3").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Rolling anomaly flag over each user's last-5-events window,
+    // integer-exact: with cents = round(value·100), s1 = Σx, s2 = Σx²,
+    // the 2σ test (x − μ)² > 4σ² multiplies out to
+    // (n·x − s1)² > 4·(n·s2 − s1²) — pure BIGINT arithmetic, so Spark
+    // and the oracle agree bit-for-bit with no sqrt/float drift, and
+    // the window needs only two running sums (no second pass for μ).
+    "q_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      load(s, d, "events")
+        .withColumn("cents", expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("cents")).over(w))
+        .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("n"), col("s1"), col("s2"),
+          (col("n") === 5 &&
+            (col("n") * col("cents") - col("s1")) * (col("n") * col("cents") - col("s1"))
+              > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+            .as("is_outlier"))
+        .orderBy("event_id")
     })
   )
 
@@ -152,6 +199,38 @@ object Events {
         |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
         |SELECT c.cohort_wk, u.wk - c.cohort_wk AS wk_offset, COUNT(*) AS n_users
         |FROM uw u JOIN cohort c ON u.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+        |SELECT t1.user_id,
+        |  STRFTIME(t1.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+        |  STRFTIME(t2.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+        |  STRFTIME(t3.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+        |  1 + CAST(t2.t2 IS NOT NULL AS BIGINT)
+        |    + CAST(t3.t3 IS NOT NULL AS BIGINT) AS stage
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |  LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin,
+    "q_rolling_zscore" ->
+      """WITH c AS (SELECT event_id, user_id, ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_id, user_id, cents,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(cents) OVER win AS BIGINT) AS s1,
+        |    CAST(SUM(cents * cents) OVER win AS BIGINT) AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, cents, n, s1, s2,
+        |  n = 5 AND (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
+        |    AS is_outlier
+        |FROM w ORDER BY event_id""".stripMargin
   )
 }

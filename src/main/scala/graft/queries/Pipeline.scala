@@ -53,6 +53,23 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("h"))
         .orderBy("doc_id")),
 
+    // Weighted deterministic sampling: selection priority u DIV w with
+    // u a 32-bit integer from the doc's md5 and w the doc's length —
+    // longer docs are proportionally likelier into the 50-doc sample,
+    // yet the draw is reproducible across engines/retries like every
+    // sampler here (the exact Efraimidis–Spirakis transform needs
+    // u^(1/w); logs/pow aren't bit-portable across engines, so the
+    // linear integer priority stands in — same top-k-by-priority
+    // shape, TakeOrdered at any scale, never a global sort).
+    "q_sample_weighted" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), (col("n_chars").cast("long") + 1).as("w"),
+          expr("CAST(conv(substring(md5(CAST(concat(CAST(doc_id AS STRING), '|wt')" +
+            " AS BINARY)), 1, 8), 16, 10) AS BIGINT)").as("u"))
+        .select(col("doc_id"), col("w"), expr("u DIV w").as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)),
+
     // Record-level provenance from the scan's own metadata: source file
     // and row position inside it — the lineage columns a training-data
     // audit (which shard did this example come from?) carries through
@@ -491,6 +508,21 @@ object Pipeline {
         |WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|strat'), 1, 1)
         |      < CASE WHEN lang = 'en' THEN '4' ELSE '8' END
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) + 1 AS w,
+        |    MD5(CAST(doc_id AS VARCHAR) || '|wt') AS h FROM documents),
+        |u AS (SELECT doc_id, w,
+        |    CAST(STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1 AS BIGINT) * 268435456
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1 AS BIGINT) * 16777216
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 3, 1)) - 1 AS BIGINT) * 1048576
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 4, 1)) - 1 AS BIGINT) * 65536
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 5, 1)) - 1 AS BIGINT) * 4096
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 6, 1)) - 1 AS BIGINT) * 256
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 7, 1)) - 1 AS BIGINT) * 16
+        |  + CAST(STRPOS('0123456789abcdef', SUBSTR(h, 8, 1)) - 1 AS BIGINT) AS u
+        |  FROM b)
+        |SELECT doc_id, w, u // w AS priority
+        |FROM u ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     // documents.parquet is ONE doc_id-ordered flat file, so the file
     // row position equals the doc_id rank; Spark reads the REAL
     // _metadata.row_index and the oracle derives it from the sort
