@@ -370,10 +370,43 @@ object Aggregates {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("p_brand", "rn")
+    }),
+
+    // Incremental aggregate maintenance: historical months live as
+    // pre-aggregated partials (count + exact decimal sum per
+    // flag × month); a new day's delta aggregates the same way and the
+    // two partial sets merge by re-aggregation — sum of counts, sum of
+    // decimal sums — into per-flag totals identical to a full
+    // recompute (the oracle IS the full recompute). At 100 TB this is
+    // the materialized-view pattern: each refresh touches only the
+    // delta partition, never the history, and the merge runs over
+    // |flags| × |months| partial rows instead of the raw table.
+    // Decimal partials keep the merge lossless; cast to double only at
+    // the final select.
+    "q_incr_agg" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .withColumn("mon", trunc(col("l_shipdate"), "month"))
+      val cutoff = "1998-06-01"
+      def partials(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("l_returnflag"), col("mon"))
+        .agg(count(lit(1)).as("part_n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("part_sum"))
+      partials(li.filter(col("l_shipdate") < lit(cutoff)))
+        .unionByName(partials(li.filter(col("l_shipdate") >= lit(cutoff))))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("part_n")).as("n"),
+          sum(col("part_sum")).cast("double").as("total"))
+        .orderBy("l_returnflag")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Full recompute — the invariant q_incr_agg's partial-merge must
+    // reproduce exactly.
+    "q_incr_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -136,6 +136,33 @@ object Events {
               > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
             .as("is_outlier"))
         .orderBy("event_id")
+    }),
+
+    // Calendar resample: per-user daily rollup, gap-filled to a dense
+    // day grid (sequence + explode, row-local) with the running total
+    // forward-filled across silent days — the time-series staple that
+    // turns an irregular event stream into a regular panel. The 100 TB
+    // shape: the raw stream collapses to ≤|users|·|days| rows in the
+    // FIRST aggregate (map-side combining), and everything after —
+    // span, grid, join, fill window — runs on that reduced panel, all
+    // partitioned by user_id. The grid never materializes
+    // users × calendar for inactive users: each user's span is
+    // [first active day, last active day].
+    "q_gapfill" -> ((s, d) => {
+      val daily = load(s, d, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("day_total"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -231,6 +258,24 @@ object Events {
         |SELECT event_id, user_id, cents, n, s1, s2,
         |  n = 5 AND (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
         |    AS is_outlier
-        |FROM w ORDER BY event_id""".stripMargin
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |         FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           CAST(UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM span)
+        |SELECT g.user_id, g.day,
+        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |  LAST_VALUE(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin
   )
 }

@@ -310,6 +310,35 @@ object Pipeline {
         .orderBy("doc_id", "version")
     }),
 
+    // CDC changelog apply — the log-compaction shape that completes
+    // the merge family (q_upsert = latest-wins two-table merge, q_scd2
+    // = full history): an ordered I/U/D change stream collapses to
+    // current state with ONE key-partitioned window (last op by seq
+    // wins; a terminal D erases the key). Deterministic synthetic log
+    // from orders: every key inserts, keys ≡0 mod 3 update (price
+    // doubled — exact on doubles), keys ≡0 mod 5 delete. At 100 TB
+    // this is a single shuffle on the merge key over the log — never a
+    // per-change driver loop, and the same plan applies a day's delta
+    // to a snapshot when the log is unioned with snapshot rows at
+    // seq=0.
+    "q_cdc_apply" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+          col("o_totalprice").as("price"))
+        .unionByName(o.filter(col("k") % 3 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") * 2).as("price")))
+        .unionByName(o.filter(col("k") % 5 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("double").as("price")))
+      val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("k"), col("op").as("last_op"), col("price"))
+        .orderBy("k")
+    }),
+
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
     // grouped corpus-wide, buckets with >1 occurrence — the
     // boilerplate-paragraph detector of a real pipeline (shared
@@ -722,6 +751,21 @@ object Pipeline {
         |  LEAD(version, 1) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to,
         |  LEAD(version, 1) OVER (PARTITION BY doc_id ORDER BY version) IS NULL AS is_current
         |FROM all_rows ORDER BY doc_id, version""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+        |    o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT), 'D', CAST(NULL AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |ranked AS (SELECT k, op, price,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT k, op AS last_op, price FROM ranked
+        |WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
     "q_substring_strip" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |g AS (SELECT doc_id, k - 1 AS pos,

@@ -156,12 +156,37 @@ object Text {
         .withColumnRenamed("pos", "sent_no")
         .withColumnRenamed("col", "sentence")
         .withColumn("sent_no", col("sent_no").cast("long"))
-        .orderBy("doc_id", "sent_no"))
+        .orderBy("doc_id", "sent_no")),
+
+    // One BPE merge-selection step: count adjacent token pairs
+    // corpus-wide and rank — the inner loop of byte-pair-encoding
+    // vocabulary induction (each iteration merges the top pair and
+    // recounts). Pair extraction is row-local (zip_with over two
+    // shifted slices, no self-join), the count is one
+    // map-side-combining aggregate on the pair, and the top-20 is a
+    // TakeOrdered — at 100 TB the only data crossing the wire is the
+    // partial pair counts.
+    "q_bpe_step" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20))
   )
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_step" ->
+      s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+         |pairs AS (SELECT toks[k] || ' ' || toks[k + 1] AS pair
+         |          FROM t, UNNEST(RANGE(1, LEN(toks))) AS u(k))
+         |SELECT pair, COUNT(*) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_tokenize_wc" ->
       s"""SELECT word, COUNT(*) AS cnt
          |FROM (SELECT unnest($duckToks) AS word FROM documents)
