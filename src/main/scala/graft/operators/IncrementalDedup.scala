@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Checkpoints
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental cross-batch exact dedup: dedup an ingest DELTA against a
+  * persisted fingerprint store WITHOUT recomputing the corpus — the
+  * shape every recurring crawl needs (reference analogue: the redirect
+  * dict persisted across the two phases of the ETL,
+  * /root/reference/dbfy.py:183-185, which avoids re-deriving phase-1
+  * state in phase 2).
+  *
+  * The store is a parquet table of (fp, doc_id): one row per distinct
+  * body fingerprint ever admitted, carrying the doc that owns it.
+  * `dedupDelta` touches ONLY the delta and the store:
+  *   1. fingerprint the delta (md5 of the body — row-local, no shuffle),
+  *   2. within-delta dedup (min doc_id per fp — one hash agg),
+  *   3. anti-join against the store on fp,
+  *   4. checkpoint the survivors, THEN append their fps to the store.
+  * The checkpoint before the append is load-bearing: the survivor plan
+  * anti-joins the store, so materializing it lazily AFTER the append
+  * would re-read the now-extended store and drop every row. At 100 TB
+  * the store is fp-bucketed so step 3 is a co-located join; the corpus
+  * itself is never re-read — cost per batch is O(|delta| + |store|),
+  * not O(|corpus|).
+  */
+object IncrementalDedup {
+
+  /** Row-local body fingerprints of a batch: (fp, doc_id). */
+  def fingerprints(batch: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    batch.select(md5(col(textCol).cast("binary")).as("fp"),
+      col(idCol).cast("long").as("doc_id"))
+
+  private def storeExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Dedups `delta` against the store at `storePath` (created on first
+    * use), appends the survivors' fingerprints, and returns the
+    * survivors as (fp, doc_id). Within-delta duplicates keep the
+    * minimum doc_id; fingerprints already in the store are dropped. */
+  def dedupDelta(spark: SparkSession, delta: DataFrame, storePath: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val deltaKeep = fingerprints(delta, idCol, textCol)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors =
+      if (storeExists(spark, storePath)) {
+        val store = spark.read.parquet(storePath)
+        deltaKeep.join(store.select(col("fp")), Seq("fp"), "left_anti")
+      } else deltaKeep
+    // materialize BEFORE extending the store (see scaladoc)
+    val materialized = Checkpoints.ckpt(survivors)
+    materialized.write.mode("append").parquet(storePath)
+    materialized
+  }
+}

@@ -377,12 +377,18 @@ object Aggregates {
     // flag × month); a new day's delta aggregates the same way and the
     // two partial sets merge by re-aggregation — sum of counts, sum of
     // decimal sums — into per-flag totals identical to a full
-    // recompute (the oracle IS the full recompute). At 100 TB this is
-    // the materialized-view pattern: each refresh touches only the
-    // delta partition, never the history, and the merge runs over
-    // |flags| × |months| partial rows instead of the raw table.
-    // Decimal partials keep the merge lossless; cast to double only at
-    // the final select.
+    // recompute (the oracle IS the full recompute). This demonstrates
+    // the MERGE ALGEBRA of the materialized-view pattern (partials
+    // re-aggregate losslessly over |flags| × |months| rows instead of
+    // the raw table); both partial sets here still scan the same
+    // source — delta-only I/O is the persisted-store variant proven by
+    // IncrementalIngestSpec/IncrementalDedupSpec. Decimal partials
+    // keep the merge lossless; cast to double only at the final
+    // select. The split is history = (shipdate < cutoff), delta =
+    // everything else INCLUDING NULL shipdates — complementary
+    // predicates would silently drop null-key rows from both sides on
+    // nullable data (TPC-H shipdate is non-null, but the pattern must
+    // not depend on that).
     "q_incr_agg" -> ((s, d) => {
       val li = load(s, d, "lineitem")
         .withColumn("mon", trunc(col("l_shipdate"), "month"))
@@ -391,8 +397,9 @@ object Aggregates {
         .groupBy(col("l_returnflag"), col("mon"))
         .agg(count(lit(1)).as("part_n"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("part_sum"))
-      partials(li.filter(col("l_shipdate") < lit(cutoff)))
-        .unionByName(partials(li.filter(col("l_shipdate") >= lit(cutoff))))
+      val isHist = coalesce(col("l_shipdate") < lit(cutoff), lit(false))
+      partials(li.filter(isHist))
+        .unionByName(partials(li.filter(!isHist)))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("part_n")).as("n"),
           sum(col("part_sum")).cast("double").as("total"))

@@ -320,23 +320,46 @@ object Pipeline {
     // this is a single shuffle on the merge key over the log — never a
     // per-change driver loop, and the same plan applies a day's delta
     // to a snapshot when the log is unioned with snapshot rows at
-    // seq=0.
+    // seq=0. The synthetic log derives all three op kinds from ONE
+    // orders scan via a row-local explode (a 3-way union of the same
+    // projection scanned the source three times).
     "q_cdc_apply" -> ((s, d) => {
-      val o = load(s, d, "orders")
+      val log = load(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice"))
-      val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
-          col("o_totalprice").as("price"))
-        .unionByName(o.filter(col("k") % 3 === 0)
-          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
-            (col("o_totalprice") * 2).as("price")))
-        .unionByName(o.filter(col("k") % 5 === 0)
-          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
-            lit(null).cast("double").as("price")))
+        .select(col("k"), explode(expr(
+          "filter(array(" +
+            "named_struct('seq', 1L, 'op', 'I', 'price', o_totalprice)," +
+            "IF(k % 3 = 0, named_struct('seq', 2L, 'op', 'U', 'price', o_totalprice * CAST(2 AS DOUBLE)), NULL)," +
+            "IF(k % 5 = 0, named_struct('seq', 3L, 'op', 'D', 'price', CAST(NULL AS DOUBLE)), NULL)" +
+            "), x -> x IS NOT NULL)")).as("e"))
+        .select(col("k"), col("e.seq").as("seq"), col("e.op").as("op"),
+          col("e.price").as("price"))
       val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
       log.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("op") =!= "D")
         .select(col("k"), col("op").as("last_op"), col("price"))
         .orderBy("k")
+    }),
+
+    // Incremental cross-batch dedup (operators/IncrementalDedup): batch
+    // 1 seeds a persisted fingerprint store; batch 2 is deduped by
+    // anti-joining the STORE — the corpus is never recomputed, cost per
+    // batch is O(|delta| + |store|). The oracle is the batch-equivalence
+    // invariant: store-based delta dedup must equal a full-corpus dedup
+    // restricted to batch-2 survivors. IncrementalDedupSpec proves the
+    // multi-batch behavior (store growth, idempotent re-dedup,
+    // store-governs-drops).
+    "q_incr_dedup" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incr_dedup")
+      val store = tmp.resolve("store").toString
+      graft.operators.IncrementalDedup.dedupDelta(
+        s, docs.filter(col("doc_id") < 250), store)
+      val kept2 = graft.operators.IncrementalDedup.dedupDelta(
+        s, docs.filter(col("doc_id") >= 250), store)
+      // survivors are checkpointed — the store files can go away now
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      kept2.select(col("doc_id"), col("fp")).orderBy("doc_id")
     }),
 
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
@@ -766,6 +789,14 @@ object Pipeline {
         |  FROM log)
         |SELECT k, op AS last_op, price FROM ranked
         |WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin,
+    // Full-recompute twin of the store-based incremental dedup: batch-2
+    // rows whose fp is new vs batch 1, min doc_id within batch 2.
+    "q_incr_dedup" ->
+      """WITH b1 AS (SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id < 250),
+        |b2 AS (SELECT MD5(text) AS fp, MIN(doc_id) AS doc_id
+        |       FROM documents WHERE doc_id >= 250 GROUP BY 1)
+        |SELECT doc_id, fp FROM b2 WHERE fp NOT IN (SELECT fp FROM b1)
+        |ORDER BY doc_id""".stripMargin,
     "q_substring_strip" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |g AS (SELECT doc_id, k - 1 AS pos,

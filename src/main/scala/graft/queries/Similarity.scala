@@ -360,6 +360,81 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC dedup clusters (SemDeDup shape): the embedding-cosine
+    // candidate pairs of q_embed_neardup fed into the SAME hash-min CC
+    // kernel that clusters the minhash candidates — completing
+    // minhash/embedding dedup symmetry. Each candidate pair acts as a
+    // 2-member "bucket" of the bipartite doc–bucket graph, so the
+    // iteration cost is |pairs| rows per hop, checkpointed, bounded —
+    // identical scale posture to q_dedup_cluster. Blocking is by label
+    // (block-local pairs, never all-pairs); at 100 TB the label blocks
+    // would come from a coarse quantizer (q_ann_ivf's assignment pass).
+    "q_semdedup_cluster" -> ((s, d) => {
+      val q = quantized(s, d)
+      val a = q.select(col("label").as("la"), col("vec_id").as("a_id"),
+        col("qv").as("qa"), col("nq").as("na"))
+      val b = q.select(col("label").as("lb"), col("vec_id").as("b_id"),
+        col("qv").as("qb"), col("nq").as("nb"))
+      val pairs = a.join(b, col("la") === col("lb") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a_id"), col("b_id"))
+      val bucket = concat(col("a_id").cast("string"), lit("|"), col("b_id").cast("string"))
+      val memb = pairs.select(col("a_id").as("doc_id"), bucket.as("bucket"))
+        .union(pairs.select(col("b_id").as("doc_id"), bucket.as("bucket")))
+      val ids = load(s, d, "embeddings").select(col("vec_id").as("doc_id"))
+      hashMinLabels(memb, ids)
+        .select(col("doc_id").as("vec_id"), col("lbl").as("cluster"),
+          (col("doc_id") === col("lbl")).as("is_canon"))
+        .orderBy("vec_id")
+    }),
+
+    // Deterministic-hyperplane LSH ANN: q_ann_lsh's shape with the
+    // splitmix64 UDF weights replaced by a pure-SQL ±1 hyperplane
+    // family (md5 parity of (plane, dim)) — every stage is expressible
+    // in both engines, so this variant is FULLY oracled (q_ann_lsh
+    // keeps the recall-vs-brute-force spec). Signature build is
+    // corpus-linear: explode to (vec, dim), 16 row-local ±1
+    // contributions, two map-side-combining aggregates; candidates
+    // join on (band, nibble) buckets, never all-pairs.
+    "q_ann_lsh_det" -> ((s, d) => {
+      val q = quantized(s, d)
+      val e = q.select(col("vec_id"), posexplode(col("qv")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("v"))
+      val sig = e.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 15), j -> named_struct('j', j, 'c'," +
+            " v * CAST((instr('0123456789abcdef', substr(md5(CAST(concat(j, '|', i) AS BINARY)), 1, 1)) - 1) % 2 * 2 - 1 AS BIGINT)))")).as("jc"))
+        .groupBy(col("vec_id"), col("jc.j").as("j"))
+        .agg(sum(col("jc.c")).as("s"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("CASE WHEN s >= 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("sig"))
+      val bands = q.join(sig, "vec_id")
+        .select(col("vec_id"), col("qv"), col("nq"),
+          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+            "'band', b, 'nibble', shiftright(sig, b * 4) % 16))")).as("bn"))
+        .select(col("vec_id"), col("qv"), col("nq"),
+          col("bn.band").as("band"), col("bn.nibble").as("nibble"))
+      val left = bands.filter(col("vec_id") < 50)
+        .select(col("band").as("xband"), col("nibble").as("xnibble"),
+          col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na"))
+      val cands = left.join(bands,
+          col("xband") === col("band") && col("xnibble") === col("nibble") &&
+            col("a_id") =!= col("vec_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"), col("qa"), col("na"),
+          col("qv").as("qb"), col("nq").as("nb"))
+        .dropDuplicates("a_id", "b_id")
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      cands
+        .select(col("a_id"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("cosine"), col("rn").cast("long").as("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
     // Word-bigram Jaccard similarity for doc pairs (bounded block),
     // integer basis points; pairs sharing no bigram drop out.
     "q_ngram_jaccard" -> ((s, d) => {
@@ -525,6 +600,56 @@ object Similarity {
         |  d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_canon
         |FROM documents d LEFT JOIN c ON c.n = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_semdedup_cluster" ->
+      """WITH RECURSIVE q AS (SELECT vec_id, label,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |         FROM e a JOIN e b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |pr AS (SELECT a_id, b_id FROM (
+        |  SELECT a_id, b_id,
+        |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+        |  WHERE cosine >= 0.35),
+        |ed AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+        |r AS (SELECT a AS nd, a AS lbl FROM (SELECT DISTINCT a FROM ed)
+        |      UNION SELECT ed.b, r.lbl FROM r JOIN ed ON ed.a = r.nd),
+        |c AS (SELECT nd, MIN(lbl) AS cluster FROM r GROUP BY nd)
+        |SELECT em.vec_id, COALESCE(c.cluster, em.vec_id) AS cluster,
+        |  em.vec_id = COALESCE(c.cluster, em.vec_id) AS is_canon
+        |FROM embeddings em LEFT JOIN c ON c.nd = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+    "q_ann_lsh_det" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |contrib AS (SELECT vec_id, j,
+        |    SUM(v * ((STRPOS('0123456789abcdef', SUBSTR(MD5(j || '|' || i), 1, 1)) - 1) % 2 * 2 - 1)) AS s
+        |  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS j)
+        |  GROUP BY vec_id, j),
+        |sig AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM contrib GROUP BY vec_id),
+        |bd AS (SELECT vec_id, band, (sig // CAST(POW(2, band * 4) AS BIGINT)) % 16 AS nibble
+        |       FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)),
+        |cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM bd a JOIN bd b ON a.band = b.band AND a.nibble = b.nibble
+        |            AND a.vec_id < 50 AND a.vec_id <> b.vec_id),
+        |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+        |       FROM cands c JOIN e ea ON ea.vec_id = c.a_id
+        |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        |       GROUP BY c.a_id, c.b_id),
+        |pc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
+        |SELECT a_id, b_id, cosine, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id < 40),
          |bg AS (SELECT DISTINCT doc_id, bg FROM

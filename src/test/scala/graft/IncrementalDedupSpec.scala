@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.IncrementalDedup
+import org.apache.spark.sql.functions._
+
+/** Incremental cross-batch dedup against a persisted fingerprint store
+  * (operators/IncrementalDedup): batch N+1 drops duplicates of batches
+  * 1..N touching only the delta and the store — never the corpus. */
+class IncrementalDedupSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("batch N+1 drops exact dupes of batches 1..N via the store only") {
+    val store = Files.createTempDirectory("graft-dedup-store")
+      .resolve("store").toString
+    val b1 = docs.filter(col("doc_id") < 200)
+    val b2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val b3 = docs.filter(col("doc_id") >= 350)
+
+    val k1 = IncrementalDedup.dedupDelta(spark, b1, store).collect()
+    val k2 = IncrementalDedup.dedupDelta(spark, b2, store).collect()
+    val k3 = IncrementalDedup.dedupDelta(spark, b3, store).collect()
+
+    // equivalence with a single-pass full-corpus dedup: the union of the
+    // three incremental survivor sets must equal min-doc_id-per-fp over
+    // the whole corpus (batches are doc_id-ordered, so the global min id
+    // of every fp lands in the earliest batch containing it)
+    val full = docs
+      .select(md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val incr = (k1 ++ k2 ++ k3).map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(incr === full)
+
+    // the store holds exactly the admitted fingerprints, no dupes
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === full.size)
+    assert(stored.select("fp").distinct().count() === full.size)
+
+    // idempotence: re-dedup of an already-ingested batch yields nothing
+    assert(IncrementalDedup.dedupDelta(spark, b2, store).count() === 0)
+  }
+
+  test("the store alone governs drops (no corpus recompute involved)") {
+    val store = Files.createTempDirectory("graft-dedup-store2")
+      .resolve("store").toString
+    val delta = docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+    // plant ONE victim fingerprint in the store by hand — if dedup
+    // consulted anything but the store, this row could not be dropped
+    val victimFp = delta.filter(col("doc_id") === 105)
+      .select(md5(col("text").cast("binary"))).head().getString(0)
+    import spark.implicits._
+    Seq((victimFp, 9999L)).toDF("fp", "doc_id")
+      .write.parquet(store)
+    val kept = IncrementalDedup.dedupDelta(spark, delta, store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(105L))
+    assert(kept === (100L until 110L).toSet - 105L)
+  }
+
+  test("survivors stay valid after the store files are deleted (checkpointed)") {
+    val tmp = Files.createTempDirectory("graft-dedup-store3")
+    val store = tmp.resolve("store").toString
+    val kept = IncrementalDedup.dedupDelta(
+      spark, docs.filter(col("doc_id") < 50), store)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    assert(kept.count() > 0) // plan no longer depends on the store files
+  }
+}
