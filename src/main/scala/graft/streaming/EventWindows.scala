@@ -116,6 +116,37 @@ object EventWindows {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Watermarked 2-step funnel (view → click within 30 minutes): the
+    * streaming twin of `q_funnel`'s first transition. Same bounded-state
+    * interval-join shape as [[clickAttribution]], but FORWARD in time:
+    * a click converts a view if it lands strictly after it and within
+    * the 30-minute horizon, so view state evicts once the watermark
+    * passes `view_ts + 30 min`. */
+  def funnelSteps(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    v.join(c,
+      expr("v_user = c_user AND click_ts > view_ts" +
+        " AND click_ts <= view_ts + INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
+  /** Funnel conversions rolled up per (user, hour): CHAINED stateful
+    * stages — interval join, then a windowed aggregate on the join
+    * output's event time (first conversion + step count). Both stages'
+    * state is watermark-bounded; the per-(user, window) key keeps the
+    * aggregate bounded too (a global per-user min would grow with the
+    * user population forever). Emission trails the watermark by design:
+    * a (user, hour) row is final only when no late click can join. */
+  def funnelConversions(views: DataFrame, clicks: DataFrame): DataFrame =
+    funnelSteps(views, clicks)
+      .groupBy(col("user_id"), window(col("click_ts"), "1 hour").as("w"))
+      .agg(min(col("click_ts")).as("first_conv"), count(lit(1)).as("n_steps"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("first_conv"), col("n_steps"))
+
   /** Stream–static enrichment join: streaming events against a static
     * (batch) dimension. No watermark and no join state needed — the
     * static side is re-planned per micro-batch (picking up dim updates

@@ -278,4 +278,48 @@ class EventsStreamingSpec extends SparkTestBase {
       assert(pairs().size == 2, s"late purchase must not match: ${pairs()}")
     } finally q.stop()
   }
+
+  test("streaming 2-step funnel (chained stateful stages) == batch; windows close at watermark") {
+    val views = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val conv = graft.streaming.EventWindows.funnelConversions(
+      views.toDF(), clicks.toDF())
+    val q = conv.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    def rows() = spark.table("funnel_stream")
+      .select(col("user_id"), date_format(col("w_start"), "HH:mm").as("w"),
+        date_format(col("first_conv"), "HH:mm").as("f"), col("n_steps"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    try {
+      // u1: view 10:00 → clicks 10:10 + 10:12 convert; 11:30 is outside
+      // the 30-min horizon. u2: view only. u3: click with no prior view.
+      views.addData(ev("2024-01-01 10:00:00", u = 1, typ = "view"),
+        ev("2024-01-01 10:05:00", u = 2, typ = "view"))
+      clicks.addData(ev("2024-01-01 10:10:00", u = 1),
+        ev("2024-01-01 10:12:00", u = 1), ev("2024-01-01 10:10:00", u = 3),
+        ev("2024-01-01 11:30:00", u = 1))
+      q.processAllAvailable()
+      // push the watermark past both stateful stages' horizons so the
+      // 10:00 aggregate window finalizes (15:00 pair joins nothing:
+      // click_ts > view_ts is strict)
+      views.addData(ev("2024-01-01 15:00:00", u = 9, typ = "view"))
+      clicks.addData(ev("2024-01-01 15:00:00", u = 9))
+      q.processAllAvailable()
+      val expected = Set((1L, "10:00", "10:10", 2L))
+      assert(rows() == expected, rows().toString)
+
+      // identical composition, batch semantics, non-late rows → equal
+      val bv = Seq(ev("2024-01-01 10:00:00", u = 1, typ = "view"),
+        ev("2024-01-01 10:05:00", u = 2, typ = "view"),
+        ev("2024-01-01 15:00:00", u = 9, typ = "view")).toDF()
+      val bc = Seq(ev("2024-01-01 10:10:00", u = 1), ev("2024-01-01 10:12:00", u = 1),
+        ev("2024-01-01 10:10:00", u = 3), ev("2024-01-01 11:30:00", u = 1),
+        ev("2024-01-01 15:00:00", u = 9)).toDF()
+      val batch = graft.streaming.EventWindows.funnelConversions(bv, bc)
+        .select(col("user_id"), date_format(col("w_start"), "HH:mm").as("w"),
+          date_format(col("first_conv"), "HH:mm").as("f"), col("n_steps"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(batch == expected, batch.toString)
+    } finally q.stop()
+  }
 }
