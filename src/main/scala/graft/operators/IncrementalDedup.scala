@@ -56,4 +56,40 @@ object IncrementalDedup {
     materialized.write.mode("append").parquet(storePath)
     materialized
   }
+
+  /** NEAR-dup variant of [[dedupDelta]]: the store holds minhash LSH
+    * band signatures (band-bucket ids) instead of exact body hashes, so
+    * a delta document drops when it is a near-duplicate — shares ANY of
+    * its 4 band buckets — of an already-retained document. Within the
+    * delta, a document survives only if every one of its buckets has no
+    * smaller delta doc_id (greedy earliest-wins, the LSH-bucket analogue
+    * of min-id-per-fp). Only survivors' signatures enter the store:
+    * dedup is against the RETAINED corpus, so a doc colliding only with
+    * a previously-dropped near-dup is kept. Scale shape: the
+    * within-delta check is a bucket-grouped min + equi-join (a hot
+    * bucket of k docs costs k rows, never k²); the store check is one
+    * semi-join on the signature key. Returns the kept doc_ids. */
+  def dedupDeltaNear(spark: SparkSession, delta: DataFrame, storePath: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    import graft.queries.Similarity
+    val memb = Checkpoints.ckpt(
+      Similarity.lshBuckets(Similarity.fourGramShingles(delta)))
+    val ids = delta.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val bucketMin = memb.groupBy(col("bucket")).agg(min(col("doc_id")).as("mn"))
+    val withinDrop = memb.join(bucketMin, "bucket")
+      .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
+    val dropped =
+      if (storeExists(spark, storePath)) {
+        val store = spark.read.parquet(storePath)
+        withinDrop.union(
+          memb.join(store.select(col("bucket")), Seq("bucket"), "left_semi")
+            .select(col("doc_id")).distinct())
+      } else withinDrop
+    // materialize BEFORE extending the store (same rationale as above)
+    val kept = Checkpoints.ckpt(ids.join(dropped, Seq("doc_id"), "left_anti"))
+    memb.join(kept, Seq("doc_id"), "left_semi")
+      .select(col("bucket"), col("doc_id"))
+      .write.mode("append").parquet(storePath)
+    kept
+  }
 }

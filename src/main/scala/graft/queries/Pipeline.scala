@@ -362,6 +362,23 @@ object Pipeline {
       kept2.select(col("doc_id"), col("fp")).orderBy("doc_id")
     }),
 
+    // NEAR-dup sibling of q_incr_dedup: the persisted store carries
+    // minhash LSH band signatures, so batch 2 drops near-duplicates of
+    // batch 1's RETAINED docs (and of smaller same-batch docs) without
+    // recomputing the corpus — the minhash half of the "md5/minhash
+    // fingerprint store" pair.
+    "q_incr_neardup" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incr_near")
+      val store = tmp.resolve("store").toString
+      graft.operators.IncrementalDedup.dedupDeltaNear(
+        s, docs.filter(col("doc_id") < 250), store)
+      val kept2 = graft.operators.IncrementalDedup.dedupDeltaNear(
+        s, docs.filter(col("doc_id") >= 250), store)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      kept2.orderBy("doc_id")
+    }),
+
     // Chunk-level exact dedup: non-overlapping 4-token chunks, md5
     // grouped corpus-wide, buckets with >1 occurrence — the
     // boilerplate-paragraph detector of a real pipeline (shared
@@ -796,6 +813,36 @@ object Pipeline {
         |b2 AS (SELECT MD5(text) AS fp, MIN(doc_id) AS doc_id
         |       FROM documents WHERE doc_id >= 250 GROUP BY 1)
         |SELECT doc_id, fp FROM b2 WHERE fp NOT IN (SELECT fp FROM b1)
+        |ORDER BY doc_id""".stripMargin,
+    // Full-recompute twin of the minhash-store incremental near-dup:
+    // batch-1 survivors' band signatures form the store; a batch-2 doc
+    // survives iff no bucket collides with the store or a smaller
+    // batch-2 doc.
+    "q_incr_neardup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+        |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+        |      GROUP BY doc_id, i),
+        |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+        |      FROM h GROUP BY doc_id, i // 2),
+        |b1 AS (SELECT * FROM b WHERE doc_id < 250),
+        |d1 AS (SELECT DISTINCT x.doc_id FROM b1 x
+        |       JOIN (SELECT band, sig, MIN(doc_id) AS mn FROM b1 GROUP BY 1, 2) m
+        |         ON x.band = m.band AND x.sig = m.sig AND m.mn < x.doc_id),
+        |st AS (SELECT band, sig FROM b1
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        |b2 AS (SELECT * FROM b WHERE doc_id >= 250),
+        |d2 AS (SELECT DISTINCT x.doc_id FROM b2 x
+        |       JOIN (SELECT band, sig, MIN(doc_id) AS mn FROM b2 GROUP BY 1, 2) m
+        |         ON x.band = m.band AND x.sig = m.sig AND m.mn < x.doc_id
+        |       UNION
+        |       SELECT DISTINCT x.doc_id FROM b2 x
+        |       JOIN st ON x.band = st.band AND x.sig = st.sig)
+        |SELECT doc_id FROM documents WHERE doc_id >= 250
+        |  AND doc_id NOT IN (SELECT doc_id FROM d2)
         |ORDER BY doc_id""".stripMargin,
     "q_substring_strip" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),

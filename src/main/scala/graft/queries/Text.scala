@@ -192,76 +192,110 @@ object Text {
     // string is checkpointed per round so lineage stays flat. At 100 TB
     // a production trainer would batch several non-interacting merges
     // per pass; one merge per pass keeps the oracle exactly unrollable.
-    "q_bpe_train" -> ((s, d) => {
-      val nMerges = 8
-      val enc0 = load(s, d, "documents")
-        .select(expr(
-          "concat_ws('', transform(filter(split(text, ' '), x -> x rlike '^[a-z]+$')," +
-            " t -> concat('(', t, ')')))").as("enc"))
-        .filter(length(col("enc")) > 0)
-      var enc = graft.Checkpoints.ckpt(enc0)
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= nMerges && !exhausted) {
-        val top = enc
-          .select(expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
-          .filter(size(col("toks")) >= 2)
-          .select(explode(expr(
-            "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-              " (a, b) -> named_struct('l', a, 'r', b))")).as("p"))
-          .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val l = top(0).getString(0); val r = top(0).getString(1)
-          merges += ((step, l, r, l + r, top(0).getLong(2)))
-          enc = graft.Checkpoints.ckpt(enc.select(
-            expr(s"replace(enc, '($l)($r)', '(${l + r})')").as("enc")))
-          step += 1
-        }
-      }
-      s.createDataFrame(merges.result())
-        .toDF("step", "l_tok", "r_tok", "merged", "cnt")
-    })
+    "q_bpe_train" -> ((s, d) =>
+      s.createDataFrame(bpeLoop(s, d, 8)._1)
+        .toDF("step", "l_tok", "r_tok", "merged", "cnt")),
+
+    // The APPLY side of BPE: the corpus re-tokenized under the learned
+    // merge table — per doc, the post-merge token count and a content
+    // hash of the merged token stream. Runs the same 8-round fixpoint
+    // (training and application share the encoded-corpus frame, so at
+    // 100 TB the apply output falls out of the training loop's final
+    // checkpoint for free — no separate pass).
+    "q_bpe_apply" -> ((s, d) =>
+      bpeLoop(s, d, 8)._2
+        .select(col("doc_id"),
+          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+          md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
+        .orderBy("doc_id"))
   )
 
-  /** Unrolled N-step DuckDB twin of q_bpe_train: step i recounts pairs
-    * from e(i-1), m(i) is the deterministic argmax (cnt DESC, pair ASC),
-    * e(i) applies the replace — the exact driver loop as a CTE chain.
-    * Every chained CTE is MATERIALIZED (PostgreSQL-compatible): each
-    * e(i) is referenced twice (pair count + replace), so inlined CTEs
-    * would expand to 2^n scans of the base table. */
-  private def bpeTrainOracle(n: Int): String = {
+  /** Shared BPE fixpoint: N merge rounds over the paren-encoded corpus
+    * (doc_id retained so the apply side can join nothing — the final
+    * frame IS the tokenization). Returns (merge table, final corpus). */
+  private def bpeLoop(s: SparkSession, d: String, nMerges: Int)
+  : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val enc0 = load(s, d, "documents")
+      .select(col("doc_id"), expr(
+        "concat_ws('', transform(filter(split(text, ' '), x -> x rlike '^[a-z]+$')," +
+          " t -> concat('(', t, ')')))").as("enc"))
+      .filter(length(col("enc")) > 0)
+    var enc = graft.Checkpoints.ckpt(enc0)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = enc
+        .select(expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+        .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0); val r = top(0).getString(1)
+        merges += ((step, l, r, l + r, top(0).getLong(2)))
+        enc = graft.Checkpoints.ckpt(enc.select(col("doc_id"),
+          expr(s"replace(enc, '($l)($r)', '(${l + r})')").as("enc")))
+        step += 1
+      }
+    }
+    (merges.result(), enc)
+  }
+
+  /** Unrolled N-step DuckDB twin of the BPE fixpoint: step i recounts
+    * pairs from e(i-1), m(i) is the deterministic argmax (cnt DESC, pair
+    * ASC), e(i) applies the replace — the exact driver loop as a CTE
+    * chain. Every chained CTE is MATERIALIZED (PostgreSQL-compatible):
+    * each e(i) is referenced twice (pair count + replace), so inlined
+    * CTEs would expand to 2^n scans of the base table. `finalSelect`
+    * chooses the output: the merge table (train) or the re-tokenized
+    * corpus read from e(n) (apply). */
+  private def bpeChain(n: Int, withFinalE: Boolean): String = {
     val enc0 =
-      "SELECT ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(text, ' '), " +
+      "SELECT doc_id, ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(text, ' '), " +
         "x -> regexp_full_match(x, '[a-z]+')), t -> '(' || t || ')'), '') AS enc FROM documents"
     val steps = (1 to n).map { i =>
-      val last = i == n
+      val needE = withFinalE || i < n
       s"""p$i AS MATERIALIZED (SELECT toks[k] AS l_tok, toks[k + 1] AS r_tok, COUNT(*) AS cnt
          |  FROM (SELECT REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1) AS toks FROM e${i - 1}) t,
          |       UNNEST(RANGE(1, LEN(toks))) AS u(k)
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l_tok, r_tok, l_tok || r_tok AS merged, cnt FROM p$i
          |  ORDER BY cnt DESC, l_tok, r_tok LIMIT 1)""".stripMargin +
-        (if (last) "" else
+        (if (!needE) "" else
           s""",
-             |e$i AS MATERIALIZED (SELECT REPLACE(enc,
+             |e$i AS MATERIALIZED (SELECT doc_id, REPLACE(enc,
              |  '(' || (SELECT l_tok FROM m$i) || ')(' || (SELECT r_tok FROM m$i) || ')',
              |  '(' || (SELECT merged FROM m$i) || ')') AS enc FROM e${i - 1})""".stripMargin)
     }
-    s"WITH e0 AS MATERIALIZED (SELECT enc FROM ($enc0) WHERE enc <> ''),\n" +
-      steps.mkString(",\n") + "\n" +
+    s"WITH e0 AS MATERIALIZED (SELECT doc_id, enc FROM ($enc0) WHERE enc <> ''),\n" +
+      steps.mkString(",\n") + "\n"
+  }
+
+  private def bpeTrainOracle(n: Int): String =
+    bpeChain(n, withFinalE = false) +
       (1 to n).map(i => s"SELECT $i AS step, l_tok, r_tok, merged, cnt FROM m$i")
         .mkString(" UNION ALL ") + " ORDER BY step"
-  }
+
+  private def bpeApplyOracle(n: Int): String =
+    bpeChain(n, withFinalE = true) +
+      s"""SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |  MD5(ARRAY_TO_STRING(toks, ' ')) AS toks_md5
+         |FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1) AS toks FROM e$n)
+         |ORDER BY doc_id""".stripMargin
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
+    "q_bpe_apply" -> bpeApplyOracle(8),
     "q_bpe_step" ->
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |pairs AS (SELECT toks[k] || ' ' || toks[k + 1] AS pair

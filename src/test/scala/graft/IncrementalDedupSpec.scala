@@ -59,6 +59,37 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(kept === (100L until 110L).toSet - 105L)
   }
 
+  test("near-dup store: batch 2 drops near-duplicates of batch 1's RETAINED docs only") {
+    val store = Files.createTempDirectory("graft-neardup-store")
+      .resolve("store").toString
+    import spark.implicits._
+    def doc(id: Long, text: String) = (id, text)
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    // b1: 10 and 11 are exact dups (11 drops, only 10's sigs stored);
+    // 12 is unrelated
+    val b1 = Seq(doc(10, base), doc(11, base),
+      doc(12, "completely different words about spark shuffles and parquet files here now"))
+      .toDF("doc_id", "text")
+    val k1 = operators.IncrementalDedup.dedupDeltaNear(spark, b1, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(k1 === Set(10L, 12L))
+    // b2: 20 is a NEAR-dup of 10 (one word changed → shares bands);
+    // 21 is novel; 22+23 are an exact pair unrelated to 21 (22 wins)
+    val other = "a totally novel sentence mentioning catalyst optimizer rules and codegen stages in detail"
+    val pair = "rivers wind through quiet valleys carrying cold water past tall pines and granite cliffs"
+    val b2 = Seq(
+      doc(20, base.replace("today", "tonight")),
+      doc(21, other),
+      doc(22, pair),
+      doc(23, pair)).toDF("doc_id", "text")
+    val k2 = operators.IncrementalDedup.dedupDeltaNear(spark, b2, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(!k2.contains(20L), s"near-dup of a retained doc must drop: $k2")
+    assert(k2.contains(21L) && k2.contains(22L) && !k2.contains(23L), k2.toString)
+    // idempotence: the whole batch is now near-dup of the store
+    assert(operators.IncrementalDedup.dedupDeltaNear(spark, b2, store).count() === 0)
+  }
+
   test("survivors stay valid after the store files are deleted (checkpointed)") {
     val tmp = Files.createTempDirectory("graft-dedup-store3")
     val store = tmp.resolve("store").toString
