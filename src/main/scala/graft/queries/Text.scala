@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (driver-mandated extension
@@ -146,6 +147,34 @@ object Text {
         .withColumn("score_bp",
           expr("(4 * stop_bp + 3 * (10000 - punct_bp) + 3 * len_bp) DIV 10"))
         .orderBy("doc_id")),
+
+    // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): every window of 4 consecutive char-8-gram hashes
+    // contributes its minimum, and the distinct selected hashes form the
+    // document's fingerprint set — guaranteed to share fingerprints with
+    // any copy of a ≥11-char substring, unlike the single-global-min
+    // q_fingerprint_rolling. Shapes: positioned hash explode (row-local),
+    // doc-stratified forward-frame window min, distinct + hash agg — the
+    // only shuffle keys are doc_id, so the op scales with the corpus.
+    "q_winnow" -> ((s, d) => {
+      val g = load(s, d, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          "CASE WHEN length(text) >= 8 THEN transform(sequence(1, length(text) - 7)," +
+            " i -> md5(CAST(substring(text, i, 8) AS BINARY)))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p")).rowsBetween(0, 3)
+      val wp = Window.partitionBy(col("doc_id"))
+      g.withColumn("wmin", min(col("h")).over(w))
+        .withColumn("maxpos", max(col("p")).over(wp))
+        .filter(col("p") <= col("maxpos") - 3)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          md5(array_join(array_sort(collect_list(col("wmin"))), "")
+            .cast("binary")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
 
     // UDTF shape (one row → many with ordinal): split each document into
     // sentence-ish chunks on the word 'table', keep the ordinal.
@@ -296,6 +325,18 @@ object Text {
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_apply" -> bpeApplyOracle(8),
+    "q_winnow" ->
+      """WITH g AS (SELECT doc_id, k AS pos, MD5(SUBSTR(text, k, 8)) AS h
+        |           FROM documents, UNNEST(RANGE(1, LENGTH(text) - 6)) AS u(k)),
+        |wm AS (SELECT doc_id, pos,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |         MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |       FROM g),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= maxpos - 3)
+        |SELECT doc_id, COUNT(*) AS n_fp,
+        |  MD5(ARRAY_TO_STRING(LIST(wmin ORDER BY wmin), '')) AS fp_md5
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bpe_step" ->
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |pairs AS (SELECT toks[k] || ' ' || toks[k + 1] AS pair

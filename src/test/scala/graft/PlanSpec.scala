@@ -192,4 +192,41 @@ class PlanSpec extends SparkTestBase {
     // run grouping is per-doc — a global window would serialize the corpus
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("det-LSH ANN: candidate join is a (band,nibble) equi-join, never nested-loop") {
+    val p = plan(Similarity.queries("q_ann_lsh_det")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("winnowing fingerprints: doc-stratified windows, no single-partition exchange") {
+    val p = plan(graft.queries.Text.queries("q_winnow")(spark, sfDir))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("incremental near-dup dedup: store check is a semi-join on the signature, no cartesian") {
+    val store = java.nio.file.Files.createTempDirectory("graft-plan-near")
+      .resolve("store").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    // seed the store so the store-check branch is in the plan
+    graft.operators.IncrementalDedup.dedupDeltaNear(
+      spark, docs.filter("doc_id < 50"), store)
+    // build (without executing) the second batch's plan
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val delta = docs.filter("doc_id >= 50")
+    val memb = Similarity.lshBuckets(Similarity.fourGramShingles(delta))
+    val bucketMin = memb.groupBy(col("bucket")).agg(fmin(col("doc_id")).as("mn"))
+    val withinDrop = memb.join(bucketMin, "bucket")
+      .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
+    val dropped = withinDrop.union(
+      memb.join(spark.read.parquet(store).select(col("bucket")),
+        Seq("bucket"), "left_semi").select(col("doc_id")).distinct())
+    val kept = delta.select(col("doc_id")).distinct()
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val p = plan(kept)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
 }
