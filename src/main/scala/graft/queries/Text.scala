@@ -148,6 +148,34 @@ object Text {
           expr("(4 * stop_bp + 3 * (10000 - punct_bp) + 3 * len_bp) DIV 10"))
         .orderBy("doc_id")),
 
+    // Bigram language-model quality scoring (the CCNet-style LM filter,
+    // integer-exact): corpus-wide unigram and bigram counts give an
+    // empirical conditional probability for every adjacent pair; a doc's
+    // score is the mean p̂(w2|w1) over its bigrams in basis points —
+    // low-probability (junky/unnatural) text scores low. Pure count
+    // ratios instead of log-perplexity keep it engine-portable (DIV on
+    // BIGINTs, no float log). Shapes: two map-side-combining count aggs
+    // + equi-joins on short word keys — corpus-linear; the vocabulary
+    // side is broadcast-able and the planner decides.
+    "q_lm_score" -> ((s, d) => {
+      val t = load(s, d, "documents").withColumn("toks", expr(tokens))
+      val inst = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> named_struct('w1', a, 'w2', b))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val bg = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      inst.join(bg, Seq("w1", "w2"))
+        .join(uni, col("w1") === col("w"))
+        .select(col("doc_id"), expr("cb * 10000 DIV cu").as("p_bp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          expr("CAST(sum(p_bp) DIV count(1) AS BIGINT)").as("score_bp"))
+        .orderBy("doc_id")
+    }),
+
     // WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     // algorithm): every window of 4 consecutive char-8-gram hashes
     // contributes its minimum, and the distinct selected hashes form the
@@ -325,6 +353,18 @@ object Text {
   val oracles: Map[String, String] = Map(
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_apply" -> bpeApplyOracle(8),
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |inst AS (SELECT doc_id, toks[k] AS w1, toks[k + 1] AS w2
+         |         FROM t, UNNEST(RANGE(1, LEN(toks))) AS u(k)),
+         |uni AS (SELECT w, COUNT(*) AS cu FROM
+         |        (SELECT UNNEST(toks) AS w FROM t) GROUP BY w),
+         |bg AS (SELECT w1, w2, COUNT(*) AS cb FROM inst GROUP BY 1, 2),
+         |sc AS (SELECT i.doc_id, CAST(cb * 10000 // cu AS BIGINT) AS p_bp
+         |       FROM inst i JOIN bg USING (w1, w2) JOIN uni ON uni.w = i.w1)
+         |SELECT doc_id, COUNT(*) AS n_bg,
+         |  CAST(SUM(p_bp) // COUNT(*) AS BIGINT) AS score_bp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winnow" ->
       """WITH g AS (SELECT doc_id, k AS pos, MD5(SUBSTR(text, k, 8)) AS h
         |           FROM documents, UNNEST(RANGE(1, LENGTH(text) - 6)) AS u(k)),

@@ -279,6 +279,46 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom mergeable top-k sketch aggregates under streaming state == batch") {
+    // TypedImperativeAggregate state must serialize into the streaming
+    // state store and merge across micro-batches — the property that
+    // makes the sketch family (topk/qsketch/freq_items/HLL) usable for
+    // production streaming monitoring, not just batch.
+    graft.functions.TopKSketch.register(spark)
+    val input = MemoryStream[Ev](spark)
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("graft_topk(CAST(user_id AS STRING), CAST(ROUND(value * 100) AS BIGINT), 2)").as("tk"))
+      .select(date_format(col("w.start"), "HH:mm").as("h"),
+        expr("transform(tk, x -> x.item)").as("items"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("append").start()
+    try {
+      // micro-batch 1 and 2 both touch the 10:00 window — the sketch
+      // state must merge across batches, not reset
+      input.addData(ev("2024-01-01 10:05:00", u = 1, v = 5.0),
+        ev("2024-01-01 10:10:00", u = 2, v = 9.0))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 10:20:00", u = 3, v = 7.0))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 13:00:00", u = 9)) // close 10:00 window
+      q.processAllAvailable()
+      val got = spark.table("topk_stream")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(got.get("10:00").contains(List("2", "3")), got.toString) // 9.0, 7.0 win
+      val batch = Seq(ev("2024-01-01 10:05:00", u = 1, v = 5.0),
+        ev("2024-01-01 10:10:00", u = 2, v = 9.0),
+        ev("2024-01-01 10:20:00", u = 3, v = 7.0)).toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(expr("graft_topk(CAST(user_id AS STRING), CAST(ROUND(value * 100) AS BIGINT), 2)").as("tk"))
+        .select(date_format(col("w.start"), "HH:mm").as("h"),
+          expr("transform(tk, x -> x.item)").as("items"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      assert(batch("10:00") == got("10:00"), s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming 2-step funnel (chained stateful stages) == batch; windows close at watermark") {
     val views = MemoryStream[Ev](spark)
     val clicks = MemoryStream[Ev](spark)
