@@ -43,6 +43,37 @@ case class RollingMinHash(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) as one
+  * primitive loop per row — the same escalation story as
+  * [[RollingMinHash]]: the declarative form (explode ~|text| hash rows,
+  * doc-stratified window min, re-aggregate) pays a million-row explode
+  * plus a per-doc sort at sf0.1 (~6 s) for an operation that is
+  * inherently row-local. `graft_winnow(text, width, window)` returns the
+  * SORTED distinct selected hashes (min md5 of each `window` of
+  * consecutive `width`-char grams) — bit-identical to the windowed SQL
+  * form and its DuckDB oracle; NULL when no full window exists. */
+case class WinnowFingerprints(child: Expression, width: Int, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // short texts yield NULL
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.winnow(input.asInstanceOf[UTF8String], width, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.winnow($c, $width, $window);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   private val HexDigits = "0123456789abcdef".toCharArray
 
@@ -89,6 +120,85 @@ object TextExprs {
     UTF8String.fromString(new String(hex))
   }
 
+  /** Sorted distinct winnowing fingerprints: min digest of every full
+    * `win`-length window of consecutive `width`-code-point gram hashes;
+    * null when no full window exists. Equal to the windowed-SQL form
+    * (window min over positioned gram hashes, distinct, sort).
+    * Static so generated code can call it. */
+  def winnow(text: UTF8String, width: Int, win: Int)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = text.toString
+    val cpCount = str.codePointCount(0, str.length)
+    val nGrams = cpCount - width + 1
+    val nAnchors = nGrams - win + 1
+    if (nAnchors <= 0) return null
+    val offs = new Array[Int](cpCount + 1)
+    var ci = 0
+    var cp = 0
+    while (ci < str.length) {
+      offs(cp) = ci
+      ci += Character.charCount(str.codePointAt(ci))
+      cp += 1
+    }
+    offs(cpCount) = str.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digests = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      digests(i) = md.digest(str.substring(offs(i), offs(i + width))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[Array[Byte]](
+      new java.util.Comparator[Array[Byte]] {
+        override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+          var k = 0
+          while (k < 16) {
+            val c = (a(k) & 0xff) - (b(k) & 0xff)
+            if (c != 0) return c
+            k += 1
+          }
+          0
+        }
+      })
+    // consecutive windows usually share their min (the classic winnowing
+    // dedup): reference equality on the shared digest object skips the
+    // TreeSet probe for those — equal-but-distinct digests still dedup
+    // inside the set
+    var lastAdded: Array[Byte] = null
+    var a = 0
+    while (a < nAnchors) {
+      var best = digests(a)
+      var j = 1
+      while (j < win) {
+        if (unsignedLt(digests(a + j), best)) best = digests(a + j)
+        j += 1
+      }
+      if (best ne lastAdded) {
+        sel.add(best)
+        lastAdded = best
+      }
+      a += 1
+    }
+    val out = new Array[AnyRef](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val d = it.next()
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+        j += 1
+      }
+      out(k) = UTF8String.fromString(new String(hex))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -101,11 +211,19 @@ object TextExprs {
   }
 
   /** Idempotently register on a session (same route as VectorExprs). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_rollminhash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "graft_rollminhash"),
       (exprs: Seq[Expression]) => RollingMinHash(
         exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_rollminhash", "width").toInt))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(
+        exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_winnow", "width").toInt,
+        VectorExprs.literalLong(exprs(2), "graft_winnow", "window").toInt))
+  }
 }

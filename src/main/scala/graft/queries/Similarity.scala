@@ -400,16 +400,29 @@ object Similarity {
     // join on (band, nibble) buckets, never all-pairs.
     "q_ann_lsh_det" -> ((s, d) => {
       val q = quantized(s, d)
-      val e = q.select(col("vec_id"), posexplode(col("qv")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("v"))
-      val sig = e.select(col("vec_id"), explode(expr(
-          "transform(sequence(0, 15), j -> named_struct('j', j, 'c'," +
-            " v * CAST((instr('0123456789abcdef', substr(md5(CAST(concat(j, '|', i) AS BINARY)), 1, 1)) - 1) % 2 * 2 - 1 AS BIGINT)))")).as("jc"))
-        .groupBy(col("vec_id"), col("jc.j").as("j"))
-        .agg(sum(col("jc.c")).as("s"))
-        .groupBy(col("vec_id"))
-        .agg(sum(expr("CASE WHEN s >= 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("sig"))
-      val bands = q.join(sig, "vec_id")
+      // ±1 hyperplane weights = md5 first-hex-digit parity of (plane j,
+      // dim i) — a pure function of (j, i), so it's evaluated ONCE per
+      // (j, i) on the driver and embedded as a 16×64 literal matrix; the
+      // signature is then one row-local fold per vector (the first
+      // formulation computed the md5 per (vector, j, i) row — 512k md5s
+      // — and paid two shuffles to reassemble the bits). The ORACLE
+      // still derives identical weights from MD5 in SQL.
+      val mdInst = java.security.MessageDigest.getInstance("MD5")
+      def planeW(j: Int, i: Int): Int = {
+        val dig = mdInst.digest(s"$j|$i".getBytes("UTF-8"))
+        ((dig(0) >> 4) & 0xf) % 2 * 2 - 1
+      }
+      // embeddings are 64-dim (TESTDATA.md); zip_with would null-pad on
+      // a mismatch, which the spec-level oracle equality would catch
+      val wLit = (0 until 16).map(j => (1 to 64).map(i => planeW(j, i))
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      val sigExpr = "aggregate(transform(sequence(0, 15), j -> IF(" +
+        s"aggregate(zip_with(qv, element_at($wLit, j + 1), (a, b) -> a * b)," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
+        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val bands = q
+        .select(col("vec_id"), col("qv"), col("nq"), expr(sigExpr).as("sig"))
         .select(col("vec_id"), col("qv"), col("nq"),
           explode(expr("transform(sequence(0, 3), b -> named_struct(" +
             "'band', b, 'nibble', shiftright(sig, b * 4) % 16))")).as("bn"))

@@ -199,10 +199,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("winnowing fingerprints: doc-stratified windows, no single-partition exchange") {
+  test("winnowing fingerprints are row-local — codegen'd expression, zero pre-sort shuffles") {
     val p = plan(graft.queries.Text.queries("q_winnow")(spark, sfDir))
+    assert(p.contains("graft_winnow"), p)
+    // the only exchange is the presentation sort's range partitioning —
+    // no hash shuffle, no single-partition collapse
+    assert(!p.contains("hashpartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
-    assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
   test("incremental near-dup dedup: store check is a semi-join on the signature, no cartesian") {

@@ -29,4 +29,32 @@ class TextExprsSpec extends SparkTestBase {
       else assert(fast == ref, s"mismatch on '$t': $fast vs $ref")
     }
   }
+
+  test("graft_winnow == declarative window-min form, incl. astral input and short-text null") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val fixtures = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaa",               // degenerate: all grams equal
+      "héllo wörld with ünïcode and more text here",
+      "emoji 😀 inside 🚀 the text goes on for a while",
+      "exactly11ch",                        // exactly one full window
+      "tenchars10",                         // one gram short of a window
+      "short")
+    // reference: min over each window of 4 consecutive 8-gram hashes,
+    // distinct, sorted — the formulation the DuckDB oracle uses
+    val ref = fixtures.toDF("t").select(col("t"), expr(
+      "CASE WHEN length(t) >= 11 THEN array_sort(array_distinct(" +
+        "transform(sequence(1, length(t) - 10), a -> " +
+        " array_min(transform(sequence(a, a + 3), i -> md5(CAST(substring(t, i, 8) AS BINARY)))))))" +
+        " ELSE NULL END").as("ref"))
+    val fast = fixtures.toDF("t").select(col("t"),
+      expr("graft_winnow(t, 8, 4)").as("fast"))
+    val refM = ref.collect().map(r => r.getString(0) -> Option(r.getSeq[String](1))).toMap
+    fast.collect().foreach { r =>
+      val t = r.getString(0)
+      val f = Option(r.getSeq[String](1))
+      assert(f.map(_.toList) === refM(t).map(_.toList), s"mismatch on '$t'")
+    }
+  }
 }
