@@ -287,6 +287,21 @@ object Multimodal {
     // Real WAVE decode via javax.sound.sampled — same oracle posture.
     "q_media_audio" -> ((s, d) =>
       decodeAudio(s, audioTable(s, d))
+        .orderBy("media_id")),
+
+    // Frame/stride sampling registered as a first-class oracled query:
+    // every 4th payload BYTE survives (frameSample's binary substring
+    // path — the declarative slice a real resize/frame-decimation
+    // kernel replaces). The oracle strides characters, which equals
+    // byte striding because the corpus payload is pure ASCII (asserted:
+    // OCTET_LENGTH(ENCODE(text)) == LENGTH(text) for every row at both
+    // SFs). Row-local, zero shuffles before the presentation sort.
+    "q_media_sample" -> ((s, d) =>
+      frameSample(mediaTable(s, d), 4)
+        .select(col("media_id"), col("kind"),
+          expr("CAST(size(sampled) AS BIGINT)").as("n_sampled"),
+          md5(expr("aggregate(sampled, CAST('' AS BINARY), (acc, x) -> concat(acc, x))"))
+            .as("sampled_md5"))
         .orderBy("media_id"))
   )
 
@@ -299,6 +314,14 @@ object Multimodal {
         |  MD5(text) AS content_md5,
         |  (doc_id % 16 + 1) * 64 AS width,
         |  (doc_id % 9 + 1) * 64 AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_media_sample" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST((LENGTH(text) + 3) // 4 AS BIGINT) AS n_sampled,
+        |  MD5(ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+        |    i -> CASE WHEN (i - 1) % 4 = 0 THEN SUBSTR(text, i, 1) ELSE '' END), '')) AS sampled_md5
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
