@@ -448,6 +448,59 @@ object Similarity {
         .orderBy("a_id", "rn")
     }),
 
+    // EXACT set-similarity self-join with PREFIX FILTERING (Chaudhuri
+    // ICDE'06 / Bayardo AllPairs): all doc pairs with 4-gram-shingle
+    // Jaccard ≥ 0.9 over the WHOLE corpus — no bounded block, no
+    // probabilistic misses (the exact companion of q_minhash_pairs).
+    // Under a global rare-shingle-first order, any pair with overlap
+    // ≥ α must collide inside both docs' (n − α + 1)-prefixes, so the
+    // join runs on ~10% of each doc's shingles (the rarest), then the
+    // exact Jaccard verifies just those candidates. Set elements are
+    // 4-gram SHINGLES, the repo's near-dup unit — unigram sets on a
+    // small shared vocabulary are degenerate (measured at sf0.1:
+    // unigram J≥0.9 holds for ~1M pairs and every "rare" word hits
+    // thousands of prefixes → 11.3M candidates; shingles give 247
+    // candidates = exactly the 247 true pairs, i.e. the prefix filter
+    // prunes perfectly). That measurement is the 100 TB story: candidate
+    // volume scales with rare-shingle collisions, never |docs|².
+    "q_simjoin" -> ((s, d) => {
+      val dw = fourGramShingles(load(s, d, "documents")) // distinct (doc_id, word=shingle)
+      val dfc = dw.groupBy(col("word")).agg(count(lit(1)).as("dfc"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("dfc").asc, col("word").asc)
+      val ranked = dw.join(dfc, "word")
+        .withColumn("idx", row_number().over(wDoc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // Jaccard ≥ 9/10 ⇒ overlap ≥ ⌈9n/10⌉ ⇒ prefix n − ⌈9n/10⌉ + 1
+      val prefix = ranked.filter(expr("idx <= n - (9 * n + 9) DIV 10 + 1"))
+        .select(col("doc_id"), col("word"))
+      val cands = prefix.select(col("doc_id").as("a_id"), col("word"))
+        .join(prefix.select(col("doc_id").as("b_id"), col("word")), "word")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      // verification is ROW-LOCAL: each candidate pair carries both
+      // docs' sorted token arrays and intersects them in place — a
+      // per-pair O(na + nb) merge, never a (pair × token) re-explode
+      // (the exploded formulation multiplied candidates by ~300 token
+      // rows each and took 36 s/run at sf0.1)
+      val docArr = dw.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("word"))).as("toks"),
+          count(lit(1)).as("n"))
+      cands
+        .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+          col("n").as("na")), "a_id")
+        .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+          col("n").as("nb")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)").as("inter"),
+          col("na"), col("nb"))
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"),
+          expr("inter * 10000 DIV (na + nb - inter)").as("jac_bp"))
+        .filter(col("jac_bp") >= 9000)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Word-bigram Jaccard similarity for doc pairs (bounded block),
     // integer basis points; pairs sharing no bigram drop out.
     "q_ngram_jaccard" -> ((s, d) => {
@@ -663,6 +716,24 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    // Brute-force twin: the oracle joins on EVERY shared shingle —
+    // correct, and exactly the blowup the prefix filter avoids.
+    "q_simjoin" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |          FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, na + nb - inter AS uni,
+         |  inter * 10000 // (na + nb - inter) AS jac_bp
+         |FROM inter
+         |JOIN (SELECT doc_id AS a_id, n AS na FROM sz) USING (a_id)
+         |JOIN (SELECT doc_id AS b_id, n AS nb FROM sz) USING (b_id)
+         |WHERE inter * 10000 // (na + nb - inter) >= 9000
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id < 40),
          |bg AS (SELECT DISTINCT doc_id, bg FROM

@@ -193,6 +193,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("prefix-filtered similarity join: shingle-keyed equi-joins, no cartesian") {
+    val p = plan(Similarity.queries("q_simjoin")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("det-LSH ANN: candidate join is a (band,nibble) equi-join, never nested-loop") {
     val p = plan(Similarity.queries("q_ann_lsh_det")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
