@@ -512,6 +512,32 @@ object Pipeline {
         .orderBy("col_name")
     }),
 
+    // Constraint CHECKER (the enforcement companion of q_dq_profile's
+    // profiler — the Deequ-style gate a pipeline runs before publishing
+    // a batch): uniqueness, non-null, value-range, and referential
+    // integrity, each as (check, violations, pass) rows. The scalar
+    // checks share ONE scan/aggregate; RI is one anti-join on the key.
+    // A 100 TB run adds nothing but that single pass + one shuffle.
+    "q_dq_assert" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer").select(col("c_custkey"))
+      val agg = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"))
+      val scalarChecks = agg.select(explode(expr(
+          "array(named_struct('chk', 'dup_orderkey', 'violations', dup_orderkey)," +
+            "named_struct('chk', 'nonpos_price', 'violations', nonpos_price)," +
+            "named_struct('chk', 'null_custkey', 'violations', null_custkey))")).as("e"))
+        .select(col("e.chk").as("chk"), col("e.violations").as("violations"))
+      val ri = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orphan_custkey").as("chk"), col("violations"))
+      scalarChecks.unionByName(ri)
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("chk")
+    }),
+
     // End-to-end corpus pipeline (VERDICT r2 #7): gopher quality gate →
     // decontamination gate → near-dup cluster canon → per-lang packing,
     // composed from the SAME building blocks as the individual queries —
@@ -700,6 +726,21 @@ object Pipeline {
          |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
          |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
          |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dq_assert" ->
+      """WITH a AS (SELECT
+        |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nc,
+        |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS np,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup
+        |  FROM orders),
+        |ri AS (SELECT COUNT(*) AS v FROM orders o
+        |       LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |       WHERE c.c_custkey IS NULL)
+        |SELECT chk, violations, violations = 0 AS pass FROM (
+        |  SELECT 'dup_orderkey' AS chk, dup AS violations FROM a
+        |  UNION ALL SELECT 'nonpos_price', np FROM a
+        |  UNION ALL SELECT 'null_custkey', nc FROM a
+        |  UNION ALL SELECT 'orphan_custkey', v FROM ri)
+        |ORDER BY chk""".stripMargin,
     "q_dq_profile" ->
       """WITH a AS (SELECT COUNT(*) AS n_rows,
         |    COUNT(*) FILTER (lang IS NULL) AS lang_nulls,
