@@ -512,6 +512,35 @@ object Pipeline {
         .orderBy("col_name")
     }),
 
+    // POINT-IN-TIME dimension join (feature-store correctness): every
+    // fact row joins the dimension version that was valid AT ITS OWN
+    // time — the lookup that prevents feature leakage in training-data
+    // assembly (joining current prices onto historical orders trains on
+    // the future). Dimension = a deterministic 2-version SCD2 price
+    // table derived from ONE part scan (row-local explode); the join is
+    // an equi-join on the key with the validity window as a residual
+    // predicate — one shuffle, no range blowup, each fact matches
+    // exactly one version.
+    "q_pit_join" -> ((s, d) => {
+      val dim = load(s, d, "part")
+        .select(col("p_partkey"), explode(expr(
+          "array(named_struct('version', CAST(1 AS BIGINT), 'price', p_retailprice," +
+            " 'valid_from', DATE'1990-01-01', 'valid_to', DATE'1995-06-01')," +
+            "named_struct('version', CAST(2 AS BIGINT), 'price', p_retailprice * CAST(2 AS DOUBLE)," +
+            " 'valid_from', DATE'1995-06-01', 'valid_to', DATE'9999-12-31'))")).as("v"))
+        .select(col("p_partkey"), col("v.version").as("version"),
+          col("v.price").as("price"), col("v.valid_from").as("valid_from"),
+          col("v.valid_to").as("valid_to"))
+      load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"))
+        .join(dim, col("l_partkey") === col("p_partkey") &&
+          col("l_shipdate") >= col("valid_from") && col("l_shipdate") < col("valid_to"))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(ROUND(price * 100) AS BIGINT)")).as("price_cents"))
+        .orderBy("version")
+    }),
+
     // Constraint CHECKER (the enforcement companion of q_dq_profile's
     // profiler — the Deequ-style gate a pipeline runs before publishing
     // a batch): uniqueness, non-null, value-range, and referential
@@ -726,6 +755,18 @@ object Pipeline {
          |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
          |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
          |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pit_join" ->
+      """WITH dim AS (
+        |  SELECT p_partkey, CAST(1 AS BIGINT) AS version, p_retailprice AS price,
+        |    DATE '1990-01-01' AS valid_from, DATE '1995-06-01' AS valid_to FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, CAST(2 AS BIGINT), p_retailprice * 2,
+        |    DATE '1995-06-01', DATE '9999-12-31' FROM part)
+        |SELECT version, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN dim d ON l.l_partkey = d.p_partkey
+        |  AND l.l_shipdate >= d.valid_from AND l.l_shipdate < d.valid_to
+        |GROUP BY version ORDER BY version""".stripMargin,
     "q_dq_assert" ->
       """WITH a AS (SELECT
         |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nc,
