@@ -294,8 +294,13 @@ object Text {
       else {
         val l = top(0).getString(0); val r = top(0).getString(1)
         merges += ((step, l, r, l + r, top(0).getLong(2)))
-        enc = graft.Checkpoints.ckpt(enc.select(col("doc_id"),
-          expr(s"replace(enc, '($l)($r)', '(${l + r})')").as("enc")))
+        val next = enc.select(col("doc_id"),
+          expr(s"replace(enc, '($l)($r)', '(${l + r})')").as("enc"))
+        // checkpoint every SECOND merge: localCheckpoint is eager (one
+        // job each), and the un-checkpointed hop is a single narrow
+        // replace over the previous checkpoint — recompute is one cheap
+        // pass, materialization cost halves
+        enc = if (step % 2 == 0) graft.Checkpoints.ckpt(next) else next
         step += 1
       }
     }
