@@ -1,0 +1,35 @@
+package graft
+
+/** Partitioning-invariance: the determinism conventions (exact DECIMAL
+  * money math, integer basis points, quantized-integer dots, md5-keyed
+  * sampling, pinned total orders) exist so results do not depend on
+  * shuffle layout or merge order. This spec tests that property
+  * DIRECTLY: representative queries from every family must produce
+  * bit-identical rows in identical order under different
+  * shuffle-partition counts — the single-box stand-in for "same answer
+  * on a 1000-executor cluster". */
+class DeterminismSpec extends SparkTestBase {
+
+  // one per family: decimal aggs, double-sensitive UDAF, joined weights,
+  // sketch families, quantized cosine, window running sums, md5
+  // sampling, iterative CC, count-ratio scoring, prefix-filtered join
+  private val picks = Seq(
+    "q_agg_hash", "q_udaf_geomean", "q_tfidf", "q_minhash_dedup",
+    "q_simhash", "q_cosine_topk", "q_win_running", "q_sample_weighted",
+    "q_dedup_cluster", "q_lm_score", "q_simjoin", "q_topk_agg")
+
+  test("results are bit-identical across shuffle-partition counts") {
+    val qs = SparkEntry.queries
+    def run(name: String, parts: Int): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try qs(name)(spark, sfDir).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    picks.foreach { name =>
+      val a = run(name, 3)
+      val b = run(name, 11)
+      assert(a.nonEmpty, s"$name returned no rows at sf0.001")
+      assert(a == b, s"$name diverges across partitionings")
+    }
+  }
+}
