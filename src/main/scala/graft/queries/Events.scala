@@ -115,6 +115,38 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // Multi-touch attribution: each purchase's value splits LINEARLY
+    // across the same user's clicks in the preceding 30 minutes, in
+    // integer cents — equal share per click, the last touch (latest
+    // click, event_id tie-break) absorbing the division remainder, so
+    // the split sums exactly to the purchase and every row is
+    // engine-portable integer math (values are positive, so trunc vs
+    // floor division agree). Shapes: one user-keyed interval equi-join
+    // + two purchase-keyed windows — the batch twin of the streaming
+    // clickAttribution join.
+    "q_attribution" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val pairs = purch.join(clicks, Seq("user_id"))
+        .filter(col("click_ts") <= col("p_ts") &&
+          col("click_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      val w = Window.partitionBy(col("p_id"))
+      val wOrd = Window.partitionBy(col("p_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      pairs
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wOrd)) // rn = 1 → last touch
+        .select(col("user_id"), col("p_id"), col("click_id"),
+          expr("cents DIV n + IF(rn = 1, cents % n, 0)").as("attr_cents"),
+          (col("rn") === 1).as("is_last_touch"))
+        .orderBy("p_id", "click_id")
+    }),
+
     // Rolling anomaly flag over each user's last-5-events window,
     // integer-exact: with cents = round(value·100), s1 = Σx, s2 = Σx²,
     // the 2σ test (x − μ)² > 4σ² multiplies out to
@@ -167,6 +199,24 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts,
+        |        CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (SELECT p.user_id, p_id, click_id, click_ts, cents
+        |          FROM p JOIN c ON p.user_id = c.user_id
+        |            AND c.click_ts <= p.p_ts
+        |            AND c.click_ts >= p.p_ts - INTERVAL 30 MINUTE),
+        |x AS (SELECT *, COUNT(*) OVER (PARTITION BY p_id) AS n,
+        |        ROW_NUMBER() OVER (PARTITION BY p_id
+        |          ORDER BY click_ts DESC, click_id DESC) AS rn
+        |      FROM pairs)
+        |SELECT user_id, p_id, click_id,
+        |  cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS attr_cents,
+        |  rn = 1 AS is_last_touch
+        |FROM x ORDER BY p_id, click_id""".stripMargin,
     "q_evt_tumbling" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
         |  event_type, COUNT(*) AS cnt,
