@@ -221,6 +221,26 @@ object Aggregates {
     // Exact interpolated percentiles over integer cents: (n-1)*q
     // interpolation on integers with quarter fractions is bit-exact in
     // both engines (no decimal-representation ties).
+    // EQUI-DEPTH histogram (the planner-statistics companion of the
+    // equi-width q_histogram): decile boundaries from ONE exact
+    // interpolated-percentile aggregate (single row, broadcast), then
+    // row-local bucket assignment by comparison — the scalable 2-pass
+    // formulation; the ntile() alternative is a single-partition global
+    // sort, exactly the exchange the plan hygiene rules forbid.
+    "q_histogram_eqd" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .withColumn("cents", expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+      val bounds = o.agg(expr(
+        "percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("bs"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("CAST(1 + aggregate(bs, 0, (acc, b) -> acc + IF(cents > b, 1, 0)) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_c"),
+          max(col("cents")).as("max_c"))
+        .orderBy("bucket")
+    }),
+
     "q_agg_median" -> ((s, d) =>
       load(s, d, "lineitem")
         .withColumn("cents", expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
@@ -518,6 +538,15 @@ object Aggregates {
         |      ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC, c_name ASC) AS rk
         |  FROM customer)
         |WHERE rk <= 5 ORDER BY c_mktsegment, rk""".stripMargin,
+    "q_histogram_eqd" ->
+      """WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT QUANTILE_CONT(cents,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM o)
+        |SELECT bucket, COUNT(*) AS n, MIN(cents) AS min_c, MAX(cents) AS max_c
+        |FROM (SELECT cents,
+        |        CAST(1 + LEN(LIST_FILTER(bs, x -> cents > x)) AS BIGINT) AS bucket
+        |      FROM o CROSS JOIN b)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_agg_median" ->
       """SELECT l_returnflag,
         |  QUANTILE_CONT(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,

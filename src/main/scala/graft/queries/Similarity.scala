@@ -320,6 +320,46 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // Sketch-accuracy measurement ("measure, don't guess" applied to the
+    // sketches themselves): for every band-collision candidate pair, the
+    // minhash Jaccard ESTIMATE (matching signature positions / 8, basis
+    // points) side-by-side with the EXACT Jaccard and the absolute
+    // error. Fully deterministic (the md5 hash family is fixed), so the
+    // whole accuracy audit is hash-oracled — the estimate quality a
+    // production dedup threshold decision needs. Exact verification is
+    // the row-local array_intersect on collected token arrays
+    // (candidates only), same shape as q_simjoin.
+    "q_minhash_est" -> ((s, d) => {
+      val dw = docWords(s, d).filter(col("doc_id") < 100)
+      val sigs = minhashSigs(dw)
+      val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val sa = sigs.select((col("doc_id").as("a_id") +:
+        (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
+      val sb = sigs.select((col("doc_id").as("b_id") +:
+        (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
+      val docArr = dw.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("word"))).as("toks"),
+          count(lit(1)).as("n"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("est_bp", expr(s"CAST(10000 * (${(0 until 8)
+          .map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")}) DIV 8 AS BIGINT)"))
+        .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+          col("n").as("na")), "a_id")
+        .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+          col("n").as("nb")), "b_id")
+        .withColumn("inter", expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)"))
+        .select(col("a_id"), col("b_id"), col("est_bp"),
+          expr("inter * 10000 DIV (na + nb - inter)").as("jac_bp"))
+        .withColumn("err_bp", abs(col("est_bp") - col("jac_bp")))
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash: 16-bit signature from md5 hex digits, majority vote per
     // bit. Like minhash, the per-(word, j) contribution is a pure
     // function of the word, computed inline as 16 codegen'd columns on
@@ -636,6 +676,34 @@ object Similarity {
          |FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
          |  AND a.doc_id < b2.doc_id
          |GROUP BY a.doc_id, b2.doc_id ORDER BY a_id, b_id""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents WHERE doc_id < 100)),
+         |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+         |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+         |      GROUP BY doc_id, i),
+         |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+         |      FROM h GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+         |         FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
+         |           AND a.doc_id < b2.doc_id),
+         |est AS (SELECT c.a_id, c.b_id,
+         |          CAST(10000 * COUNT(CASE WHEN ha.mh = hb.mh THEN 1 END) // 8 AS BIGINT) AS est_bp
+         |        FROM cand c JOIN h ha ON ha.doc_id = c.a_id
+         |        JOIN h hb ON hb.doc_id = c.b_id AND hb.i = ha.i
+         |        GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i FROM cand c
+         |          JOIN w wa ON wa.doc_id = c.a_id
+         |          JOIN w wb ON wb.doc_id = c.b_id AND wb.word = wa.word
+         |          GROUP BY 1, 2)
+         |SELECT e.a_id, e.b_id, e.est_bp,
+         |  i * 10000 // (na + nb - i) AS jac_bp,
+         |  ABS(e.est_bp - i * 10000 // (na + nb - i)) AS err_bp
+         |FROM est e JOIN inter USING (a_id, b_id)
+         |JOIN (SELECT doc_id AS a_id, n AS na FROM sz) USING (a_id)
+         |JOIN (SELECT doc_id AS b_id, n AS nb FROM sz) USING (b_id)
+         |ORDER BY a_id, b_id""".stripMargin,
     "q_simhash" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),
