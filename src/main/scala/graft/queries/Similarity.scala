@@ -145,6 +145,37 @@ object Similarity {
     labels
   }
 
+  /** q_ann_ivf's pipeline: broadcast-codebook assignment, top-2 probe,
+    * exact re-rank — (a_id, b_id, cosine, rn≤3). Shared with the recall
+    * audit. */
+  private def ivfTop3(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val cents = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+    val centCos = q.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("v_id"), col("c_id"), col("qv"), col("nq"),
+        cosine(dotQ("qv", "qc"), col("nq"), col("nc")).as("ccos"))
+    val wCell = Window.partitionBy(col("v_id"))
+      .orderBy(col("ccos").desc, col("c_id").asc)
+    val ranked = centCos.withColumn("crn", row_number().over(wCell))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("v_id").as("b_id"), col("c_id").as("cell"),
+        col("qv").as("qb"), col("nq").as("nb"))
+    val probes = ranked.filter(col("crn") <= 2 &&
+        col("v_id") >= 50 && col("v_id") < 60)
+      .select(col("v_id").as("a_id"), col("c_id").as("pcell"),
+        col("qv").as("qa"), col("nq").as("na"))
+    val wTop = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    probes.join(assign, col("pcell") === col("cell") && col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("rn").cast("long").as("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k: 50 query vectors × full corpus. The
     // query side is broadcast; per-pair cost is one codegen'd integer
@@ -223,33 +254,37 @@ object Similarity {
     // broadcast pass and the candidate join shuffles on cell ids —
     // corpus-quadratic work never happens. Fully oracled: assignment
     // and re-rank both use the exact integer dot machinery.
-    "q_ann_ivf" -> ((s, d) => {
+    "q_ann_ivf" -> ((s, d) => ivfTop3(s, d).orderBy("a_id", "rn")),
+
+    // ANN RECALL audit (third leg of the "measure, don't guess" trio
+    // next to q_minhash_est and q_agg_qsketch's spec): IVF top-3 vs the
+    // brute-force exact top-3 for the same 10 probe vectors — hits out
+    // of 3 and recall in basis points, per probe. Both sides are
+    // deterministic integer-dot pipelines, so the audit itself is
+    // hash-oracled — the number a production ANN config decision needs.
+    "q_ann_recall" -> ((s, d) => {
       val q = quantized(s, d)
-      val cents = q.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
-      val centCos = q.crossJoin(broadcast(cents))
-        .select(col("vec_id").as("v_id"), col("c_id"), col("qv"), col("nq"),
-          cosine(dotQ("qv", "qc"), col("nq"), col("nc")).as("ccos"))
-      val wCell = Window.partitionBy(col("v_id"))
-        .orderBy(col("ccos").desc, col("c_id").asc)
-      val ranked = centCos.withColumn("crn", row_number().over(wCell))
-      val assign = ranked.filter(col("crn") === 1)
-        .select(col("v_id").as("b_id"), col("c_id").as("cell"),
-          col("qv").as("qb"), col("nq").as("nb"))
-      val probes = ranked.filter(col("crn") <= 2 &&
-          col("v_id") >= 50 && col("v_id") < 60)
-        .select(col("v_id").as("a_id"), col("c_id").as("pcell"),
-          col("qv").as("qa"), col("nq").as("na"))
+      val probesQ = q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na"))
+      val corpus = q.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nq").as("nb"))
       val wTop = Window.partitionBy(col("a_id"))
         .orderBy(col("cosine").desc, col("b_id").asc)
-      probes.join(assign, col("pcell") === col("cell") && col("a_id") =!= col("b_id"))
-        .dropDuplicates("a_id", "b_id")
+      val brute = corpus.crossJoin(broadcast(probesQ))
+        .filter(col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
           cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 3)
-        .select(col("a_id"), col("b_id"), col("cosine"), col("rn").cast("long").as("rn"))
-        .orderBy("a_id", "rn")
+        .select(col("a_id"), col("b_id"))
+      val hits = ivfTop3(s, d).select(col("a_id"), col("b_id"))
+        .join(brute, Seq("a_id", "b_id"), "left_semi")
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_hits"))
+      probesQ.select(col("a_id"))
+        .join(hits, Seq("a_id"), "left")
+        .select(col("a_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_bp", expr("n_hits * 10000 DIV 3"))
+        .orderBy("a_id")
     }),
 
     // One Lloyd refinement step for the IVF codebook (the training
@@ -632,6 +667,52 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |bd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id >= 50 AND a.vec_id < 60
+        |         AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |bc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM bd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
+        |brute AS (SELECT a_id, b_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM bc) WHERE rn <= 3),
+        |cd AS (SELECT a.vec_id AS v_id, b.vec_id AS c_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |       GROUP BY a.vec_id, b.vec_id),
+        |cc AS (SELECT v_id, c_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
+        |ranked AS (SELECT v_id, c_id, ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY v_id ORDER BY ccos DESC, c_id ASC) AS crn
+        |  FROM cc),
+        |assign AS (SELECT v_id AS b_id, c_id AS cell FROM ranked WHERE crn = 1),
+        |probes AS (SELECT v_id AS a_id, c_id AS pcell FROM ranked
+        |           WHERE crn <= 2 AND v_id >= 50 AND v_id < 60),
+        |cands AS (SELECT DISTINCT p.a_id, s.b_id FROM probes p
+        |          JOIN assign s ON p.pcell = s.cell WHERE s.b_id <> p.a_id),
+        |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+        |       FROM cands c JOIN e ea ON ea.vec_id = c.a_id
+        |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        |       GROUP BY c.a_id, c.b_id),
+        |pc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
+        |ivf AS (SELECT a_id, b_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pc) WHERE rn <= 3),
+        |hits AS (SELECT i.a_id, COUNT(*) AS n_hits FROM ivf i
+        |         JOIN brute USING (a_id, b_id) GROUP BY 1)
+        |SELECT p.a_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(h.n_hits, 0) * 10000 // 3 AS BIGINT) AS recall_bp
+        |FROM (SELECT vec_id AS a_id FROM q WHERE vec_id >= 50 AND vec_id < 60) p
+        |LEFT JOIN hits h USING (a_id) ORDER BY a_id""".stripMargin,
     "q_kmeans_step" ->
       """WITH q AS (SELECT vec_id,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
