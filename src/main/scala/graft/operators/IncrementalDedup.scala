@@ -38,6 +38,31 @@ object IncrementalDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The store is a directory of per-batch SUBDIRECTORIES, each landed
+    * by one atomic rename. A plain `mode("append")` writes task files
+    * straight into the store, so a crash mid-append leaves a PARTIAL
+    * fingerprint set — and a partial set is not conservative here: it
+    * drops later duplicates of rows whose survivors were never
+    * committed downstream (false drops). Writing to a sibling temp dir
+    * and renaming it in means a batch's fingerprints appear either
+    * fully or not at all. */
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+  private def appendAtomic(spark: SparkSession, df: DataFrame, storePath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(conf)
+    fs.mkdirs(store)
+    val batchId = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(
+      store.getParent, s".${store.getName}-staging-$batchId")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(store, s"batch-$batchId")))
+      throw new java.io.IOException(
+        s"atomic store append failed: could not rename $tmp into $store")
+  }
+
   /** Dedups `delta` against the store at `storePath` (created on first
     * use), appends the survivors' fingerprints, and returns the
     * survivors as (fp, doc_id). Within-delta duplicates keep the
@@ -48,12 +73,12 @@ object IncrementalDedup {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val survivors =
       if (storeExists(spark, storePath)) {
-        val store = spark.read.parquet(storePath)
+        val store = readStore(spark, storePath)
         deltaKeep.join(store.select(col("fp")), Seq("fp"), "left_anti")
       } else deltaKeep
     // materialize BEFORE extending the store (see scaladoc)
     val materialized = Checkpoints.ckpt(survivors)
-    materialized.write.mode("append").parquet(storePath)
+    appendAtomic(spark, materialized, storePath)
     materialized
   }
 
@@ -80,16 +105,16 @@ object IncrementalDedup {
       .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
     val dropped =
       if (storeExists(spark, storePath)) {
-        val store = spark.read.parquet(storePath)
+        val store = readStore(spark, storePath)
         withinDrop.union(
           memb.join(store.select(col("bucket")), Seq("bucket"), "left_semi")
             .select(col("doc_id")).distinct())
       } else withinDrop
     // materialize BEFORE extending the store (same rationale as above)
     val kept = Checkpoints.ckpt(ids.join(dropped, Seq("doc_id"), "left_anti"))
-    memb.join(kept, Seq("doc_id"), "left_semi")
-      .select(col("bucket"), col("doc_id"))
-      .write.mode("append").parquet(storePath)
+    appendAtomic(spark,
+      memb.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("bucket"), col("doc_id")), storePath)
     kept
   }
 }

@@ -34,7 +34,7 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(incr === full)
 
     // the store holds exactly the admitted fingerprints, no dupes
-    val stored = spark.read.parquet(store)
+    val stored = spark.read.option("recursiveFileLookup", "true").parquet(store)
     assert(stored.count() === full.size)
     assert(stored.select("fp").distinct().count() === full.size)
 
@@ -88,6 +88,27 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(k2.contains(21L) && k2.contains(22L) && !k2.contains(23L), k2.toString)
     // idempotence: the whole batch is now near-dup of the store
     assert(operators.IncrementalDedup.dedupDeltaNear(spark, b2, store).count() === 0)
+  }
+
+  test("store appends are atomic: batches land as whole subdirs, crashed staging is invisible") {
+    val root = Files.createTempDirectory("graft-atomic-store")
+    val store = root.resolve("store").toString
+    IncrementalDedup.dedupDelta(spark, docs.filter(col("doc_id") < 100), store)
+    // simulate a writer that died before its rename: a staging dir next
+    // to the store with fingerprints that must NOT affect dedup
+    import spark.implicits._
+    Seq(("deadbeef", 1L)).toDF("fp", "doc_id")
+      .write.parquet(root.resolve(".store-staging-crashed").toString)
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store).count()
+    IncrementalDedup.dedupDelta(
+      spark, docs.filter(col("doc_id") >= 100 && col("doc_id") < 200), store)
+    val batches = new java.io.File(store).listFiles().filter(_.isDirectory)
+    assert(batches.length === 2, batches.mkString(","))
+    assert(batches.forall(_.getName.startsWith("batch-")), batches.mkString(","))
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store).count()
+    assert(after > before) // second batch landed wholly
   }
 
   test("survivors stay valid after the store files are deleted (checkpointed)") {

@@ -193,6 +193,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("attribution interval join is user-keyed equi, never nested-loop") {
+    val p = plan(graft.queries.Events.queries("q_attribution")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("point-in-time join is an equi-join on the key with the window as residual") {
+    val p = plan(graft.queries.Pipeline.queries("q_pit_join")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("equi-depth histogram broadcasts the 1-row bounds, no single-partition sort") {
+    val p = plan(graft.queries.Aggregates.queries("q_histogram_eqd")(spark, sfDir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the assignment pass must not globally sort the fact table (ntile
+    // would); the only ordering is the presentation sort on 10 rows
+    assert(!p.contains("NTILE") && !p.contains("ntile"), p)
+  }
+
   test("prefix-filtered similarity join: shingle-keyed equi-joins, no cartesian") {
     val p = plan(Similarity.queries("q_simjoin")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
@@ -229,7 +249,8 @@ class PlanSpec extends SparkTestBase {
     val withinDrop = memb.join(bucketMin, "bucket")
       .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
     val dropped = withinDrop.union(
-      memb.join(spark.read.parquet(store).select(col("bucket")),
+      memb.join(spark.read.option("recursiveFileLookup", "true")
+          .parquet(store).select(col("bucket")),
         Seq("bucket"), "left_semi").select(col("doc_id")).distinct())
     val kept = delta.select(col("doc_id")).distinct()
       .join(dropped, Seq("doc_id"), "left_anti")
