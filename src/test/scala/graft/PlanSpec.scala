@@ -208,9 +208,11 @@ class PlanSpec extends SparkTestBase {
   test("equi-depth histogram broadcasts the 1-row bounds, no single-partition sort") {
     val p = plan(graft.queries.Aggregates.queries("q_histogram_eqd")(spark, sfDir))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
-    // the assignment pass must not globally sort the fact table (ntile
-    // would); the only ordering is the presentation sort on 10 rows
-    assert(!p.contains("NTILE") && !p.contains("ntile"), p)
+    // the assignment pass must not globally sort the fact table (an
+    // ntile() window would); the only ordering is the presentation sort
+    // on 10 rows. Word-boundary match: "percentile(" — the 1-row bounds
+    // aggregate — legitimately contains the substring "ntile(".
+    assert("(?i)(?<![a-z])ntile\\(".r.findFirstIn(p).isEmpty, p)
   }
 
   test("prefix-filtered similarity join: shingle-keyed equi-joins, no cartesian") {
