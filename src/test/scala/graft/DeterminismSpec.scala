@@ -16,7 +16,13 @@ class DeterminismSpec extends SparkTestBase {
   private val picks = Seq(
     "q_agg_hash", "q_udaf_geomean", "q_tfidf", "q_minhash_dedup",
     "q_simhash", "q_cosine_topk", "q_win_running", "q_sample_weighted",
-    "q_dedup_cluster", "q_lm_score", "q_simjoin", "q_topk_agg")
+    "q_dedup_cluster", "q_lm_score", "q_simjoin", "q_topk_agg",
+    // round-8 additions: driver-loop fixpoint (argmax ties pinned),
+    // store-based dedup, audits, integer-split attribution,
+    // percentile-bounds histogram
+    "q_bpe_train", "q_incr_dedup", "q_incr_neardup", "q_minhash_est",
+    "q_ann_recall", "q_attribution", "q_histogram_eqd", "q_pit_join",
+    "q_winnow", "q_dq_assert")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
