@@ -512,6 +512,35 @@ object Pipeline {
         .orderBy("col_name")
     }),
 
+    // CDC EXTRACTION — the inverse of q_cdc_apply, closing the CDC
+    // cycle (extract a changelog from two snapshots; apply collapses a
+    // changelog onto a snapshot): one full-outer join on the key
+    // classifies every row as Insert (new only), Delete (old only),
+    // Update (both, value changed), with unchanged rows dropped. The
+    // new snapshot derives deterministically from the old (deletes ≡0
+    // mod 5, price-doubling updates ≡0 mod 3, inserts as shifted keys).
+    // One key-shuffle; at 100 TB both snapshots pre-bucket on the key
+    // and the join co-locates.
+    "q_cdc_extract" -> ((s, d) => {
+      val o = load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val oldS = o.select(col("k").as("ok"), col("price").as("old_price"))
+      val newS = o.filter(col("k") % 5 =!= 0)
+        .select(col("k"),
+          when(col("k") % 3 === 0, col("price") * 2).otherwise(col("price")).as("price"))
+        .unionByName(o.filter(col("k") % 7 === 0)
+          .select((col("k") + 10000000L).as("k"), col("price")))
+        .select(col("k").as("nk"), col("price").as("new_price"))
+      oldS.join(newS, col("ok") === col("nk"), "full_outer")
+        .select(coalesce(col("ok"), col("nk")).as("k"),
+          when(col("ok").isNull, "I")
+            .when(col("nk").isNull, "D")
+            .when(col("old_price") =!= col("new_price"), "U").as("op"),
+          col("old_price"), col("new_price"))
+        .filter(col("op").isNotNull)
+        .orderBy("k")
+    }),
+
     // POINT-IN-TIME dimension join (feature-store correctness): every
     // fact row joins the dimension version that was valid AT ITS OWN
     // time — the lookup that prevents feature leakage in training-data
@@ -755,6 +784,22 @@ object Pipeline {
          |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
          |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
          |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cdc_extract" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |olds AS (SELECT k AS ok, price AS old_price FROM o),
+        |news AS (SELECT k AS nk, price AS new_price FROM (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price
+        |  FROM o WHERE k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, price FROM o WHERE k % 7 = 0))
+        |SELECT COALESCE(ok, nk) AS k,
+        |  CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+        |       WHEN old_price <> new_price THEN 'U' END AS op,
+        |  old_price, new_price
+        |FROM olds FULL OUTER JOIN news ON ok = nk
+        |WHERE CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+        |           WHEN old_price <> new_price THEN 'U' END IS NOT NULL
+        |ORDER BY k""".stripMargin,
     "q_pit_join" ->
       """WITH dim AS (
         |  SELECT p_partkey, CAST(1 AS BIGINT) AS version, p_retailprice AS price,
