@@ -82,6 +82,28 @@ object IncrementalDedup {
     materialized
   }
 
+  /** Maintenance: collapse the store's accumulated per-batch
+    * subdirectories into one (a long-running crawl otherwise pays file
+    * listing over thousands of dirs). Crash-safe by ORDERING, not
+    * locking: the compacted batch lands first (atomic rename), the old
+    * batch dirs are deleted after — so at every crash point the store
+    * holds a SUPERSET of the true fingerprint set, which is harmless
+    * here (the store is consumed as a set by anti/semi-joins; duplicate
+    * rows change nothing). The snapshot is checkpointed before any
+    * delete so the write never reads what it is removing. */
+  def compactStore(spark: SparkSession, storePath: String): Unit = {
+    if (!storeExists(spark, storePath)) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(conf)
+    val oldBatches = fs.listStatus(store)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+    if (oldBatches.length <= 1) return
+    val snap = Checkpoints.ckpt(readStore(spark, storePath))
+    appendAtomic(spark, snap, storePath)
+    oldBatches.foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** NEAR-dup variant of [[dedupDelta]]: the store holds minhash LSH
     * band signatures (band-bucket ids) instead of exact body hashes, so
     * a delta document drops when it is a near-duplicate — shares ANY of

@@ -111,6 +111,37 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(after > before) // second batch landed wholly
   }
 
+  test("compactStore collapses batch dirs; behavior unchanged; superset-at-crash is harmless") {
+    val store = Files.createTempDirectory("graft-compact-store")
+      .resolve("store").toString
+    IncrementalDedup.dedupDelta(spark, docs.filter(col("doc_id") < 150), store)
+    IncrementalDedup.dedupDelta(
+      spark, docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), store)
+    IncrementalDedup.dedupDelta(spark, docs.filter(col("doc_id") >= 300), store)
+    def storeDirs() = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    def storeFps() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(store).select("fp").distinct().count()
+    assert(storeDirs().length === 3)
+    val fpsBefore = storeFps()
+    IncrementalDedup.compactStore(spark, store)
+    assert(storeDirs().length === 1, storeDirs().mkString(","))
+    assert(storeFps() === fpsBefore)
+    // dedup against the compacted store still drops everything ingested
+    assert(IncrementalDedup.dedupDelta(spark, docs, store).count() === 0)
+    // crash-superset simulation: compact again but with the old dirs
+    // still present (as after a crash between rename and deletes) —
+    // duplicate rows in the store must not change dedup decisions
+    IncrementalDedup.dedupDelta(spark, docs, store) // no-op, fps all known
+    val extra = Files.createTempDirectory("graft-compact-extra")
+    spark.read.option("recursiveFileLookup", "true").parquet(store)
+      .write.parquet(extra.resolve("dup").toString)
+    org.apache.commons.io.FileUtils.copyDirectory(
+      extra.resolve("dup").toFile,
+      new java.io.File(store, "batch-duplicated"))
+    assert(IncrementalDedup.dedupDelta(spark, docs, store).count() === 0)
+  }
+
   test("survivors stay valid after the store files are deleted (checkpointed)") {
     val tmp = Files.createTempDirectory("graft-dedup-store3")
     val store = tmp.resolve("store").toString
