@@ -115,6 +115,20 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // Windowed EXACT distinct users (the DAU/hourly-uniques staple):
+    // count_distinct expands to the two-phase (window, user) dedup +
+    // count — exact, with the map-side partial on the compound key. At
+    // 100 TB the approximate sibling is q_agg_hll_merge's mergeable
+    // sketch; this is the exact reference the sketch is audited against.
+    "q_evt_uniques" -> ((s, d) =>
+      load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("n_events"))
+        .select(tstr(col("w.start")).as("w_start"),
+          col("uniq_users"), col("n_events"))
+        .orderBy("w_start")),
+
     // Multi-touch attribution: each purchase's value splits LINEARLY
     // across the same user's clicks in the preceding 30 minutes, in
     // integer cents — equal share per click, the last touch (latest
@@ -199,6 +213,10 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_evt_uniques" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
     "q_attribution" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
         |           FROM events WHERE event_type = 'click'),
