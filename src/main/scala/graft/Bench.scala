@@ -67,12 +67,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    def run(name: String): Unit = {
+    def execute(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      cleanup()
-    }
+    def run(name: String): Unit = { execute(name); cleanup() }
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -103,9 +102,14 @@ object Bench {
       name -> (1 to reps).map { _ =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
-        run(name)
+        execute(name)
+        // stop the clock BEFORE cleanup: the teardown (clearCache +
+        // unpersist sweep) keeps state bounded between reps but is not
+        // part of the query's cost
         val dt = (System.nanoTime() - t0) / 1e9
-        (dt, gcMillis() - g0, heapMb())
+        val rep = (dt, gcMillis() - g0, heapMb())
+        cleanup()
+        rep
       }
     }
     val results = raw.map { case (k, rs) => k -> rs.map(_._1).min }

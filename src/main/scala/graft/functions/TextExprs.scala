@@ -82,15 +82,14 @@ object TextExprs {
     * md5(CAST(substring(text, i, w) AS BINARY))))`; null when
     * `length < width`. Exposed as a static JVM method so generated
     * code can call it. */
-  def rollMinHash(text: UTF8String, width: Int): UTF8String = {
-    val str = text.toString
-    // windows are WIDTH CODE POINTS, like Spark's substring() in the
-    // HOF form and DuckDB's SUBSTRING — String.substring on UTF-16
-    // units would split surrogate pairs and miscount astral chars
+  /** offs(i) = UTF-16 index where code point i starts (offs(cpCount) =
+    * length). Windows are WIDTH CODE POINTS, like Spark's substring()
+    * in the HOF form and DuckDB's SUBSTRING — String.substring on
+    * UTF-16 units would split surrogate pairs and miscount astral
+    * chars. Shared by [[rollMinHash]] and [[winnow]] so a fix to the
+    * walk applies to both. */
+  private def codePointOffsets(str: String): Array[Int] = {
     val cpCount = str.codePointCount(0, str.length)
-    val n = cpCount - width + 1
-    if (n <= 0) return null
-    // offs(i) = UTF-16 index where code point i starts
     val offs = new Array[Int](cpCount + 1)
     var ci = 0
     var cp = 0
@@ -100,6 +99,25 @@ object TextExprs {
       cp += 1
     }
     offs(cpCount) = str.length
+    offs
+  }
+
+  private def hexEncode(d: Array[Byte]): UTF8String = {
+    val hex = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  def rollMinHash(text: UTF8String, width: Int): UTF8String = {
+    val str = text.toString
+    val offs = codePointOffsets(str)
+    val n = offs.length - width
+    if (n <= 0) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     var best: Array[Byte] = null
     var i = 0
@@ -110,14 +128,7 @@ object TextExprs {
       if (best == null || unsignedLt(d, best)) best = d
       i += 1
     }
-    val hex = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      hex(2 * j) = HexDigits((best(j) >> 4) & 0xf)
-      hex(2 * j + 1) = HexDigits(best(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromString(new String(hex))
+    hexEncode(best)
   }
 
   /** Sorted distinct winnowing fingerprints: min digest of every full
@@ -128,19 +139,10 @@ object TextExprs {
   def winnow(text: UTF8String, width: Int, win: Int)
   : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val str = text.toString
-    val cpCount = str.codePointCount(0, str.length)
-    val nGrams = cpCount - width + 1
+    val offs = codePointOffsets(str)
+    val nGrams = offs.length - width
     val nAnchors = nGrams - win + 1
     if (nAnchors <= 0) return null
-    val offs = new Array[Int](cpCount + 1)
-    var ci = 0
-    var cp = 0
-    while (ci < str.length) {
-      offs(cp) = ci
-      ci += Character.charCount(str.codePointAt(ci))
-      cp += 1
-    }
-    offs(cpCount) = str.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val digests = new Array[Array[Byte]](nGrams)
     var i = 0
@@ -185,15 +187,7 @@ object TextExprs {
     val it = sel.iterator()
     var k = 0
     while (it.hasNext) {
-      val d = it.next()
-      val hex = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HexDigits(d(j) & 0xf)
-        j += 1
-      }
-      out(k) = UTF8String.fromString(new String(hex))
+      out(k) = hexEncode(it.next())
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

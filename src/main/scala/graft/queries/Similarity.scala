@@ -145,6 +145,27 @@ object Similarity {
     labels
   }
 
+  /** Exact Jaccard in basis points for candidate (a_id, b_id) pairs,
+    * verified ROW-LOCALLY: each pair carries both docs' sorted token
+    * arrays and intersects them in place (O(na + nb) per pair, never a
+    * pair × token re-explode). Extra candidate columns pass through.
+    * Shared by q_simjoin's verify stage and q_minhash_est's audit so
+    * the Jaccard-bp convention lives in one place. */
+  private def exactJaccardBp(cands: DataFrame, tokens: DataFrame): DataFrame = {
+    val docArr = tokens.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("word"))).as("toks"),
+        count(lit(1)).as("n"))
+    cands
+      .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
+        col("n").as("na")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("inter", expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jac_bp", expr("inter * 10000 DIV (na + nb - inter)"))
+      .drop("ta", "tb", "na", "nb")
+  }
+
   /** q_ann_ivf's pipeline: broadcast-codebook assignment, top-2 probe,
     * exact re-rank — (a_id, b_id, cosine, rn≤3). Shared with the recall
     * audit. */
@@ -378,19 +399,12 @@ object Similarity {
         (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
       val sb = sigs.select((col("doc_id").as("b_id") +:
         (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
-      val docArr = dw.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("word"))).as("toks"),
-          count(lit(1)).as("n"))
-      cand.join(sa, "a_id").join(sb, "b_id")
+      val est = cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("est_bp", expr(s"CAST(10000 * (${(0 until 8)
           .map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")}) DIV 8 AS BIGINT)"))
-        .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-          col("n").as("na")), "a_id")
-        .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-          col("n").as("nb")), "b_id")
-        .withColumn("inter", expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)"))
-        .select(col("a_id"), col("b_id"), col("est_bp"),
-          expr("inter * 10000 DIV (na + nb - inter)").as("jac_bp"))
+        .select(col("a_id"), col("b_id"), col("est_bp"))
+      exactJaccardBp(est, dw)
+        .select(col("a_id"), col("b_id"), col("est_bp"), col("jac_bp"))
         .withColumn("err_bp", abs(col("est_bp") - col("jac_bp")))
         .orderBy("a_id", "b_id")
     }),
@@ -553,25 +567,11 @@ object Similarity {
         .join(prefix.select(col("doc_id").as("b_id"), col("word")), "word")
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
-      // verification is ROW-LOCAL: each candidate pair carries both
-      // docs' sorted token arrays and intersects them in place — a
-      // per-pair O(na + nb) merge, never a (pair × token) re-explode
-      // (the exploded formulation multiplied candidates by ~300 token
+      // verification is ROW-LOCAL via exactJaccardBp (the exploded
+      // pair × token formulation multiplied candidates by ~300 token
       // rows each and took 36 s/run at sf0.1)
-      val docArr = dw.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("word"))).as("toks"),
-          count(lit(1)).as("n"))
-      cands
-        .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-          col("n").as("na")), "a_id")
-        .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-          col("n").as("nb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)").as("inter"),
-          col("na"), col("nb"))
-        .select(col("a_id"), col("b_id"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"),
-          expr("inter * 10000 DIV (na + nb - inter)").as("jac_bp"))
+      exactJaccardBp(cands, dw)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jac_bp"))
         .filter(col("jac_bp") >= 9000)
         .orderBy("a_id", "b_id")
     }),

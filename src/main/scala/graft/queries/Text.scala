@@ -328,10 +328,17 @@ object Text {
          |m$i AS MATERIALIZED (SELECT l_tok, r_tok, l_tok || r_tok AS merged, cnt FROM p$i
          |  ORDER BY cnt DESC, l_tok, r_tok LIMIT 1)""".stripMargin +
         (if (!needE) "" else
+          // the empty-m(i) guard mirrors bpeLoop's `exhausted` break: if
+          // pair counts run dry before round n, the scalar subqueries go
+          // NULL and REPLACE(enc, NULL, ..) would NULL-poison every
+          // later e(i) — carry e(i-1) unchanged instead
           s""",
-             |e$i AS MATERIALIZED (SELECT doc_id, REPLACE(enc,
-             |  '(' || (SELECT l_tok FROM m$i) || ')(' || (SELECT r_tok FROM m$i) || ')',
-             |  '(' || (SELECT merged FROM m$i) || ')') AS enc FROM e${i - 1})""".stripMargin)
+             |e$i AS MATERIALIZED (SELECT doc_id,
+             |  CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN enc
+             |       ELSE REPLACE(enc,
+             |         '(' || (SELECT l_tok FROM m$i) || ')(' || (SELECT r_tok FROM m$i) || ')',
+             |         '(' || (SELECT merged FROM m$i) || ')') END AS enc
+             |  FROM e${i - 1})""".stripMargin)
     }
     s"WITH e0 AS MATERIALIZED (SELECT doc_id, enc FROM ($enc0) WHERE enc <> ''),\n" +
       steps.mkString(",\n") + "\n"

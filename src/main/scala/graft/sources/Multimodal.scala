@@ -254,11 +254,16 @@ object Multimodal {
   }
 
   /** "Resize"/frame-sample: stride-sample the payload bytes — the
-    * declarative slice that a real resize kernel would replace. */
+    * declarative slice that a real resize kernel would replace. The
+    * empty-payload guard matters: `sequence(1, 0)` runs DESCENDING in
+    * Spark ([1, 0] → a phantom sampled byte) where the oracle's RANGE
+    * is simply empty. */
   def frameSample(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("sampled",
-      expr(s"filter(transform(sequence(1, length(bytes)), i -> " +
-        s"CASE WHEN (i - 1) % $stride = 0 THEN substring(bytes, i, 1) END), x -> x IS NOT NULL)"))
+      expr(s"CASE WHEN length(bytes) >= 1 THEN " +
+        s"filter(transform(sequence(1, length(bytes)), i -> " +
+        s"CASE WHEN (i - 1) % $stride = 0 THEN substring(bytes, i, 1) END), x -> x IS NOT NULL) " +
+        s"ELSE CAST(array() AS ARRAY<BINARY>) END"))
 
   val queries: Map[String, Q] = Map(
     // Metadata + content hash over the binary column — oracle-able.

@@ -135,17 +135,23 @@ object EventWindows {
 
   /** Funnel conversions rolled up per (user, hour): CHAINED stateful
     * stages — interval join, then a windowed aggregate on the join
-    * output's event time (first conversion + step count). Both stages'
+    * output's event time (first conversion + pair count). Both stages'
     * state is watermark-bounded; the per-(user, window) key keeps the
     * aggregate bounded too (a global per-user min would grow with the
     * user population forever). Emission trails the watermark by design:
-    * a (user, hour) row is final only when no late click can join. */
+    * a (user, hour) row is final only when no late click can join.
+    * `n_pairs` counts qualifying (view, click) PAIRS — a click inside
+    * two views' horizons counts twice (streaming aggregates cannot
+    * COUNT(DISTINCT), and collapsing to per-click rows would need a
+    * third stateful stage); `first_conv` is pair-multiplicity-free.
+    * The batch q_funnel's per-user first-transition semantics are the
+    * min-aggregate form, not this rollup. */
   def funnelConversions(views: DataFrame, clicks: DataFrame): DataFrame =
     funnelSteps(views, clicks)
       .groupBy(col("user_id"), window(col("click_ts"), "1 hour").as("w"))
-      .agg(min(col("click_ts")).as("first_conv"), count(lit(1)).as("n_steps"))
+      .agg(min(col("click_ts")).as("first_conv"), count(lit(1)).as("n_pairs"))
       .select(col("user_id"), col("w.start").as("w_start"),
-        col("first_conv"), col("n_steps"))
+        col("first_conv"), col("n_pairs"))
 
   /** Stream–static enrichment join: streaming events against a static
     * (batch) dimension. No watermark and no join state needed — the

@@ -328,16 +328,20 @@ class EventsStreamingSpec extends SparkTestBase {
       .outputMode("append").start()
     def rows() = spark.table("funnel_stream")
       .select(col("user_id"), date_format(col("w_start"), "HH:mm").as("w"),
-        date_format(col("first_conv"), "HH:mm").as("f"), col("n_steps"))
+        date_format(col("first_conv"), "HH:mm").as("f"), col("n_pairs"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     try {
       // u1: view 10:00 → clicks 10:10 + 10:12 convert; 11:30 is outside
       // the 30-min horizon. u2: view only. u3: click with no prior view.
+      // u4: TWO views before one click — n_pairs counts (view, click)
+      // pairs by declared semantics, so that click contributes 2.
       views.addData(ev("2024-01-01 10:00:00", u = 1, typ = "view"),
-        ev("2024-01-01 10:05:00", u = 2, typ = "view"))
+        ev("2024-01-01 10:05:00", u = 2, typ = "view"),
+        ev("2024-01-01 10:00:00", u = 4, typ = "view"),
+        ev("2024-01-01 10:06:00", u = 4, typ = "view"))
       clicks.addData(ev("2024-01-01 10:10:00", u = 1),
         ev("2024-01-01 10:12:00", u = 1), ev("2024-01-01 10:10:00", u = 3),
-        ev("2024-01-01 11:30:00", u = 1))
+        ev("2024-01-01 11:30:00", u = 1), ev("2024-01-01 10:15:00", u = 4))
       q.processAllAvailable()
       // push the watermark past both stateful stages' horizons so the
       // 10:00 aggregate window finalizes (15:00 pair joins nothing:
@@ -345,19 +349,22 @@ class EventsStreamingSpec extends SparkTestBase {
       views.addData(ev("2024-01-01 15:00:00", u = 9, typ = "view"))
       clicks.addData(ev("2024-01-01 15:00:00", u = 9))
       q.processAllAvailable()
-      val expected = Set((1L, "10:00", "10:10", 2L))
+      val expected = Set((1L, "10:00", "10:10", 2L), (4L, "10:00", "10:15", 2L))
       assert(rows() == expected, rows().toString)
 
       // identical composition, batch semantics, non-late rows → equal
       val bv = Seq(ev("2024-01-01 10:00:00", u = 1, typ = "view"),
         ev("2024-01-01 10:05:00", u = 2, typ = "view"),
+        ev("2024-01-01 10:00:00", u = 4, typ = "view"),
+        ev("2024-01-01 10:06:00", u = 4, typ = "view"),
         ev("2024-01-01 15:00:00", u = 9, typ = "view")).toDF()
       val bc = Seq(ev("2024-01-01 10:10:00", u = 1), ev("2024-01-01 10:12:00", u = 1),
         ev("2024-01-01 10:10:00", u = 3), ev("2024-01-01 11:30:00", u = 1),
+        ev("2024-01-01 10:15:00", u = 4),
         ev("2024-01-01 15:00:00", u = 9)).toDF()
       val batch = graft.streaming.EventWindows.funnelConversions(bv, bc)
         .select(col("user_id"), date_format(col("w_start"), "HH:mm").as("w"),
-          date_format(col("first_conv"), "HH:mm").as("f"), col("n_steps"))
+          date_format(col("first_conv"), "HH:mm").as("f"), col("n_pairs"))
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
       assert(batch == expected, batch.toString)
     } finally q.stop()

@@ -243,20 +243,12 @@ class PlanSpec extends SparkTestBase {
     // seed the store so the store-check branch is in the plan
     graft.operators.IncrementalDedup.dedupDeltaNear(
       spark, docs.filter("doc_id < 50"), store)
-    // build (without executing) the second batch's plan
-    import org.apache.spark.sql.functions.{col, min => fmin}
+    // plan the second batch through the operator's OWN plan builder so
+    // this assertion cannot drift from the shipped join shape
     val delta = docs.filter("doc_id >= 50")
     val memb = Similarity.lshBuckets(Similarity.fourGramShingles(delta))
-    val bucketMin = memb.groupBy(col("bucket")).agg(fmin(col("doc_id")).as("mn"))
-    val withinDrop = memb.join(bucketMin, "bucket")
-      .filter(col("mn") < col("doc_id")).select(col("doc_id")).distinct()
-    val dropped = withinDrop.union(
-      memb.join(spark.read.option("recursiveFileLookup", "true")
-          .parquet(store).select(col("bucket")),
-        Seq("bucket"), "left_semi").select(col("doc_id")).distinct())
-    val kept = delta.select(col("doc_id")).distinct()
-      .join(dropped, Seq("doc_id"), "left_anti")
-    val p = plan(kept)
+    val p = plan(graft.operators.IncrementalDedup
+      .nearDupSurvivorPlan(spark, delta, memb, store, "doc_id"))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)

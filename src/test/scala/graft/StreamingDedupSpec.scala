@@ -33,8 +33,12 @@ class StreamingDedupSpec extends SparkTestBase {
       val q = spark.readStream.schema(schema).parquet(src)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          IncrementalDedup.dedupDelta(spark, df, store)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the batchId keys the store append, so a replayed batch
+          // returns its recorded survivors instead of anti-joining
+          // itself to zero
+          IncrementalDedup.dedupDelta(spark, df, store,
+              batchId = Some(id.toString))
             .write.mode("append").parquet(out)
         }
         .start()
@@ -60,5 +64,37 @@ class StreamingDedupSpec extends SparkTestBase {
     // nothing new (no files, no fps)
     runOnce()
     assert(spark.read.parquet(out).count() === 4)
+  }
+
+  test("a batch replayed after a crash-before-downstream-commit returns its recorded survivors") {
+    val store = Files.createTempDirectory("graft-replay-store")
+      .resolve("store").toString
+    import spark.implicits._
+    val batch = Seq(1L -> "one body", 2L -> "two body", 3L -> "one body")
+      .toDF("doc_id", "text")
+    def run() = IncrementalDedup
+      .dedupDelta(spark, batch, store, batchId = Some("42"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val first = run()
+    assert(first.map(_._2) === Set(1L, 2L)) // 3 is a within-batch dup
+    // the caller "crashed" before committing survivors downstream; the
+    // retry must return the SAME survivors, not anti-join itself to zero
+    val retried = run()
+    assert(retried === first)
+    // and the store holds exactly one batch record for id 42
+    val dirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    assert(dirs.map(_.getName).toSeq === Seq("batch-42"), dirs.mkString(","))
+    // near-dup variant: same contract
+    val nstore = Files.createTempDirectory("graft-replay-nstore")
+      .resolve("store").toString
+    val longDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nbatch = Seq(10L -> longDoc, 11L -> longDoc).toDF("doc_id", "text")
+    def nrun() = IncrementalDedup
+      .dedupDeltaNear(spark, nbatch, nstore, batchId = Some("7"))
+      .collect().map(_.getLong(0)).toSet
+    val nfirst = nrun()
+    assert(nfirst === Set(10L))
+    assert(nrun() === nfirst)
   }
 }
