@@ -43,6 +43,27 @@ import org.apache.spark.sql.SparkSession
   *    listing queries whose (max-min)/min spread exceeds 30% — drift
   *    self-reports instead of waiting for the judge's diff.
   *    A/B via SPARK_GRAFT_WARMUP=perquery|battery|none.
+  *  - r10: reps are INTERLEAVED (battery rounds A,B,C,…,A,B,C,… rather
+  *    than 3 back-to-back reps per query) so slow JVM state drift
+  *    (heap shape, code-cache pressure, mapper/metaspace growth)
+  *    decorrelates from specific queries — with back-to-back reps a
+  *    transient stall poisons one query's whole sample while its
+  *    neighbors look clean. One untimed warmup round precedes the timed
+  *    rounds (per-run cleanup keeps its state bounded — the thing r7's
+  *    broken battery warmup lacked). A/B via
+  *    SPARK_GRAFT_ORDER=interleaved|grouped.
+  *
+  * Baseline gate (r10): loads `BASELINE_QUERIES.json` (per-query
+  * min-of-battery seconds pinned from the r8+r9 noop-sink batteries)
+  * and emits `vs_baseline` per query plus a top-level
+  * `total_vs_baseline` ratio over the intersection. Thresholds:
+  * warn >1.5×, fail >2.0× — loosened to warn >2.0×, fail >3.0× for
+  * queries the baseline's `_meta.unstable` list flags as noisy
+  * (>30% per-rep spread in the pinned run), and skipped entirely when
+  * the baseline is <0.3 s (scheduler-noise-dominated, same floor as
+  * the variance gate). Failures set `"baseline_gate":"fail"` in the
+  * JSON artifact (exit code stays 0 so the driver still records the
+  * battery; the marker is the machine-readable failure).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -85,33 +106,43 @@ object Bench {
     // so the first query doesn't absorb JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val order = sys.env.getOrElse("SPARK_GRAFT_ORDER", "interleaved")
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args(0).split(",").toSet) else names0
     if (warmupMode == "battery") names.foreach(run)
+    // One timed execution of `name`: GC first so the ContextCleaner
+    // backlog (broadcasts, unpersisted block metadata) drains OUTSIDE
+    // the timed window; stop the clock BEFORE cleanup — the teardown
+    // (clearCache + unpersist sweep) keeps state bounded between runs
+    // but is not part of the query's cost.
+    def timedRun(name: String): (Double, Long, Long) = {
+      System.gc()
+      val g0 = gcMillis()
+      val t0 = System.nanoTime()
+      execute(name)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rep = (dt, gcMillis() - g0, heapMb())
+      cleanup()
+      rep
+    }
     // min-of-N per query (VERDICT r3 #2): this box drifts under
     // concurrent load — three r3 "regressions" were pure noise. The min
     // is the least-noise estimator of a query's true cost (noise is
     // strictly additive); raw runs go to the JSON file for audit.
-    val raw: Seq[(String, Seq[(Double, Long, Long)])] = names.map { name =>
-      if (warmupMode == "perquery") run(name)
-      // Drain deferred cleanup (broadcasts, unpersisted block metadata)
-      // OUTSIDE the timed window; on the 8 GB bench heap this is cheap
-      // and keeps rep 1 from paying an unpredictable GC inherited from
-      // earlier queries.
-      System.gc()
-      name -> (1 to reps).map { _ =>
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        execute(name)
-        // stop the clock BEFORE cleanup: the teardown (clearCache +
-        // unpersist sweep) keeps state bounded between reps but is not
-        // part of the query's cost
-        val dt = (System.nanoTime() - t0) / 1e9
-        val rep = (dt, gcMillis() - g0, heapMb())
-        cleanup()
-        rep
+    val raw: Seq[(String, Seq[(Double, Long, Long)])] =
+      if (order == "interleaved") {
+        // Warmup round: one untimed pass JIT-compiles every query's
+        // generated code; per-run cleanup bounds its residual state.
+        if (warmupMode != "none") names.foreach(run)
+        val acc = scala.collection.mutable.LinkedHashMap(
+          names.map(n => n -> Vector.empty[(Double, Long, Long)]): _*)
+        for (_ <- 1 to reps; name <- names)
+          acc(name) = acc(name) :+ timedRun(name)
+        names.map(n => n -> (acc(n): Seq[(Double, Long, Long)]))
+      } else names.map { name =>
+        if (warmupMode == "perquery") run(name)
+        name -> (1 to reps).map(_ => timedRun(name))
       }
-    }
     val results = raw.map { case (k, rs) => k -> rs.map(_._1).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -137,8 +168,52 @@ object Bench {
     }
     val warnJson = warnings.mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Baseline ratio gate (ADVICE r9): BASELINE_QUERIES.json pins each
+    // query's min-of-battery seconds; emit measured/baseline per query
+    // and gate on it so a scale regression fails in the artifact, not
+    // in a judge's manual diff three rounds later.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val (baseline, unstableBaseline): (Map[String, Double], Set[String]) =
+      try {
+        import org.json4s._
+        val jv = org.json4s.jackson.JsonMethods.parse(new java.io.File(baselinePath))
+        val qsB = jv.asInstanceOf[JObject].obj.collect {
+          case (k, JDouble(d)) if k != "_meta" => k -> d
+          case (k, JInt(i)) if k != "_meta"    => k -> i.toDouble
+        }.toMap
+        val unstable = jv \ "_meta" \ "unstable" match {
+          case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+          case _          => Set.empty[String]
+        }
+        (qsB, unstable)
+      } catch { case _: Throwable => (Map.empty[String, Double], Set.empty[String]) }
+    val ratios = results.collect {
+      case (k, v) if baseline.get(k).exists(_ > 0) => k -> v / baseline(k)
+    }
+    val ratioJson = ratios.map { case (k, r) =>
+      s"\"" + k + "\":" + BigDecimal(r).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    // Gate only queries whose baseline clears the 0.3 s noise floor;
+    // unstable-baseline queries get the loosened thresholds.
+    def gated(pred: Double => Boolean, loosePred: Double => Boolean): Seq[String] =
+      ratios.collect {
+        case (k, r) if baseline(k) >= 0.3 &&
+          (if (unstableBaseline(k)) loosePred(r) else pred(r)) => k
+      }.toSeq
+    val baseWarn = gated(r => r > 1.5 && r <= 2.0, r => r > 2.0 && r <= 3.0)
+    val baseFail = gated(_ > 2.0, _ > 3.0)
+    val noBaseline = results.collect { case (k, _) if !baseline.contains(k) => k }
+    val common = ratios.map(_._1).toSet
+    val totalVs =
+      if (common.isEmpty) 0.0
+      else results.collect { case (k, v) if common(k) => v }.sum /
+        baseline.collect { case (k, v) if common(k) => v }.sum
+    val gateStr = if (baseFail.nonEmpty) "fail" else "pass"
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baselineJson =
+      s""""vs_baseline":$ratioJson,"total_vs_baseline":${BigDecimal(totalVs).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"no_baseline":${strArr(noBaseline.toSeq)},"baseline_gate":"$gateStr","baseline_file":"$baselinePath""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"warnings":$warnJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)
@@ -146,7 +221,7 @@ object Bench {
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
     // per-query detail (incl. raw runs) stays in the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"reps":$reps,"n_unstable":${warnings.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${BigDecimal(totalVs).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
