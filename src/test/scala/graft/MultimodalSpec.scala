@@ -70,6 +70,19 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("cached fixture tables round-trip through parquet byte-identically") {
+    // q_media_features/_audio read the parquet-materialized fixture so
+    // the bench measures decode, not encode — this asserts the cache
+    // returns exactly the rows the direct synthesis produces.
+    for ((direct, cachedDf) <- Seq(
+        Multimodal.imageTable(spark, sfDir) -> Multimodal.imageTableCached(spark, sfDir),
+        Multimodal.audioTable(spark, sfDir) -> Multimodal.audioTableCached(spark, sfDir))) {
+      val a = direct.select(col("media_id"), md5(col("bytes")).as("h"))
+      val b = cachedDf.select(col("media_id"), md5(col("bytes")).as("h"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
   test("frame sampling strides the payload") {
     val sampled = Multimodal.frameSample(Multimodal.mediaTable(spark, sfDir), 4)
       .select(col("media_id"), size(col("sampled")).as("n"), length(col("bytes")).as("len"))
