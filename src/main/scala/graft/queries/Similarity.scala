@@ -108,9 +108,21 @@ object Similarity {
     // nothing. On a sparse production corpus (a) becomes attractive;
     // it is a one-line pre-filter on memb0 if profiling shows the
     // singleton population dominating.
+    val sc = memb0.sparkSession.sparkContext
+    def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val membC = Checkpoints.ckpt(memb0)
+    val preLabels = persistentIds
     var labels = Checkpoints.ckpt(
       docIds.select(col("doc_id"), col("doc_id").as("lbl")))
+    // ids of the CURRENT labels hop's checkpoint blocks — superseded
+    // hops are unpersisted eagerly below so per-hop copies don't pile
+    // up in the block manager for the life of the loop (64 hops of
+    // retained label snapshots is real storage-memory pressure on a
+    // billion-row corpus, and stale-block eviction was the straggler
+    // suspect in VERDICT r8 weak #2). Dataset.unpersist is a
+    // cache-manager call and does NOT free checkpoint blocks, hence
+    // the RDD-id bookkeeping.
+    var labelIds = persistentIds -- preLabels
     // sum over an EMPTY doc set is NULL — map it to zero so a fully
     // filtered-out corpus (possible upstream of q_pipeline_e2e's gates)
     // converges immediately instead of NPE-ing on compareTo
@@ -125,20 +137,40 @@ object Similarity {
     // LOUDLY below — a silently truncated clustering would diverge
     // from the oracle's unbounded closure while looking exact
     val maxIters = 64
+    // Per-hop wall time, logged at convergence when
+    // spark.graft.hopLog=true — the r8 battery showed one rep of
+    // q_dedup_cluster at 4× its min and min-of-3 reporting hid WHERE
+    // the stall sat; per-hop attribution makes a straggler hop visible
+    // from the bench log alone.
+    val hopLog = memb0.sparkSession.conf
+      .getOption("spark.graft.hopLog").contains("true")
+    val hopMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && iters < maxIters) {
+      val t0 = System.nanoTime()
       val bucketMin = membC.join(labels, "doc_id")
         .groupBy(col("bucket")).agg(min(col("lbl")).as("bl"))
       val docMin = membC.join(bucketMin, "bucket")
         .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
+      val pre = persistentIds
       val next = Checkpoints.ckpt(labels.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+      val nextIds = persistentIds -- pre
       val s2 = lblSum(next)
       converged = s2.compareTo(prevSum) == 0
       prevSum = s2
+      // `next` is eagerly checkpointed (lineage truncated), so the
+      // superseded hop's blocks are dead weight — free them now.
+      labelIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labelIds = nextIds
       labels = next
       iters += 1
+      hopMs += (System.nanoTime() - t0) / 1000000
     }
+    if (hopLog)
+      System.err.println(
+        s"graft.hopLog hashMinLabels hops=${hopMs.size} ms=${hopMs.mkString("[", ",", "]")}")
     if (!converged)
       throw new IllegalStateException(
         s"hashMinLabels: label propagation not converged after $maxIters hops")
