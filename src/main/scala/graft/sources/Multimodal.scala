@@ -206,6 +206,147 @@ object Multimodal {
     }.toDF()
   }
 
+  // ---------------------------------------------------- image near-dup
+
+  /** Encode the deterministic raster for `id` with every channel
+    * brightness-shifted by `shift` (clamped at 255) — the perturbed
+    * near-duplicate fixture: same content, different bytes, different
+    * container format than the base (png↔bmp), like a re-encoded
+    * re-uploaded crawl image. */
+  def encodeImageShifted(id: Long, fmt: String, shift: Int): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pixel(id, x, y)
+        val i = (y * w + x) * 3
+        buf(i) = math.min(255, (p & 0xff) + shift).toByte
+        buf(i + 1) = math.min(255, ((p >> 8) & 0xff) + shift).toByte
+        buf(i + 2) = math.min(255, ((p >> 16) & 0xff) + shift).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for format $fmt")
+    bos.toByteArray
+  }
+
+  /** Planted variant id offset — far above any doc_id at every SF. */
+  val VariantIdOffset = 1000000L
+
+  /** Base images plus perturbed near-duplicate variants (every 5th id:
+    * brightness +4, re-encoded in the OTHER lossless format). */
+  def imageNearDupTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val variants = load(s, d, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 5 == 0)
+      .mapPartitions { it =>
+        it.map { id =>
+          val fmt = if (id % 2 == 0) "bmp" else "png" // other format
+          ImageRow(id + VariantIdOffset, fmt, encodeImageShifted(id, fmt, 4))
+        }
+      }.toDF()
+    imageTable(s, d).unionByName(variants)
+  }
+
+  def imageNearDupTableCached(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "images_nd.parquet")(imageNearDupTable(s, d))
+
+  final case class ImageHash(media_id: Long, dhash: Long)
+
+  /** 64-bit dHash of a decoded raster: area-mean downscale to a 9×8
+    * grayscale grid (integer arithmetic throughout — deterministic),
+    * bit (r,c) = gray(r,c+1) > gray(r,c). Public algorithm
+    * (difference hash); invariant to uniform brightness shift except
+    * where clamping perturbs near-tie neighbor cells. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9 column cells × 8 row cells of area means; cells overlap when
+    // w < 9 (min fixture width is 8) — deterministic either way.
+    val gray = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8
+      val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        gray(r)(c) = (299L * sr + 587L * sg + 114L * sb) / (1000L * n)
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        hash = (hash << 1) | (if (gray(r)(c + 1) > gray(r)(c)) 1L else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Decode each payload and emit its 64-bit dHash. */
+  def dHashImages(s: SparkSession, images: DataFrame): DataFrame = {
+    import s.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"media_id=${r.media_id}: payload is not a decodable image")
+        ImageHash(r.media_id, dHash64(img))
+      }
+    }.toDF()
+  }
+
+  /** Hamming-band bucket join over 64-bit hashes: 4 bands × 16 bits —
+    * any pair within Hamming distance 3 shares at least one clean band
+    * (pigeonhole: guaranteed recall ≤3, probabilistic 4..maxDist), and
+    * a 16-bit band keeps expected bucket size n/65536 per band, so the
+    * join stays a bucket join at crawl scale (at 10⁹ images widen to
+    * 20–24-bit bands or multi-probe — same shape). Never all-pairs.
+    * Returns (a_id, b_id, hamming ≤ maxDist) pairs. */
+  def hammingNearDup(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bs",
+        expr("shiftrightunsigned(dhash, CAST(band * 16 AS INT)) & 65535"))
+    val a = bands.select(col("media_id").as("a_id"), col("dhash").as("ha"),
+      col("band"), col("bs"))
+    val b = bands.select(col("media_id").as("b_id"), col("dhash").as("hb"),
+      col("band"), col("bs"))
+    a.join(b, Seq("band", "bs"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Deterministic 16-bit PCM sample i of waveform `id`. */
@@ -287,7 +428,61 @@ object Multimodal {
         s"CASE WHEN (i - 1) % $stride = 0 THEN substring(bytes, i, 1) END), x -> x IS NOT NULL) " +
         s"ELSE CAST(array() AS ARRAY<BINARY>) END"))
 
+  /** SQL-expressible dHash twin of `q_image_neardup`: the "raster" is
+    * the document's first 72 bytes laid out 8 rows × 9 cols, bit (r,c)
+    * = byte(r,c+1) > byte(r,c); variants (every 5th doc) perturb the
+    * first byte ('~'), flipping at most bit (0,0). Pure ASCII corpus
+    * (asserted at both SFs) makes char = byte, so DuckDB computes the
+    * identical 64-bit hash and the WHOLE banding + Hamming-verify
+    * machinery is oracled end-to-end — the decode-path query then only
+    * needs the hash function itself spec-covered. */
+  def imageNearDupDet(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val base = docs.select(col("doc_id").as("media_id"),
+      expr("rpad(substring(text, 1, 72), 72, ' ')").as("p"))
+    val variants = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + VariantIdOffset).as("media_id"),
+        expr("rpad(substring(concat('~', substring(text, 2, 1000000)), 1, 72), 72, ' ')").as("p"))
+    val hashes = base.unionByName(variants).select(col("media_id"),
+      expr("""array_join(transform(sequence(0, 63), k ->
+        IF(ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 2 AS INT), 1)) >
+           ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 1 AS INT), 1)),
+           '1', '0')), '')""").as("h"))
+    val bands = hashes.select(col("media_id"), col("h"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bs", expr("substring(h, CAST(band * 16 + 1 AS INT), 16)"))
+    val a = bands.select(col("media_id").as("a_id"), col("h").as("ha"),
+      col("band"), col("bs"))
+    val b = bands.select(col("media_id").as("b_id"), col("h").as("hb"),
+      col("band"), col("bs"))
+    a.join(b, Seq("band", "bs"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("hamming",
+        expr("""CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
+          acc + IF(substring(ha, CAST(i AS INT), 1) <> substring(hb, CAST(i AS INT), 1), 1, 0)) AS BIGINT)"""))
+      .where(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    // Perceptual image near-dup dedup: real decode → dHash → 4×16-bit
+    // Hamming-band bucket join → exact bit_count verify. Not oracle-able
+    // (DuckDB cannot decode PNG/BMP); ImageNearDupSpec asserts every
+    // planted perturbed variant (brightness-shifted, format-swapped) is
+    // paired with its base, distances match an independent in-process
+    // dHash recomputation, and the plan has no cartesian product. The
+    // banding+verify machinery itself IS oracled via
+    // q_image_neardup_det below.
+    "q_image_neardup" -> ((s, d) =>
+      hammingNearDup(dHashImages(s, imageNearDupTableCached(s, d)), 6)
+        .orderBy("a_id", "b_id")),
+
+    // Fully-oracled deterministic twin: same band join + Hamming verify
+    // over a SQL-computable dHash (see imageNearDupDet scaladoc).
+    "q_image_neardup_det" -> ((s, d) => imageNearDupDet(s, d)),
+
     // Metadata + content hash over the binary column — oracle-able.
     "q_media_meta" -> ((s, d) =>
       mediaTable(s, d)
@@ -335,6 +530,36 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_image_neardup_det" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT doc_id AS media_id, rpad(substr(text, 1, 72), 72, ' ') AS p
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, rpad(substr('~' || substr(text, 2), 1, 72), 72, ' ')
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), hashes AS MATERIALIZED (
+        |  SELECT media_id,
+        |    array_to_string(list_transform(range(0, 64), k ->
+        |      CASE WHEN ord(substr(p, CAST((k // 8) * 9 + (k % 8) + 2 AS INT), 1)) >
+        |                ord(substr(p, CAST((k // 8) * 9 + (k % 8) + 1 AS INT), 1))
+        |           THEN '1' ELSE '0' END), '') AS h
+        |  FROM pr
+        |), bands AS (
+        |  SELECT media_id, h, band, substr(h, CAST(band * 16 + 1 AS INT), 16) AS bs
+        |  FROM hashes, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id, a.h AS ha, b.h AS hb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bs = b.bs AND a.media_id < b.media_id
+        |)
+        |SELECT a_id, b_id, hamming FROM (
+        |  SELECT a_id, b_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN substr(ha, CAST(i AS INT), 1) <> substr(hb, CAST(i AS INT), 1)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -70,6 +70,50 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("image near-dup: every planted perturbed variant pairs with its base") {
+    // Ground truth: recompute each image's dHash in-process from the
+    // shared pixel generator (base) and from an independently decoded
+    // shifted raster (variant) — NOT via the query's own code path.
+    val result = Multimodal.hammingNearDup(
+        Multimodal.dHashImages(spark, Multimodal.imageNearDupTable(spark, sfDir)), 6)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("hamming"))
+      .toMap
+    val docIds = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 5 == 0)
+    assert(docIds.nonEmpty)
+    var guaranteed = 0
+    docIds.foreach { id =>
+      val baseImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          Multimodal.encodeImage(id, if (id % 2 == 0) "png" else "bmp")))
+      val varImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          Multimodal.encodeImageShifted(id, if (id % 2 == 0) "bmp" else "png", 4)))
+      val d = java.lang.Long.bitCount(
+        Multimodal.dHash64(baseImg) ^ Multimodal.dHash64(varImg))
+      // 4×16-bit banding guarantees recall for d <= 3 (pigeonhole);
+      // 4..6 is probabilistic — assert the guaranteed region exactly.
+      if (d <= 3) {
+        guaranteed += 1
+        assert(result.get((id, id + Multimodal.VariantIdOffset)).contains(d.toLong),
+          s"planted pair for doc $id (d=$d) missing or wrong distance")
+      }
+    }
+    // the brightness+4 perturbation must keep most variants in the
+    // guaranteed-recall region, or the fixture isn't testing anything
+    assert(guaranteed >= docIds.length * 9 / 10,
+      s"only $guaranteed/${docIds.length} variants within guaranteed recall")
+    result.values.foreach(h => assert(h >= 0 && h <= 6))
+  }
+
+  test("image near-dup plan has no cartesian product") {
+    val plan = Multimodal.hammingNearDup(
+      Multimodal.dHashImages(spark, Multimodal.imageNearDupTable(spark, sfDir)), 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cached fixture tables round-trip through parquet byte-identically") {
     // q_media_features/_audio read the parquet-materialized fixture so
     // the bench measures decode, not encode — this asserts the cache
