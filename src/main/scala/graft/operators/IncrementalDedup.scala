@@ -44,7 +44,7 @@ object IncrementalDedup {
       coalesce(md5(col(textCol).cast("binary")), lit("<null-body>")).as("fp"),
       col(idCol).cast("long").as("doc_id"))
 
-  private def storeExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def storeExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -57,13 +57,13 @@ object IncrementalDedup {
     * committed downstream (false drops). Writing to a sibling temp dir
     * and renaming it in means a batch's fingerprints appear either
     * fully or not at all. */
-  private def readStore(spark: SparkSession, path: String): DataFrame =
+  private[graft] def readStore(spark: SparkSession, path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(path)
 
-  private def batchDir(storePath: String, name: String) =
+  private[graft] def batchDir(storePath: String, name: String) =
     new org.apache.hadoop.fs.Path(storePath, name)
 
-  private def appendAtomic(spark: SparkSession, df: DataFrame,
+  private[graft] def appendAtomic(spark: SparkSession, df: DataFrame,
                            storePath: String, dirName: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val store = new org.apache.hadoop.fs.Path(storePath)
@@ -78,11 +78,11 @@ object IncrementalDedup {
         s"atomic store append failed: could not rename $tmp into $store")
   }
 
-  private def freshBatchName(batchId: Option[String]): String =
+  private[graft] def freshBatchName(batchId: Option[String]): String =
     "batch-" + batchId.getOrElse(java.util.UUID.randomUUID().toString)
 
   /** The committed batch subdir for a replayed batchId, if any. */
-  private def committed(spark: SparkSession, storePath: String,
+  private[graft] def committed(spark: SparkSession, storePath: String,
                         batchId: Option[String]): Option[String] =
     batchId.map(id => s"batch-$id").filter { name =>
       storeExists(spark, storePath) && {

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Checkpoints
 import graft.Tables.load
+import graft.operators.AnnIndexStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -31,7 +32,7 @@ object Similarity {
     * products use the codegen'd `graft_ldot` expression
     * (graft.functions.LongDot) — the interpreted higher-order
     * `aggregate(zip_with(...))` was the similarity bottleneck. */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
     load(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -39,10 +40,10 @@ object Similarity {
       .withColumn("nq", expr("graft_ldot(qv, qv)"))
   }
 
-  private def dotQ(a: String, b: String): Column = expr(s"graft_ldot($a, $b)")
+  private[graft] def dotQ(a: String, b: String): Column = expr(s"graft_ldot($a, $b)")
 
 
-  private def cosine(dq: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(dq: Column, na: Column, nb: Column): Column =
     round(dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4)
 
   /** distinct (doc_id, word) pairs of the corpus. Dedup is row-local
@@ -308,6 +309,31 @@ object Similarity {
     // corpus-quadratic work never happens. Fully oracled: assignment
     // and re-rank both use the exact integer dot machinery.
     "q_ann_ivf" -> ((s, d) => ivfTop3(s, d).orderBy("a_id", "rn")),
+
+    // PERSISTED incremental ANN index (operators.AnnIndexStore): same
+    // IVF semantics as q_ann_ivf, but codebook + assignments live in a
+    // parquet store (fingerprint-store pattern) built lazily on first
+    // call — probes READ the index instead of recomputing assignment,
+    // and ingest deltas extend it per batch (replay-idempotent).
+    // Output is bit-identical to q_ann_ivf by construction (shared
+    // cosine/tie-break conventions), so it shares q_ann_ivf's oracle —
+    // the store round-trip itself is under hash-oracle coverage.
+    "q_ann_index_probe" -> ((s, d) => {
+      val q = quantized(s, d)
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ann_index",
+        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+      AnnIndexStore.ensureCodebook(s,
+        q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
+          col("qv").as("qc"), col("nq").as("nc")), store)
+      AnnIndexStore.appendBatch(s,
+        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+      AnnIndexStore.probe(s,
+        q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+          .select(col("vec_id").as("a_id"), col("qv").as("qa"),
+            col("nq").as("na")), store)
+        .orderBy("a_id", "rn")
+    }),
 
     // ANN RECALL audit (third leg of the "measure, don't guess" trio
     // next to q_minhash_est and q_agg_qsketch's spec): IVF top-3 vs the
@@ -638,7 +664,7 @@ object Similarity {
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
@@ -931,4 +957,11 @@ object Similarity {
          |JOIN (SELECT doc_id AS b_id, n AS nb FROM sizes) USING (b_id)
          |ORDER BY a_id, b_id""".stripMargin
   )
+
+  // The store-backed probe is bit-identical to the recompute pipeline
+  // by construction (shared codebook selection, cosine and tie-break
+  // conventions), so it shares q_ann_ivf's oracle verbatim — putting
+  // the persisted-index round-trip itself under hash-oracle coverage.
+  val oracles: Map[String, String] =
+    oraclesBase + ("q_ann_index_probe" -> oraclesBase("q_ann_ivf"))
 }

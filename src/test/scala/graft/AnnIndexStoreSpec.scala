@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.AnnIndexStore
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental ANN index: probe-over-store must equal the
+  * recompute-from-scratch IVF pipeline exactly, batches must extend
+  * the index incrementally, and a replayed batch append must be
+  * idempotent (same discipline as IncrementalDedupSpec). */
+class AnnIndexStoreSpec extends SparkTestBase {
+
+  private def freshStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-ann-store").toString + "/store"
+
+  private def quantizedVectors() = Similarity.quantized(spark, sfDir)
+
+  private def buildTwoBatches(store: String): Unit = {
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
+        col("qv").as("qc"), col("nq").as("nc")), store)
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
+      store, Some("even"))
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("qv"), col("nq")),
+      store, Some("odd"))
+  }
+
+  private def probeAll(store: String) =
+    AnnIndexStore.probe(spark,
+      quantizedVectors().filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na")),
+      store)
+      .orderBy("a_id", "rn").collect().toSeq
+
+  test("probe over a two-batch store equals recompute-from-scratch IVF") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    val fromStore = probeAll(store)
+    val recompute = SparkEntry.queries("q_ann_ivf")(spark, sfDir).collect().toSeq
+    assert(fromStore == recompute)
+    assert(fromStore.nonEmpty)
+  }
+
+  test("replayed batch append is idempotent: store and probes unchanged") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    val before = probeAll(store)
+    val nAssign = AnnIndexStore.readAssignments(spark, store).count()
+    // replay a committed batch (crash-after-append retry): the recorded
+    // assignments come back, nothing is double-appended
+    val replayed = AnnIndexStore.appendBatch(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("qv"), col("nq")),
+      store, Some("even"))
+    assert(replayed.count() > 0)
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nAssign)
+    assert(probeAll(store) == before)
+  }
+
+  test("assignments cover every ingested vector exactly once") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    val n = quantizedVectors().count()
+    val asg = AnnIndexStore.readAssignments(spark, store)
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+  }
+}
