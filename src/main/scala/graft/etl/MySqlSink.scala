@@ -114,4 +114,86 @@ object MySqlSink {
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "READ_COMMITTED")
       .mode("append")
+
+  // ------------------------------------------------- exactly-once append
+
+  /** Derby staging-table DDL for `bodies`: target columns plus a
+    * generated identity `graft_seq` — the dedup key the promote uses to
+    * keep ONE copy per pk (Derby cannot compare/DISTINCT CLOBs, so
+    * row-identity dedup must key on (pk, seq), not the payload). The
+    * MySQL twin would be the same columns with
+    * `graft_seq BIGINT NOT NULL AUTO_INCREMENT, PRIMARY KEY (graft_seq)`. */
+  def derbyStageDdl(stage: String): Seq[String] = Seq(
+    s"""CREATE TABLE $stage (
+       |  id BIGINT NOT NULL,
+       |  body CLOB,
+       |  graft_seq BIGINT GENERATED ALWAYS AS IDENTITY)""".stripMargin)
+
+  private def dropBestEffort(url: String, user: String, password: String,
+                             table: String): Unit =
+    try bootstrap(url, user, password, Seq(s"DROP TABLE $table"))
+    catch { case _: java.sql.SQLException => () }
+
+  /** Promote the staging table's rows into `target` in ONE transaction:
+    * per-pk dedup (the MIN(graft_seq) copy wins) plus a NOT EXISTS
+    * guard against rows already promoted. Returns the insert count.
+    * Exposed separately from [[exactlyOnceAppend]] so a spec (or an
+    * operator restarted after a crash between commit and stage-drop)
+    * can re-run promotion alone and observe its idempotence. */
+  def promoteStage(url: String, user: String, password: String,
+                   target: String, stage: String,
+                   cols: Seq[String], pk: Seq[String]): Long = {
+    require(pk.nonEmpty && cols.nonEmpty)
+    val pkEq = (alias: String) => pk.map(c => s"$alias.$c = s.$c").mkString(" AND ")
+    val sql =
+      s"""INSERT INTO $target (${cols.mkString(", ")})
+         |SELECT ${cols.map("s." + _).mkString(", ")} FROM $stage s
+         |WHERE s.graft_seq = (SELECT MIN(s2.graft_seq) FROM $stage s2 WHERE ${pkEq("s2")})
+         |  AND NOT EXISTS (SELECT 1 FROM $target t WHERE ${pkEq("t")})""".stripMargin
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      val n = try st.executeUpdate(sql) finally st.close()
+      conn.commit()
+      n.toLong
+    } catch {
+      case e: Throwable => try conn.rollback() finally (); throw e
+    } finally conn.close()
+  }
+
+  /** EXACTLY-ONCE JDBC append under Spark task retry. A plain `append`
+    * writer is at-least-once: a task that commits some JDBC batches and
+    * then dies is re-attempted in full, double-inserting the committed
+    * prefix (or failing the job on a PK). This routes the write through
+    * a staging table where retry duplicates are HARMLESS, then promotes
+    * with [[promoteStage]]'s dedup + idempotence guard — the same
+    * materialize-then-swap ordering discipline as
+    * `IncrementalDedup.appendAtomic`, expressed transactionally:
+    *   1. drop any leftover staging table (a crashed prior writer's),
+    *   2. create staging = target columns + identity `graft_seq`,
+    *   3. Spark-append the frame into staging (retries may duplicate),
+    *   4. promote: one INSERT..SELECT transaction, per-pk min-seq dedup
+    *      + NOT EXISTS — commits all-or-nothing,
+    *   5. drop staging.
+    * Crash at any point is safe: before promote-commit the target is
+    * untouched and a rerun starts clean at (1); after promote-commit a
+    * rerun's promote inserts 0 rows (NOT EXISTS) — idempotent replay.
+    * Returns rows promoted. */
+  def exactlyOnceAppend(df: DataFrame, url: String, user: String,
+                        password: String, target: String,
+                        stageDdl: String => Seq[String],
+                        cols: Seq[String], pk: Seq[String],
+                        batchSize: Int = 5000): Long = {
+    val stage = target + "_stg"
+    dropBestEffort(url, user, password, stage)
+    bootstrap(url, user, password, stageDdl(stage))
+    writer(df.selectExpr(cols: _*), url, stage, user, password, batchSize).save()
+    val n = promoteStage(url, user, password, target, stage, cols, pk)
+    dropBestEffort(url, user, password, stage)
+    n
+  }
 }

@@ -88,6 +88,46 @@ class MySqlSinkSpec extends SparkTestBase {
     assert(viaJdbc.nonEmpty && viaJdbc == direct)
   }
 
+  test("exactly-once append: a retried partition cannot double-insert") {
+    val out = WikiEtl.run(spark, xml)
+    val expected = out.bodies.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    MySqlSink.derbyReset(url, "app", "app")
+    MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyDdl)
+
+    // Inject the retry by hand: stage the first attempt's PARTIALLY
+    // COMMITTED prefix (a task dies after some JDBC batches commit),
+    // then stage the full re-attempt — the staging table now holds
+    // duplicates exactly as a real task retry leaves them.
+    val stage = "bodies_stg"
+    MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyStageDdl(stage))
+    val prefix = out.bodies.orderBy("id").limit(1)
+    val prefixN = prefix.count()
+    assert(prefixN == 1)
+    MySqlSink.writer(prefix, url, stage, "app", "app").save()          // attempt 1, partial
+    MySqlSink.writer(out.bodies, url, stage, "app", "app").save()      // retry, full
+    val staged = read(stage).count()
+    assert(staged == expected.size + prefixN, s"staging should hold dups, got $staged")
+
+    // promote: per-pk dedup + NOT EXISTS, one transaction
+    val n = MySqlSink.promoteStage(url, "app", "app", "bodies", stage,
+      Seq("id", "body"), Seq("id"))
+    assert(n == expected.size.toLong)
+    val got = read("bodies").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected) // exact rows, no duplicates
+    assert(read("bodies").count() == expected.size.toLong)
+
+    // replayed promotion (crash between commit and stage-drop): 0 rows
+    assert(MySqlSink.promoteStage(url, "app", "app", "bodies", stage,
+      Seq("id", "body"), Seq("id")) == 0L)
+    assert(read("bodies").count() == expected.size.toLong)
+
+    // and the one-call wrapper is replay-idempotent end-to-end
+    assert(MySqlSink.exactlyOnceAppend(out.bodies, url, "app", "app",
+      "bodies", MySqlSink.derbyStageDdl, Seq("id", "body"), Seq("id")) == 0L)
+    assert(read("bodies").count() == expected.size.toLong)
+    out.cleanup()
+  }
+
   test("append is idempotent-safe against PK: re-writing same ids fails, not dups") {
     // the bootstrapped PRIMARY KEY rejects a double-load (the reference
     // relied on DROP+CREATE before every load; here the schema guards).
