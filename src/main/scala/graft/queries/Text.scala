@@ -243,10 +243,14 @@ object Text {
     // (re-extract tokens), one map-side-combining pair count, and a
     // top-1 that is the ONLY row crossing to the driver; the corpus
     // string is checkpointed per round so lineage stays flat. At 100 TB
-    // a production trainer would batch several non-interacting merges
-    // per pass; one merge per pass keeps the oracle exactly unrollable.
+    // a production trainer batches several non-interacting merges per
+    // pass — that path is implemented (bpeLoopBatched) behind the
+    // `spark.graft.bpe.batchK` conf; the DEFAULT stays one merge per
+    // pass, which keeps the oracle exactly unrollable (setting the
+    // conf is an explicit opt-in to the snapshot-count approximation
+    // and diverges from the strict-greedy oracle).
     "q_bpe_train" -> ((s, d) =>
-      s.createDataFrame(bpeLoop(s, d, 8)._1)
+      s.createDataFrame(bpeDispatch(s, d, 8)._1)
         .toDF("step", "l_tok", "r_tok", "merged", "cnt")),
 
     // The APPLY side of BPE: the corpus re-tokenized under the learned
@@ -256,7 +260,7 @@ object Text {
     // 100 TB the apply output falls out of the training loop's final
     // checkpoint for free — no separate pass).
     "q_bpe_apply" -> ((s, d) =>
-      bpeLoop(s, d, 8)._2
+      bpeDispatch(s, d, 8)._2
         .select(col("doc_id"),
           expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
         .select(col("doc_id"),
@@ -265,21 +269,65 @@ object Text {
         .orderBy("doc_id"))
   )
 
-  /** Shared BPE fixpoint: N merge rounds over the paren-encoded corpus
-    * (doc_id retained so the apply side can join nothing — the final
-    * frame IS the tokenization). Returns (merge table, final corpus). */
-  private def bpeLoop(s: SparkSession, d: String, nMerges: Int)
-  : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    val enc0 = load(s, d, "documents")
+  /** The trainer the registered queries run: strict greedy by default
+    * (oracle-exact), batched when `spark.graft.bpe.batchK` > 1. */
+  private def bpeDispatch(s: SparkSession, d: String, nMerges: Int)
+  : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    s.conf.getOption("spark.graft.bpe.batchK").map(_.toInt).filter(_ > 1) match {
+      case Some(k) => val (m, e, _) = bpeLoopBatched(s, d, nMerges, k); (m, e)
+      case None    => bpeLoop(s, d, nMerges)
+    }
+
+  /** The paren-encoded corpus the BPE fixpoint iterates over. */
+  private[graft] def bpeEncode(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
       .select(col("doc_id"), expr(
         "concat_ws('', transform(filter(split(text, ' '), x -> x rlike '^[a-z]+$')," +
           " t -> concat('(', t, ')')))").as("enc"))
       .filter(length(col("enc")) > 0)
-    var enc = graft.Checkpoints.ckpt(enc0)
+
+  /** Shared BPE fixpoint: N merge rounds over the paren-encoded corpus
+    * (doc_id retained so the apply side can join nothing — the final
+    * frame IS the tokenization). Returns (merge table, final corpus).
+    * Strict one-merge-per-round greedy — the exactly-oracle-unrollable
+    * form; `batchK = 1` of the batched trainer below. */
+  private def bpeLoop(s: SparkSession, d: String, nMerges: Int)
+  : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (m, e, _) = bpeLoopBatched(s, d, nMerges, 1)
+    (m, e)
+  }
+
+  /** BATCHED BPE training — the production path a 100 TB trainer needs:
+    * per round, the top pairs by (cnt DESC, pair ASC) are scanned in
+    * order and a pairwise-DISJOINT subset (no shared token among any
+    * {l, r, l+r} — skip-and-continue) of up to `batchK` merges is
+    * applied in ONE corpus pass as a chained replace. Disjoint replaces
+    * commute (a merge can create/destroy only pairs touching its own
+    * tokens), so the one-pass application equals one-at-a-time
+    * application of the same set — BatchedBpeSpec proves this corpus
+    * equality on real data. What batching DOES approximate is the
+    * greedy schedule: later batch members use the round's count
+    * SNAPSHOT, not counts retrained after the earlier members (a new
+    * `(x, ab)` pair can outrank a snapshot pick) — which is why the
+    * oracled `q_bpe_train`/`q_bpe_apply` default to batchK = 1 (exact
+    * greedy, exactly unrollable in the oracle) and batching sits behind
+    * the `spark.graft.bpe.batchK` conf. Returns (merge table with
+    * global step ids and snapshot counts, final corpus, per-round batch
+    * sizes) — rounds ≈ nMerges / batchK corpus passes instead of
+    * nMerges. */
+  private[graft] def bpeLoopBatched(s: SparkSession, d: String, nMerges: Int,
+                                    batchK: Int)
+  : (Seq[(Int, String, String, String, Long)], DataFrame, Seq[Int]) = {
+    require(batchK >= 1)
+    var enc = graft.Checkpoints.ckpt(bpeEncode(s, d))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    val roundSizes = Seq.newBuilder[Int]
     var step = 1
+    var rounds = 0
     var exhausted = false
     while (step <= nMerges && !exhausted) {
+      // 4× headroom so the disjoint filter usually fills the batch; a
+      // short round just leaves the rest to the next snapshot
       val top = enc
         .select(expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
         .filter(size(col("toks")) >= 2)
@@ -289,22 +337,33 @@ object Text {
         .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))
-        .limit(1).collect()
+        .limit(math.max(1, batchK * 4)).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val l = top(0).getString(0); val r = top(0).getString(1)
-        merges += ((step, l, r, l + r, top(0).getLong(2)))
-        val next = enc.select(col("doc_id"),
-          expr(s"replace(enc, '($l)($r)', '(${l + r})')").as("enc"))
-        // checkpoint every SECOND merge: localCheckpoint is eager (one
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = top.iterator.map(t => (t.getString(0), t.getString(1), t.getLong(2)))
+          .filter { case (l, r, _) =>
+            val toks = Set(l, r, l + r)
+            if (toks.exists(used)) false else { used ++= toks; true }
+          }
+          .take(math.min(batchK, nMerges - step + 1)).toSeq
+        sel.foreach { case (l, r, cnt) =>
+          merges += ((step, l, r, l + r, cnt)); step += 1
+        }
+        roundSizes += sel.length
+        val applied = sel.foldLeft("enc") { case (acc, (l, r, _)) =>
+          s"replace($acc, '($l)($r)', '(${l + r})')"
+        }
+        val next = enc.select(col("doc_id"), expr(applied).as("enc"))
+        rounds += 1
+        // checkpoint every SECOND round: localCheckpoint is eager (one
         // job each), and the un-checkpointed hop is a single narrow
-        // replace over the previous checkpoint — recompute is one cheap
-        // pass, materialization cost halves
-        enc = if (step % 2 == 0) graft.Checkpoints.ckpt(next) else next
-        step += 1
+        // replace chain over the previous checkpoint — recompute is one
+        // cheap pass, materialization cost halves
+        enc = if (rounds % 2 == 0) graft.Checkpoints.ckpt(next) else next
       }
     }
-    (merges.result(), enc)
+    (merges.result(), enc, roundSizes.result())
   }
 
   /** Unrolled N-step DuckDB twin of the BPE fixpoint: step i recounts
