@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Udaf.queries ++
       graft.queries.Pipeline.queries ++
       graft.sources.Multimodal.queries ++
-      graft.queries.Sources.queries
+      graft.queries.Sources.queries ++
+      graft.queries.Layout.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Udaf.oracles ++
       graft.queries.Pipeline.oracles ++
       graft.sources.Multimodal.oracles ++
-      graft.queries.Sources.oracles
+      graft.queries.Sources.oracles ++
+      graft.queries.Layout.oracles
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.Layout
+import org.apache.spark.sql.functions._
+
+/** q_zorder / q_compact_bins — clustering effectiveness and compaction
+  * planning (Layout.scala). The DuckDB oracle checks exact values; these
+  * specs assert the claims the oracle can't see: that z-order actually
+  * SKIPS files, that the plan has no global sort/window on the big path,
+  * and that the compaction plan is contiguous and target-bounded. */
+class LayoutSpec extends SparkTestBase {
+
+  test("Morton interleave puts x bits at even, y bits at odd positions") {
+    // z(3,5): x=0011, y=0101 → z = 1 + 2 + 4 + 32 = 39
+    val z = spark.sql(s"SELECT ${Layout.zSql("3", "5", "DIV")} AS z")
+      .head().getLong(0)
+    assert(z === 39L)
+    // exhaustive: the interleave is a bijection [0,16)² → [0,256)
+    val n = spark.sql(
+      s"""SELECT count(DISTINCT ${Layout.zSql("x", "y", "DIV")})
+         |FROM (SELECT id % 16 AS x, id DIV 16 AS y FROM range(256))
+         |""".stripMargin).head().getLong(0)
+    assert(n === 256L)
+  }
+
+  test("z-order layout scans fewer files than linear on BOTH dimensions") {
+    val rows = Layout.queries("q_zorder")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(2))).toMap
+    for (dim <- Seq("part", "supp")) {
+      val (zScan, zFiles) = rows(("zorder", dim))
+      val (lScan, lFiles) = rows(("linear", dim))
+      // linear layout (clustered by orderkey) has no locality in
+      // partkey/suppkey: every file overlaps the predicate band
+      assert(lScan === lFiles, s"linear $dim should scan all files")
+      // z-order bounds both dims per file: a 4/16-wide band must skip
+      // at least half the files
+      assert(zScan * 2 <= zFiles, s"zorder $dim scanned $zScan/$zFiles")
+    }
+  }
+
+  test("q_zorder plan: broadcast range join, no Window, no global sort") {
+    val plan = Layout.queries("q_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "1-row min/max agg must broadcast")
+    assert(!plan.contains("Window"), "file assignment must not need a window")
+  }
+
+  test("compaction bins are contiguous, complete, and target-bounded") {
+    val files = Tables.load(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(length(col("props"))).as("bytes"))
+      .collect().map(r => (r.getDate(0), r.getLong(1)))
+    val total = files.map(_._2).sum
+    val target = total / 16 + 1
+    val maxFile = files.map(_._2).max
+
+    val bins = Layout.queries("q_compact_bins")(spark, sfDir).collect()
+    assert(bins.map(_.getLong(1)).sum === files.length, "every file binned")
+    assert(bins.map(_.getLong(2)).sum === total, "bytes conserved")
+    // running-sum assignment: a bin exceeds target only by the one
+    // file that straddles the boundary
+    bins.foreach { b =>
+      assert(b.getLong(2) <= target + maxFile,
+        s"bin ${b.getInt(0)} over-packed: ${b.getLong(2)}")
+    }
+    // contiguity: day ranges are disjoint and ordered with the bin ids
+    val ranges = bins.sortBy(_.getInt(0)).map(b => (b.getDate(3), b.getDate(4)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi.before(lo))
+      case _ =>
+    }
+  }
+}
