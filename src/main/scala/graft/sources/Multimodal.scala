@@ -47,6 +47,15 @@ object Multimodal {
 
   // ---------------------------------------------------------------- images
 
+  /** ImageIO defaults to a DISK-backed stream cache: every read spools
+    * the input through a temp file in `java.io.tmpdir` before the codec
+    * sees a byte — pure overhead plus tmp-dir contention across 32
+    * parallel decode threads when the payload is already an in-memory
+    * array. Referenced from each decode `mapPartitions` so the flip
+    * happens once per executor JVM, where the decode actually runs. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -150,6 +159,7 @@ object Multimodal {
     images.as[ImageRow].mapPartitions { it =>
       // ImageIO plugin lookup is per-JVM; per-partition scope is where a
       // heavier codec (libjpeg handle, ffmpeg context) would init once
+      imageIoNoDiskCache
       it.map { r =>
         val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
         if (img == null)
@@ -313,6 +323,7 @@ object Multimodal {
   def dHashImages(s: SparkSession, images: DataFrame): DataFrame = {
     import s.implicits._
     images.as[ImageRow].mapPartitions { it =>
+      imageIoNoDiskCache
       it.map { r =>
         val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(r.bytes))
         if (img == null)
