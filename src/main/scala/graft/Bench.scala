@@ -83,6 +83,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // STATIC conf, default 100: the battery runs 165+ distinct plans
+      // with several codegen units each, so the generated-class cache
+      // thrashes and every round pays Janino recompile + class-load for
+      // most queries — a measured driver of cross-round JVM aging. The
+      // cache is keyed by generated source, so distinct plans bound the
+      // entry count (~1-2k classes — metaspace-trivial).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Release per-run state immediately instead of waiting for the

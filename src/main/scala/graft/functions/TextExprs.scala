@@ -74,8 +74,87 @@ case class WinnowFingerprints(child: Expression, width: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Text-raster dHash (the `q_image_neardup_det` hash) as one primitive
+  * loop per row — same escalation story as [[RollingMinHash]]: the
+  * declarative form is `transform(sequence(0, 63), k -> ...)` with TWO
+  * interpreted `substring`+`ascii` calls per element (128 per row), a
+  * higher-order lambda that stays out of whole-stage codegen.
+  * `graft_dhash_text(p)` emits the identical 64-char '0'/'1' string:
+  * bit k compares raster bytes (k div 8)*9+(k mod 8)+1 vs +0
+  * (0-based). ASCII-only precondition (asserted for the corpus at both
+  * SFs): `ascii(substring(...))` reads code points, this reads bytes —
+  * equal iff the input is pure ASCII. Positions past the string mirror
+  * `ascii('') = 0`. */
+case class DHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_dhash_text"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.dhashText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.dhashText($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance over the first 64 positions of two '0'/'1' hash
+  * strings — the codegen'd replacement for the per-pair
+  * `aggregate(sequence(1, 64), ...)` verify (128 interpreted substring
+  * calls per candidate). Matches the SQL form exactly, including its
+  * edge semantics: a position past a string's end reads as '' (counts
+  * as a difference iff the other string still has a char there). */
+case class Hamming64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hamming64"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextExprs.hamming64(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextExprs.hamming64($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** See [[DHashText]]. */
+  def dhashText(p: UTF8String): UTF8String = {
+    val b = p.getBytes
+    val out = new Array[Byte](64)
+    var k = 0
+    while (k < 64) {
+      val i = (k >> 3) * 9 + (k & 7) // 0-based index of the left cell
+      val c0 = if (i < b.length) b(i) & 0xff else 0
+      val c1 = if (i + 1 < b.length) b(i + 1) & 0xff else 0
+      out(k) = if (c1 > c0) '1' else '0'
+      k += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** See [[Hamming64]]. */
+  def hamming64(a: UTF8String, b: UTF8String): Long = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    var d = 0L
+    var i = 0
+    while (i < 64) {
+      val x = if (i < ab.length) ab(i).toInt else -1
+      val y = if (i < bb.length) bb(i).toInt else -1
+      if (x != y) d += 1
+      i += 1
+    }
+    d
+  }
 
   /** min over all `width`-char windows of lowercase-hex md5(window),
     * equal to `array_min(transform(sequence(1, len-w+1), i ->
@@ -219,5 +298,13 @@ object TextExprs {
         exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_winnow", "width").toInt,
         VectorExprs.literalLong(exprs(2), "graft_winnow", "window").toInt))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dhash_text"),
+      new ExpressionInfo(classOf[DHashText].getName, "graft_dhash_text"),
+      (exprs: Seq[Expression]) => DHashText(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
+      (exprs: Seq[Expression]) => Hamming64(exprs.head, exprs(1)))
   }
 }

@@ -448,17 +448,21 @@ object Multimodal {
     * machinery is oracled end-to-end — the decode-path query then only
     * needs the hash function itself spec-covered. */
   def imageNearDupDet(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
     val docs = load(s, d, "documents")
     val base = docs.select(col("doc_id").as("media_id"),
       expr("rpad(substring(text, 1, 72), 72, ' ')").as("p"))
     val variants = docs.where(col("doc_id") % 5 === 0)
       .select((col("doc_id") + VariantIdOffset).as("media_id"),
         expr("rpad(substring(concat('~', substring(text, 2, 1000000)), 1, 72), 72, ' ')").as("p"))
+    // graft_dhash_text = the codegen'd twin of the declarative
+    //   array_join(transform(sequence(0, 63), k ->
+    //     IF(ascii(substring(p, (k DIV 8)*9 + k%8 + 2, 1)) >
+    //        ascii(substring(p, (k DIV 8)*9 + k%8 + 1, 1)), '1','0')), '')
+    // which pays 128 interpreted substring+ascii calls per row and keeps
+    // the projection out of whole-stage codegen (TextExprs.DHashText).
     val hashes = base.unionByName(variants).select(col("media_id"),
-      expr("""array_join(transform(sequence(0, 63), k ->
-        IF(ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 2 AS INT), 1)) >
-           ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 1 AS INT), 1)),
-           '1', '0')), '')""").as("h"))
+      expr("graft_dhash_text(p)").as("h"))
     val bands = hashes.select(col("media_id"), col("h"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bs", expr("substring(h, CAST(band * 16 + 1 AS INT), 16)"))
@@ -469,9 +473,9 @@ object Multimodal {
     a.join(b, Seq("band", "bs"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "ha", "hb").distinct()
-      .withColumn("hamming",
-        expr("""CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
-          acc + IF(substring(ha, CAST(i AS INT), 1) <> substring(hb, CAST(i AS INT), 1), 1, 0)) AS BIGINT)"""))
+      // codegen'd twin of: CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
+      //   acc + IF(substring(ha,i,1) <> substring(hb,i,1), 1, 0)) AS BIGINT)
+      .withColumn("hamming", expr("graft_hamming64(ha, hb)"))
       .where(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")

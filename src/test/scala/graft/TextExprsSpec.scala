@@ -57,4 +57,38 @@ class TextExprsSpec extends SparkTestBase {
       assert(f.map(_.toList) === refM(t).map(_.toList), s"mismatch on '$t'")
     }
   }
+
+  test("graft_dhash_text == declarative double-substring form on the real corpus") {
+    graft.functions.TextExprs.register(spark)
+    // the exact SQL it replaced in imageNearDupDet, over every document's
+    // rpad'd 72-byte pseudo-raster at sf0.001 (pure-ASCII corpus — the
+    // expression's documented precondition)
+    val mismatches = Tables.load(spark, sfDir, "documents")
+      .select(expr("rpad(substring(text, 1, 72), 72, ' ')").as("p"))
+      .select(expr("graft_dhash_text(p)").as("fast"),
+        expr("""array_join(transform(sequence(0, 63), k ->
+          IF(ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 2 AS INT), 1)) >
+             ascii(substring(p, CAST((k DIV 8) * 9 + (k % 8) + 1 AS INT), 1)),
+             '1', '0')), '')""").as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(mismatches === 0L)
+    // past-end positions mirror ascii('') = 0 (short input, no rpad)
+    val short = spark.sql("SELECT graft_dhash_text('ba') AS h").head().getString(0)
+    assert(short.length === 64 && short.startsWith("0") && short.drop(1) == "0" * 63)
+  }
+
+  test("graft_hamming64 == aggregate(sequence) form, incl. unequal lengths") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val pairs = Seq(
+      ("0" * 64, "0" * 64), ("0" * 64, "1" * 64),
+      ("01" * 32, "10" * 32), ("0" * 64, "0" * 63 + "1"),
+      ("0" * 10, "0" * 64),                  // short left: tail counts
+      ("", ""))                              // both empty: distance 0
+    val df = pairs.toDF("a", "b").select(
+      expr("graft_hamming64(a, b)").as("fast"),
+      expr("""CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
+        acc + IF(substring(a, CAST(i AS INT), 1) <> substring(b, CAST(i AS INT), 1), 1, 0)) AS BIGINT)""").as("ref"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }
