@@ -56,6 +56,24 @@ object Sources {
 
     // JSON-lines source/sink roundtrip, same oracle-against-parquet
     // contract (JSON numbers infer as BIGINT, strings pass through).
+    // Avro roundtrip through the engine's own DataSource V2 connector
+    // (sources/AvroSource.scala — splittable sync-marker reads, pruning
+    // pushed into the decoder). Same oracle-against-parquet contract as
+    // the csv/json roundtrips; Avro preserves types exactly, so no
+    // casts. splitSize forces the read through >1 byte-range partition
+    // even at sf0.01, so the oracled path exercises split reassembly.
+    "q_source_avro" -> ((s, d) => {
+      val p = s"/tmp/graft_source_avro_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.AvroSource.write(
+        load(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"))
+          .coalesce(1), p)
+      s.read.format(classOf[graft.sources.AvroSource].getName)
+        .option("splitSize", "65536").load(p)
+        .orderBy("c_custkey")
+    }),
+
     "q_source_json" -> ((s, d) => {
       val p = s"/tmp/graft_source_json_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
@@ -171,6 +189,9 @@ object Sources {
   val oracles: Map[String, String] = Map(
     "q_source_csv" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_source_avro" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_source_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.AvroSource
+import org.apache.spark.sql.functions._
+
+/** AvroSource (DataSource V2, sources/AvroSource.scala): roundtrip
+  * fidelity, sync-marker split correctness, decoder-level column
+  * pruning, and nullability — the properties the DuckDB oracle can't
+  * see (it has no Avro reader; q_source_avro oracles the roundtrip
+  * against the parquet table instead). */
+class AvroSourceSpec extends SparkTestBase {
+
+  private def tmp(tag: String) =
+    s"/tmp/graft-avro-$tag-${System.nanoTime()}"
+
+  test("roundtrip: every supported type survives write -> read bit-exact") {
+    val dir = tmp("rt")
+    val df = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"),
+        col("c_custkey").cast("int").as("ik"),
+        col("c_acctbal").cast("float").as("fk"),
+        (col("c_custkey") % 2 === 0).as("even"),
+        md5(col("c_name").cast("binary")).cast("binary").as("bin"),
+        when(col("c_custkey") % 3 === 0, col("c_name")).as("opt"))
+    AvroSource.write(df, dir)
+    val back = spark.read.format(classOf[AvroSource].getName).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("c_custkey").collect()
+    val b = back.orderBy("c_custkey").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      (0 until x.length).foreach { i =>
+        (x.get(i), y.get(i)) match {
+          case (p: Array[Byte], q: Array[Byte]) => assert(p.sameElements(q))
+          case (p, q) => assert(p === q, s"col $i")
+        }
+      }
+    }
+    // nullability: the conditional column actually produced nulls
+    assert(back.where(col("opt").isNull).count() > 0)
+  }
+
+  test("byte-range splits read every record exactly once") {
+    val dir = tmp("split")
+    val df = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority")).coalesce(1)
+    AvroSource.write(df, dir)
+    val n = df.count()
+    // tiny splits force many partitions with boundaries mid-block
+    val back = spark.read.format(classOf[AvroSource].getName)
+      .option("splitSize", "4096").load(dir)
+    assert(back.rdd.getNumPartitions > 4,
+      s"expected many splits, got ${back.rdd.getNumPartitions}")
+    assert(back.count() === n)
+    assert(back.select(sum("o_orderkey")).head().getLong(0) ===
+      df.select(sum("o_orderkey")).head().getLong(0))
+  }
+
+  test("column pruning reaches the scan (ReadSchema) and skips decode") {
+    val dir = tmp("prune")
+    AvroSource.write(Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment")), dir)
+    val q = spark.read.format(classOf[AvroSource].getName).load(dir)
+      .select(col("c_custkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("[c_custkey]"),
+      s"pruned scan description missing in:\n$plan")
+    assert(!plan.contains("c_mktsegment"), "unpruned column in scan")
+    assert(q.agg(sum("c_custkey")).head().getLong(0) > 0)
+  }
+
+  test("unsupported avro shapes fail fast with a clear message") {
+    val err = intercept[IllegalArgumentException] {
+      AvroSource.toSparkSchema(new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"m","type":{"type":"map","values":"long"}}]}""".stripMargin))
+    }
+    assert(err.getMessage.contains("unsupported"))
+  }
+}
