@@ -106,6 +106,36 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+    // Shuffle/spill accounting (r10): "minimize shuffles" as a measured
+    // artifact, not a design claim — per-query shuffle-write and spill
+    // bytes land in the JSON, so a map-side-combine regression (shuffle
+    // suddenly scaling with rows instead of groups) is visible from the
+    // artifact alone. Task-end events arrive on the async listener bus;
+    // the snapshot polls until the counters stabilize (bounded 500 ms)
+    // after the synchronous noop save returns.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
+    def drainedSnapshot(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (shufWrite.get, spillBytes.get)
+      var waited = 0
+      while (cur != prev && waited < 500) {
+        Thread.sleep(20); waited += 20
+        prev = cur; cur = (shufWrite.get, spillBytes.get)
+      }
+      cur
+    }
     def run(name: String): Unit = { execute(name); cleanup() }
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
@@ -129,13 +159,16 @@ object Bench {
     // the timed window; stop the clock BEFORE cleanup — the teardown
     // (clearCache + unpersist sweep) keeps state bounded between runs
     // but is not part of the query's cost.
-    def timedRun(name: String): (Double, Long, Long) = {
+    def timedRun(name: String): (Double, Long, Long, Long, Long) = {
       System.gc()
+      val (sw0, sp0) = (shufWrite.get, spillBytes.get)
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       execute(name)
       val dt = (System.nanoTime() - t0) / 1e9
-      val rep = (dt, gcMillis() - g0, heapMb())
+      // metrics drain happens AFTER the clock stops — not query cost
+      val (sw1, sp1) = drainedSnapshot()
+      val rep = (dt, gcMillis() - g0, heapMb(), sw1 - sw0, sp1 - sp0)
       cleanup()
       rep
     }
@@ -143,16 +176,16 @@ object Bench {
     // concurrent load — three r3 "regressions" were pure noise. The min
     // is the least-noise estimator of a query's true cost (noise is
     // strictly additive); raw runs go to the JSON file for audit.
-    val raw: Seq[(String, Seq[(Double, Long, Long)])] =
+    val raw: Seq[(String, Seq[(Double, Long, Long, Long, Long)])] =
       if (order == "interleaved") {
         // Warmup round: one untimed pass JIT-compiles every query's
         // generated code; per-run cleanup bounds its residual state.
         if (warmupMode != "none") names.foreach(run)
         val acc = scala.collection.mutable.LinkedHashMap(
-          names.map(n => n -> Vector.empty[(Double, Long, Long)]): _*)
+          names.map(n => n -> Vector.empty[(Double, Long, Long, Long, Long)]): _*)
         for (_ <- 1 to reps; name <- names)
           acc(name) = acc(name) :+ timedRun(name)
-        names.map(n => n -> (acc(n): Seq[(Double, Long, Long)]))
+        names.map(n => n -> (acc(n): Seq[(Double, Long, Long, Long, Long)]))
       } else names.map { name =>
         if (warmupMode == "perquery") run(name)
         name -> (1 to reps).map(_ => timedRun(name))
@@ -168,6 +201,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val heapJson = raw.map { case (k, rs) =>
       s"\"" + k + "\":" + rs.map(_._3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // max across reps: shuffle bytes are plan-determined (reps agree up
+    // to AQE wobble); spill is worst-case-relevant
+    val shufJson = raw.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.map(_._4).max
+    }.mkString("{", ",", "}")
+    val spillJson = raw.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.map(_._5).max
     }.mkString("{", ",", "}")
     // Variance gate (VERDICT r7 #6): queries whose per-rep spread
     // exceeds 30% of their min are unstable measurements — list them so
@@ -227,7 +268,7 @@ object Bench {
     val baselineJson =
       s""""vs_baseline":$ratioJson,"total_vs_baseline":${BigDecimal(totalVs).setScale(4, BigDecimal.RoundingMode.HALF_UP)},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"no_baseline":${strArr(noBaseline.toSeq)},"baseline_gate":"$gateStr","baseline_file":"$baselinePath""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"warnings":$warnJson,$baselineJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)
