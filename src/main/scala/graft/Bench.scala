@@ -126,14 +126,19 @@ object Bench {
           }
         }
       })
+    // last fully-drained value: lets a snapshot short-circuit when no
+    // task has run since the previous drain (cleanup/GC emit no tasks)
+    @volatile var lastDrained = (0L, 0L)
     def drainedSnapshot(): (Long, Long) = {
-      var prev = (-1L, -1L)
       var cur = (shufWrite.get, spillBytes.get)
+      if (cur == lastDrained) return cur
+      var prev = (-1L, -1L)
       var waited = 0
       while (cur != prev && waited < 500) {
         Thread.sleep(20); waited += 20
         prev = cur; cur = (shufWrite.get, spillBytes.get)
       }
+      lastDrained = cur
       cur
     }
     def run(name: String): Unit = { execute(name); cleanup() }
@@ -161,7 +166,10 @@ object Bench {
     // but is not part of the query's cost.
     def timedRun(name: String): (Double, Long, Long, Long, Long) = {
       System.gc()
-      val (sw0, sp0) = (shufWrite.get, spillBytes.get)
+      // drain BEFORE the baseline read too: the untimed warmup's task
+      // events are still on the async bus here, and without this they
+      // post mid-execute and land in rep 1's delta
+      val (sw0, sp0) = drainedSnapshot()
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       execute(name)

@@ -103,9 +103,12 @@ case class DHashText(child: Expression) extends UnaryExpression {
 /** Hamming distance over the first 64 positions of two '0'/'1' hash
   * strings — the codegen'd replacement for the per-pair
   * `aggregate(sequence(1, 64), ...)` verify (128 interpreted substring
-  * calls per candidate). Matches the SQL form exactly, including its
-  * edge semantics: a position past a string's end reads as '' (counts
-  * as a difference iff the other string still has a char there). */
+  * calls per candidate). Matches the SQL form exactly for single-byte
+  * input (the '0'/'1' hash strings it serves), including the edge
+  * semantics: a position past a string's end reads as '' (counts as a
+  * difference iff the other string still has a char there). Compares
+  * BYTES, not code points — multi-byte input diverges from the SQL
+  * form by design; see [[TextExprs.hamming64]]. */
 case class Hamming64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -141,15 +144,19 @@ object TextExprs {
     UTF8String.fromBytes(out)
   }
 
-  /** See [[Hamming64]]. */
+  /** See [[Hamming64]]. Bytes compare as unsigned so the past-end
+    * sentinel (-1) can never collide with a real byte (0xFF reads as
+    * 255). Comparison is byte-wise: exact vs the SQL form for 1-byte
+    * chars (the '0'/'1' hash strings it serves), byte- not char-wise
+    * for multi-byte input. */
   def hamming64(a: UTF8String, b: UTF8String): Long = {
     val ab = a.getBytes
     val bb = b.getBytes
     var d = 0L
     var i = 0
     while (i < 64) {
-      val x = if (i < ab.length) ab(i).toInt else -1
-      val y = if (i < bb.length) bb(i).toInt else -1
+      val x = if (i < ab.length) ab(i) & 0xff else -1
+      val y = if (i < bb.length) bb(i) & 0xff else -1
       if (x != y) d += 1
       i += 1
     }

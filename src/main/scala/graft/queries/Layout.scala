@@ -52,9 +52,13 @@ object Layout {
       s"(($x $divOp $p) % 2) * $w + (($y $divOp $p) % 2) * ${2 * w}"
     }.mkString(" + ")
 
-  /** 16-way equi-width bucket of `c` over [lo, hi], as SQL. */
+  /** 16-way equi-width bucket of `c` over [lo, hi], as SQL. The key is
+    * widened to BIGINT before the multiply: an INT-typed key column
+    * would otherwise wrap in 32-bit at large scale factors (Spark
+    * wraps silently in non-ANSI mode; DuckDB promotes — an oracle
+    * divergence exactly at the scale this query models). */
   private def bucketSql(c: String, lo: String, hi: String, divOp: String) =
-    s"CAST((($c - $lo) * 16) $divOp ($hi - $lo + 1) AS INT)"
+    s"CAST(((CAST($c AS BIGINT) - $lo) * 16) $divOp ($hi - $lo + 1) AS INT)"
 
   val queries: Map[String, Q] = Map(
     // Z-order clustering effectiveness: 4 rows —
@@ -80,8 +84,8 @@ object Layout {
         .select(col("x16"), col("y16"),
           expr("z DIV 8").as("f"), lit("zorder").as("layout"))
         .unionByName(zed.select(col("x16"), col("y16"),
-          expr("CAST(((l_orderkey - omin) * 32) DIV (omax - omin + 1) AS INT)")
-            .as("f"),
+          expr("CAST(((CAST(l_orderkey AS BIGINT) - omin) * 32)" +
+            " DIV (omax - omin + 1) AS INT)").as("f"),
           lit("linear").as("layout")))
       val fileStats = assigned.groupBy(col("layout"), col("f"))
         .agg(min("x16").as("xmin"), max("x16").as("xmax"),
@@ -146,7 +150,8 @@ object Layout {
       |  SELECT 'zorder' AS layout, x16, y16, z // 8 AS f FROM zed
       |  UNION ALL
       |  SELECT 'linear', x16, y16,
-      |         CAST(((l_orderkey - omin) * 32) // (omax - omin + 1) AS INT)
+      |         CAST(((CAST(l_orderkey AS BIGINT) - omin) * 32)
+      |              // (omax - omin + 1) AS INT)
       |  FROM zed
       |), fs AS (
       |  SELECT layout, f, min(x16) xmin, max(x16) xmax,

@@ -199,6 +199,15 @@ object AvroSource {
       }
       Iterator.empty[Int]
     }.count(): Unit
+    // an all-empty write must still be readable: emit one header-only
+    // container so inferSchema has a schema to read back
+    if (!d.listFiles().exists(_.getName.endsWith(".avro"))) {
+      val schema = new AvroSchema.Parser().parse(avroJson)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+        .create(schema, new java.io.File(d, "part-00000.avro"))
+      w.close()
+    }
     new java.io.File(d, "_SUCCESS").createNewFile(): Unit
   }
 }
@@ -251,12 +260,14 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val split = partition.asInstanceOf[AvroSplit]
       // reader schema = the pruned columns: the resolving decoder
-      // byte-skips every writer field absent from it
+      // byte-skips every writer field absent from it. The writer
+      // schema comes from the container header during open (a null
+      // writer in the ctor means "take it from the file"), so the
+      // header is parsed once, not twice per split.
       private val reader = {
-        val writerSchema = AvroSource.readWriterSchema(new java.io.File(split.file))
         val prunedAvro = AvroSource.toAvroSchema(
           StructType(required.fields), "graft_record")
-        val datum = new GenericDatumReader[GenericRecord](writerSchema, prunedAvro)
+        val datum = new GenericDatumReader[GenericRecord](null, prunedAvro)
         val r = new DataFileReader[GenericRecord](
           new java.io.File(split.file), datum)
         r.sync(split.start)

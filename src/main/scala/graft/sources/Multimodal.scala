@@ -461,8 +461,12 @@ object Multimodal {
     //        ascii(substring(p, (k DIV 8)*9 + k%8 + 1, 1)), '1','0')), '')
     // which pays 128 interpreted substring+ascii calls per row and keeps
     // the projection out of whole-stage codegen (TextExprs.DHashText).
+    // coalesce: the declarative form (and the DuckDB oracle) maps a
+    // NULL raster to '0'*64 (every IF(NULL>NULL,...) takes the else
+    // branch); graft_dhash_text is a standard null-in/null-out
+    // expression, so feed it '' — same all-zero hash, byte-for-byte
     val hashes = base.unionByName(variants).select(col("media_id"),
-      expr("graft_dhash_text(p)").as("h"))
+      expr("graft_dhash_text(coalesce(p, ''))").as("h"))
     val bands = hashes.select(col("media_id"), col("h"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bs", expr("substring(h, CAST(band * 16 + 1 AS INT), 16)"))
