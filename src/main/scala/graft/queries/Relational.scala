@@ -135,6 +135,12 @@ object Relational {
     // the candidates. Bin width is double ε so floating-point bin
     // boundaries can never drop a true candidate. PlanSpec asserts the
     // physical plan is a hash/merge join — no nested-loop anywhere.
+    // NOTE output cardinality: with a fixed ε over a fixed value range,
+    // match density per probe grows linearly with corpus size, so the
+    // RESULT (and its presentation-sort shuffle) is quadratic — measured
+    // β=1.94 in SCALING.md while probe+build shuffles stay linear. At
+    // scale, bound the output (top-k per probe / ε sized for bounded
+    // density); the band-join mechanism itself is linear per candidate.
     "q_join_range" -> ((s, d) => {
       val eps = 0.5
       val width = 2 * eps
