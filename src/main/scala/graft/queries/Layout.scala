@@ -52,6 +52,42 @@ object Layout {
       s"(($x $divOp $p) % 2) * $w + (($y $divOp $p) % 2) * ${2 * w}"
     }.mkString(" + ")
 
+  /** Hilbert index of a 16×16 grid cell (order-4 curve), standard
+    * xy2d bit-twiddle (public algorithm). Unlike Morton order, every
+    * consecutive pair of curve positions is grid-adjacent, so files =
+    * contiguous curve ranges have tighter per-file bounding boxes —
+    * the property HilbertSpec asserts and q_hilbert measures. */
+  def hilbertD(n: Int, xIn: Int, yIn: Int): Int = {
+    var (x, y, d) = (xIn, yIn, 0)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate quadrant
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** The 256-entry Hilbert table as a SQL array lookup, generated from
+    * [[hilbertD]] so Spark and DuckDB evaluate the IDENTICAL mapping —
+    * the same portability trick as [[zSql]], trading formula for
+    * table because the curve's quadrant rotations don't reduce to
+    * div/mod arithmetic. Index = x16 * 16 + y16 (plus 1: both
+    * engines' arrays are 1-based). */
+  def hilbertSql(x: String, y: String, dialect: String): String = {
+    val table = (0 until 256).map(i => hilbertD(16, i / 16, i % 16))
+    val idx = s"$x * 16 + $y + 1"
+    dialect match {
+      case "spark"  => s"element_at(array(${table.mkString(",")}), CAST($idx AS INT))"
+      case "duckdb" => s"([${table.mkString(",")}])[$idx]"
+    }
+  }
+
   /** 16-way equi-width bucket of `c` over [lo, hi], as SQL. The key is
     * widened to BIGINT before the multiply: an INT-typed key column
     * would otherwise wrap in 32-bit at large scale factors (Spark
@@ -87,6 +123,48 @@ object Layout {
           expr("CAST(((CAST(l_orderkey AS BIGINT) - omin) * 32)" +
             " DIV (omax - omin + 1) AS INT)").as("f"),
           lit("linear").as("layout")))
+      val fileStats = assigned.groupBy(col("layout"), col("f"))
+        .agg(min("x16").as("xmin"), max("x16").as("xmax"),
+          min("y16").as("ymin"), max("y16").as("ymax"),
+          count(lit(1)).as("cnt"))
+      val perDim = (dim: String, lo2: Int, hi2: Int, mn: String, mx: String) =>
+        fileStats.groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_files"),
+            sum("cnt").as("rows_total"),
+            count_if(col(mn) <= hi2 && col(mx) >= lo2).as("files_scanned"),
+            coalesce(sum(when(col(mn) <= hi2 && col(mx) >= lo2, col("cnt"))),
+              lit(0L)).as("rows_scanned"))
+          .withColumn("pred_dim", lit(dim))
+      perDim("part", 4, 7, "xmin", "xmax")
+        .unionByName(perDim("supp", 4, 7, "ymin", "ymax"))
+        .select(col("layout"), col("pred_dim"), col("n_files"),
+          col("files_scanned"), col("rows_total"), col("rows_scanned"))
+        .orderBy("layout", "pred_dim")
+    }),
+
+    // Hilbert vs Z-order head-to-head: identical shape to q_zorder but
+    // comparing the two space-filling curves — Hilbert's grid-adjacent
+    // steps give files tighter bounding boxes, so it should scan no
+    // more (usually fewer) files than Morton for the same band
+    // predicate. Same fixed curve-range file boundaries (d div 8), no
+    // global sort.
+    "q_hilbert" -> ((s, d) => {
+      val li = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val rng = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val b = li.crossJoin(broadcast(rng))
+        .withColumn("x16", expr(bucketSql("l_partkey", "pmin", "pmax", "DIV")))
+        .withColumn("y16", expr(bucketSql("l_suppkey", "smin", "smax", "DIV")))
+      val curved = b
+        .withColumn("z", expr(zSql("x16", "y16", "DIV")))
+        .withColumn("h", expr(hilbertSql("x16", "y16", "spark")))
+      val assigned = curved
+        .select(col("x16"), col("y16"),
+          expr("h DIV 8").as("f"), lit("hilbert").as("layout"))
+        .unionByName(curved.select(col("x16"), col("y16"),
+          expr("z DIV 8").as("f"), lit("zorder").as("layout")))
       val fileStats = assigned.groupBy(col("layout"), col("f"))
         .agg(min("x16").as("xmin"), max("x16").as("xmax"),
           min("y16").as("ymin"), max("y16").as("ymax"),
@@ -153,6 +231,45 @@ object Layout {
       |         CAST(((CAST(l_orderkey AS BIGINT) - omin) * 32)
       |              // (omax - omin + 1) AS INT)
       |  FROM zed
+      |), fs AS (
+      |  SELECT layout, f, min(x16) xmin, max(x16) xmax,
+      |         min(y16) ymin, max(y16) ymax, count(*) cnt
+      |  FROM assigned GROUP BY layout, f
+      |)
+      |SELECT layout, pred_dim, n_files, files_scanned, rows_total,
+      |       rows_scanned
+      |FROM (
+      |  SELECT layout, 'part' AS pred_dim, count(*) AS n_files,
+      |         CAST(sum(cnt) AS BIGINT) AS rows_total,
+      |         count(*) FILTER (WHERE xmin <= 7 AND xmax >= 4) AS files_scanned,
+      |         CAST(coalesce(sum(cnt) FILTER (WHERE xmin <= 7 AND xmax >= 4), 0)
+      |              AS BIGINT) AS rows_scanned
+      |  FROM fs GROUP BY layout
+      |  UNION ALL
+      |  SELECT layout, 'supp', count(*), CAST(sum(cnt) AS BIGINT),
+      |         count(*) FILTER (WHERE ymin <= 7 AND ymax >= 4),
+      |         CAST(coalesce(sum(cnt) FILTER (WHERE ymin <= 7 AND ymax >= 4), 0)
+      |              AS BIGINT)
+      |  FROM fs GROUP BY layout
+      |)
+      |ORDER BY layout, pred_dim
+      |""".stripMargin,
+    "q_hilbert" -> s"""
+      |WITH rng AS (
+      |  SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+      |         min(l_suppkey) smin, max(l_suppkey) smax
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT ${bucketSql("l_partkey", "pmin", "pmax", "//")} AS x16,
+      |         ${bucketSql("l_suppkey", "smin", "smax", "//")} AS y16
+      |  FROM lineitem, rng
+      |), curved AS (
+      |  SELECT x16, y16, ${zSql("x16", "y16", "//")} AS z,
+      |         ${hilbertSql("x16", "y16", "duckdb")} AS h FROM b
+      |), assigned AS (
+      |  SELECT 'hilbert' AS layout, x16, y16, h // 8 AS f FROM curved
+      |  UNION ALL
+      |  SELECT 'zorder', x16, y16, z // 8 FROM curved
       |), fs AS (
       |  SELECT layout, f, min(x16) xmin, max(x16) xmax,
       |         min(y16) ymin, max(y16) ymax, count(*) cnt
