@@ -159,6 +159,36 @@ object Relational {
         .orderBy("a_id", "b_id")
     }),
 
+    // The bounded companion of q_join_range — the at-scale form from
+    // SCALING.md: keep only the top-3 nearest matches per probe
+    // (row_number over |Δv|, b_id tiebreak for determinism), so the
+    // OUTPUT is O(probes), not probes × match-density. The banded
+    // candidate join is unchanged; the cap rides a per-probe window
+    // over candidates only (each probe's candidate set is 3 bins wide,
+    // so the window partition stays small at any corpus size).
+    "q_join_range_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val eps = 0.5
+      val width = 2 * eps
+      val probe = load(s, d, "events")
+        .filter(pmod(col("event_id"), lit(199)) === 0)
+        .select(col("event_id").as("a_id"), col("value").as("va"))
+        .withColumn("b0", floor(col("va") / width).cast("long"))
+        .select(col("a_id"), col("va"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bin"))
+      val build = load(s, d, "events")
+        .select(col("event_id").as("b_id"), col("value").as("vb"))
+        .withColumn("bin", floor(col("vb") / width).cast("long"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(abs(col("va") - col("vb")), col("b_id"))
+      probe.join(build, Seq("bin"))
+        .filter(abs(col("va") - col("vb")) <= eps && col("a_id") =!= col("b_id"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("a_id"), col("b_id"), col("rnk"))
+        .orderBy("a_id", "rnk")
+    }),
+
     // Null-safe equality join: NULL keys MATCH each other (<=> /
     // IS NOT DISTINCT FROM) — the semantics a changelog join needs when
     // "no value" is itself a join key. Derived nullable keys on both
@@ -535,6 +565,15 @@ object Relational {
         |  ON a.event_id % 199 = 0 AND b.event_id <> a.event_id
         | AND ABS(a.value - b.value) <= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_join_range_topk" ->
+      """SELECT a_id, b_id, rnk FROM (
+        |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |         ROW_NUMBER() OVER (PARTITION BY a.event_id
+        |           ORDER BY ABS(a.value - b.value), b.event_id) AS rnk
+        |  FROM events a JOIN events b
+        |    ON a.event_id % 199 = 0 AND b.event_id <> a.event_id
+        |   AND ABS(a.value - b.value) <= 0.5
+        |) WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin,
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
