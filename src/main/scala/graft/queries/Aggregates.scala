@@ -19,6 +19,41 @@ import org.apache.spark.sql.types.DecimalType
 object Aggregates {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scale-safe `RANGE BETWEEN range PRECEDING AND CURRENT ROW` sum over a
+    * LOW-cardinality partition key (the q_win_range shape: o_orderstatus has
+    * 3 values, so `Window.partitionBy(partKey)` sorts a third of the table
+    * in ONE task at any scale).
+    *
+    * Two-pass bucketed rewrite: the order key is bucketed into fixed-width
+    * buckets; each row whose key lies within `range` of the NEXT bucket's
+    * start is additionally emitted as a "ghost" contributor to that bucket,
+    * so every (partKey, bucket) partition holds every row any of its real
+    * rows' frames [k-range, k] can reach — the frame never spans more than
+    * one boundary because bucketWidth > range. The range window then runs
+    * over fine-grained (partKey, bucket) partitions (parallelism scales with
+    * the key domain, not the partition-key cardinality) and ghosts are
+    * dropped after contributing. Duplication overhead = range/bucketWidth.
+    * Row-identical to the single-partition window — oracle unchanged;
+    * WinRangeBucketedSpec proves equality vs the naive plan on data
+    * straddling many bucket boundaries. */
+  def bucketedRangeSum(df: DataFrame, partKey: String, orderKey: String,
+      value: org.apache.spark.sql.Column, range: Long, bucketWidth: Long,
+      out: String): DataFrame = {
+    require(bucketWidth > range, "bucketWidth must exceed the frame range")
+    val base = df.withColumn("__bkt", floor(col(orderKey) / bucketWidth))
+    val ghosts = base
+      .filter(col(orderKey) >= (col("__bkt") + 1) * bucketWidth - range)
+      .withColumn("__bkt", col("__bkt") + 1)
+      .withColumn("__ghost", lit(true))
+    val w = Window.partitionBy(col(partKey), col("__bkt"))
+      .orderBy(col(orderKey).asc)
+      .rangeBetween(-range, Window.currentRow)
+    base.withColumn("__ghost", lit(false)).unionByName(ghosts)
+      .withColumn(out, sum(value).over(w))
+      .filter(!col("__ghost"))
+      .drop("__bkt", "__ghost")
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: partial+final hash aggregate, map-side combine.
     "q_agg_hash" -> ((s, d) =>
@@ -371,16 +406,18 @@ object Aggregates {
         .orderBy("user_id", "event_id")
     }),
 
-    "q_win_range" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_orderkey").asc)
-        .rangeBetween(-100, Window.currentRow)
-      load(s, d, "orders")
+    // Range frame over a 3-value partition key, scale-safe via the
+    // two-pass bucketed rewrite (see bucketedRangeSum above).
+    "q_win_range" -> ((s, d) =>
+      bucketedRangeSum(
+        load(s, d, "orders")
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
+        partKey = "o_orderstatus", orderKey = "o_orderkey",
+        value = col("o_totalprice").cast(DecimalType(18, 2)),
+        range = 100L, bucketWidth = 4096L, out = "wsum_dec")
         .select(col("o_orderstatus"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast("double").as("wsum"))
-        .orderBy("o_orderstatus", "o_orderkey")
-    }),
+          col("wsum_dec").cast("double").as("wsum"))
+        .orderBy("o_orderstatus", "o_orderkey")),
 
     "q_topk_group" -> ((s, d) => {
       val w = Window.partitionBy(col("p_brand"))

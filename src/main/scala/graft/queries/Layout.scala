@@ -189,18 +189,40 @@ object Layout {
     // bin-packed contiguously into ~16 target-sized compaction bins
     // via a running-sum assignment. SF-invariant: the target is
     // total/16, so the plan shape is stable across scale factors.
+    //
+    // The running sum is a DISTRIBUTED prefix sum, not a partition-less
+    // window (which would funnel the whole file listing — 10⁶–10⁷ rows
+    // on a real lake — through one task): days are bucketed by VALUE
+    // range (deterministic, same pattern as q_zorder's linear layout —
+    // no repartitionByRange, whose sampled boundaries could differ
+    // between the offsets job and the main job), the running sum runs
+    // per bucket, and cross-bucket offsets come from an O(nb²)
+    // self-join over the nb=32 bucket totals — metadata-of-metadata —
+    // broadcast back onto the bucketed rows.
     "q_compact_bins" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val nb = 32 // prefix-sum buckets = parallelism of the running sum
       val files = load(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(length(col("props"))).as("bytes"))
-      val total = files.agg(sum("bytes").as("tb"))
-      val w = Window.orderBy("day")
+      val rng = files.agg(min("day").as("dmin"), max("day").as("dmax"),
+        sum("bytes").as("tb"))
+      val bucketed = files.crossJoin(broadcast(rng))
+        .withColumn("bkt", expr(
+          s"CAST((CAST(DATEDIFF(day, dmin) AS BIGINT) * $nb)" +
+            " DIV (DATEDIFF(dmax, dmin) + 1) AS INT)"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      files.crossJoin(broadcast(total))
+      val btot = bucketed.groupBy(col("bkt")).agg(sum("bytes").as("btot"))
+      val offsets = btot.as("a")
+        .join(btot.as("b"), col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.btot")), lit(0L)).as("off"))
+      bucketed
+        .withColumn("run_in", sum("bytes").over(wIn))
+        .join(broadcast(offsets), "bkt")
         .withColumn("target", expr("tb DIV 16 + 1"))
-        .withColumn("cum_before",
-          coalesce(sum("bytes").over(w) - col("bytes"), lit(0L)))
+        .withColumn("cum_before", col("off") + col("run_in") - col("bytes"))
         .withColumn("bin", expr("CAST(cum_before DIV target AS INT)"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),

@@ -102,5 +102,39 @@ class LayoutSpec extends SparkTestBase {
       case Array((_, hi), (lo, _)) => assert(hi.before(lo))
       case _ =>
     }
+
+    // the distributed (bucketed) prefix sum must reproduce the naive
+    // global running-sum assignment EXACTLY — computed here driver-side
+    val expected = files.sortBy(_._1.getTime)
+      .scanLeft((null.asInstanceOf[java.sql.Date], 0L, 0L)) {
+        case ((_, cum, _), (day, bytes)) => (day, cum + bytes, bytes)
+      }.drop(1)
+      .map { case (day, cumThrough, bytes) =>
+        (day, ((cumThrough - bytes) / target).toInt) }
+      .groupBy(_._2).map { case (bin, ds) =>
+        bin -> (ds.length.toLong, ds.map(_._1).minBy(_.getTime),
+          ds.map(_._1).maxBy(_.getTime))
+      }
+    bins.foreach { b =>
+      val (n, dmin, dmax) = expected(b.getInt(0))
+      assert(b.getLong(1) === n)
+      assert(b.getDate(3) === dmin && b.getDate(4) === dmax)
+    }
+  }
+
+  test("no partition-less window (Window.orderBy) anywhere in main source") {
+    // a Window.orderBy(...) without partitionBy is a single-task global
+    // sort — the scale anti-pattern q_compact_bins' bucketed prefix sum
+    // exists to avoid. Keep main free of it, forever.
+    val main = new java.io.File("src/main/scala")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = scalaFiles(main).filter { f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).contains("Window.orderBy")
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows in: ${offenders.map(_.getPath).mkString(", ")}")
   }
 }
