@@ -126,19 +126,19 @@ object Bench {
           }
         }
       })
-    // last fully-drained value: lets a snapshot short-circuit when no
-    // task has run since the previous drain (cleanup/GC emit no tasks)
-    @volatile var lastDrained = (0L, 0L)
+    // Always poll to stability — no equals-last-drained shortcut: that
+    // shortcut assumed no events were in flight, but listener-bus lag
+    // (or events still propagating past a previous drain's 500 ms cap)
+    // could land a prior run's bytes in the next rep's delta. One 20 ms
+    // stability poll per snapshot is noise next to a timed query.
     def drainedSnapshot(): (Long, Long) = {
       var cur = (shufWrite.get, spillBytes.get)
-      if (cur == lastDrained) return cur
       var prev = (-1L, -1L)
       var waited = 0
       while (cur != prev && waited < 500) {
         Thread.sleep(20); waited += 20
         prev = cur; cur = (shufWrite.get, spillBytes.get)
       }
-      lastDrained = cur
       cur
     }
     def run(name: String): Unit = { execute(name); cleanup() }

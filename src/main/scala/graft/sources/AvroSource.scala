@@ -51,10 +51,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val first = AvroSource.resolvePaths(options.asCaseSensitiveMap())
-      .flatMap(AvroSource.listFiles).headOption.getOrElse(
-        throw new IllegalArgumentException("avro source: no input files"))
-    AvroSource.toSparkSchema(AvroSource.readWriterSchema(first))
+    val files = AvroSource.resolvePaths(options.asCaseSensitiveMap())
+      .flatMap(AvroSource.listFiles)
+    val first = files.headOption.getOrElse(
+      throw new IllegalArgumentException("avro source: no input files"))
+    val schema = AvroSource.readWriterSchema(first)
+    // Fail at PLAN time, next to the cause, if the directory mixes writer
+    // schemas — otherwise the mismatch surfaces per-split at read time as
+    // a resolution error far from the offending file. Header reads are a
+    // few KB each; O(#files) driver I/O is the documented cost.
+    files.drop(1).foreach { f =>
+      val s = AvroSource.readWriterSchema(f)
+      if (s != schema) throw new IllegalArgumentException(
+        s"avro source: heterogeneous writer schemas: $first has $schema " +
+          s"but $f has $s")
+    }
+    AvroSource.toSparkSchema(schema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -168,8 +180,22 @@ object AvroSource {
     val st = df.schema
     val avroJson = toAvroSchema(st, "graft_record").toString
     val d = new java.io.File(dir)
-    if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
-    d.mkdirs()
+    // Guard the clobber: a regular file at the target would make
+    // listFiles() return null (NPE), and nested subdirectories would
+    // fail the flat delete silently. Fail fast with the cause instead.
+    if (d.isFile && !d.delete()) throw new java.io.IOException(
+      s"avro write: target $dir is a file and could not be deleted")
+    if (d.isDirectory) {
+      val entries = Option(d.listFiles()).getOrElse(Array.empty)
+      entries.filter(_.isDirectory).toList match {
+        case sub :: _ => throw new java.io.IOException(
+          s"avro write: target $dir contains subdirectory ${sub.getName}; " +
+            "refusing to clobber a non-flat directory")
+        case Nil => entries.foreach(_.delete()); d.delete(): Unit
+      }
+    }
+    if (!d.mkdirs() && !d.isDirectory) throw new java.io.IOException(
+      s"avro write: could not create directory $dir")
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       if (rows.hasNext) {
         val schema = new AvroSchema.Parser().parse(avroJson)

@@ -79,4 +79,40 @@ class AvroSourceSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("unsupported"))
   }
+
+  test("write refuses to clobber a file or a non-flat directory") {
+    // regular file at the target: deleted and replaced, no NPE
+    val asFile = tmp("clobber-file")
+    java.nio.file.Files.write(java.nio.file.Paths.get(asFile),
+      "not a directory".getBytes)
+    val df = Tables.load(spark, sfDir, "region").select(col("r_regionkey"))
+    AvroSource.write(df, asFile)
+    assert(spark.read.format(classOf[AvroSource].getName)
+      .load(asFile).count() === df.count())
+    // directory containing a subdirectory: fail fast, not silent no-op
+    val nested = tmp("clobber-nested")
+    assert(new java.io.File(nested, "sub").mkdirs())
+    val err = intercept[java.io.IOException] { AvroSource.write(df, nested) }
+    assert(err.getMessage.contains("subdirectory"))
+  }
+
+  test("heterogeneous writer schemas are rejected at plan time") {
+    val dir = tmp("hetero")
+    val a = Tables.load(spark, sfDir, "region").select(col("r_regionkey"))
+    val b = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    AvroSource.write(a.coalesce(1), dir)
+    val dirB = tmp("hetero-b")
+    AvroSource.write(b.coalesce(1), dirB)
+    // splice one of B's container files into A's directory
+    val bFile = new java.io.File(dirB).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(bFile.toPath,
+      new java.io.File(dir, "part-zzz.avro").toPath)
+    val err = intercept[Exception] {
+      spark.read.format(classOf[AvroSource].getName).load(dir).count()
+    }
+    assert(err.getMessage.contains("heterogeneous"),
+      s"expected plan-time schema mismatch, got: ${err.getMessage}")
+  }
 }
