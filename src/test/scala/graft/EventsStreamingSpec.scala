@@ -279,6 +279,87 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("interval-join state EVICTS at the watermark: numRowsTotal shrinks despite growing input") {
+    // EventsStreamingSpec's other tests prove result equality; this one
+    // bounds the STATE so a watermark/eviction regression (state growing
+    // with total input instead of the horizon) fails loudly instead of
+    // only OOMing at production scale.
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val joined = graft.streaming.EventWindows.clickAttribution(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr_state")
+      .outputMode("append").start()
+    def stateRows(): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+    try {
+      // micro-batch 1: 20 click + 20 purchase rows land in join state
+      clicks.addData((1 to 20).map(i =>
+        ev(f"2024-01-01 10:${i % 50}%02d:00", u = i.toLong)): _*)
+      purchases.addData((1 to 20).map(i =>
+        ev(f"2024-01-01 10:${i % 50}%02d:30", u = i.toLong, typ = "purchase")): _*)
+      q.processAllAvailable()
+      val peak = stateRows()
+      assert(peak >= 20, s"expected the batch-1 rows in state, got $peak")
+
+      // micro-batch 2: far-future rows advance the watermark hours past
+      // every batch-1 row's horizon
+      clicks.addData(ev("2024-01-01 18:00:00", u = 91))
+      purchases.addData(ev("2024-01-01 18:00:00", u = 92, typ = "purchase"))
+      q.processAllAvailable()
+      // micro-batch 3: nudge — eviction applies on the batch AFTER the
+      // watermark update
+      clicks.addData(ev("2024-01-01 18:30:00", u = 93))
+      purchases.addData(ev("2024-01-01 18:30:00", u = 94, typ = "purchase"))
+      q.processAllAvailable()
+
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "test must span at least 3 micro-batches")
+      val after = stateRows()
+      // input grew by 4 rows, yet state must SHRINK (batch-1 evicted)
+      // and stay bounded by the rows still inside the horizon
+      assert(after < peak, s"state did not evict: peak=$peak after=$after")
+      assert(after <= 8, s"state must hold only horizon rows, got $after")
+    } finally q.stop()
+  }
+
+  test("funnel's chained stateful stages keep bounded state across micro-batches") {
+    val views = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val conv = graft.streaming.EventWindows.funnelConversions(
+      views.toDF(), clicks.toDF())
+    val q = conv.writeStream.format("memory").queryName("funnel_state")
+      .outputMode("append").start()
+    def stateRows(): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(0L)
+    try {
+      views.addData((1 to 15).map(i =>
+        ev(f"2024-01-01 10:${i % 50}%02d:00", u = i.toLong, typ = "view")): _*)
+      clicks.addData((1 to 15).map(i =>
+        ev(f"2024-01-01 10:${i % 50}%02d:30", u = i.toLong)): _*)
+      q.processAllAvailable()
+      val peak = stateRows()
+      assert(peak > 0, "expected join+agg state after batch 1")
+      // two watermark-advancing nudges (eviction lands a batch late)
+      views.addData(ev("2024-01-01 18:00:00", u = 91, typ = "view"))
+      clicks.addData(ev("2024-01-01 18:00:00", u = 91))
+      q.processAllAvailable()
+      views.addData(ev("2024-01-01 18:30:00", u = 92, typ = "view"))
+      clicks.addData(ev("2024-01-01 18:30:00", u = 92))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "test must span at least 3 micro-batches")
+      val after = stateRows()
+      assert(after < peak,
+        s"chained stateful stages did not evict: peak=$peak after=$after")
+      // both stages together may hold only the horizon rows (2 views,
+      // 2 clicks, their pairs and open windows) — far below batch 1's 30
+      assert(after <= 12, s"state must be horizon-bounded, got $after")
+    } finally q.stop()
+  }
+
   test("custom mergeable top-k sketch aggregates under streaming state == batch") {
     // TypedImperativeAggregate state must serialize into the streaming
     // state store and merge across micro-batches — the property that
