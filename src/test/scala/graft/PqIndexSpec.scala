@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.AnnIndexStore
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ residual compression (AnnIndexStore PQ surface): the
+  * compressed index must cover every vector with well-formed codes,
+  * probe deterministically, hold the recall floor set by the raw IVF
+  * pipeline (q_ann_recall's audit), and be measurably smaller on disk
+  * than the raw-vector assignment store. */
+class PqIndexSpec extends SparkTestBase {
+
+  private def freshStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-pq-store").toString + "/store"
+
+  private def quantizedVectors() = Similarity.quantized(spark, sfDir)
+
+  private def buildPq(store: String): Unit = {
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
+        col("qv").as("qc"), col("nq").as("nc")), store)
+    AnnIndexStore.ensurePqCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    AnnIndexStore.appendBatchPq(spark,
+      q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
+      store, Some("even"))
+    AnnIndexStore.appendBatchPq(spark,
+      q.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("qv"), col("nq")),
+      store, Some("odd"))
+  }
+
+  private def probes() = quantizedVectors()
+    .filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na"))
+
+  private def source() = quantizedVectors()
+    .select(col("vec_id"), col("qv"), col("nq"))
+
+  private def probePq(store: String) =
+    AnnIndexStore.probePq(spark, probes(), source(), store)
+      .orderBy("a_id", "rn").collect().toSeq
+
+  test("pq store covers every vector once with well-formed codes; replay idempotent") {
+    val store = freshStore()
+    buildPq(store)
+    val n = quantizedVectors().count()
+    val asg = AnnIndexStore.readPqAssignments(spark, store)
+    assert(asg.count() === n)
+    assert(asg.select("vec_id").distinct().count() === n)
+    val bad = asg.filter(size(col("codes")) =!= AnnIndexStore.PQ_M ||
+      exists(col("codes"), c => c < 0 || c >= AnnIndexStore.PQ_KSUB)).count()
+    assert(bad === 0, "codes must be PQ_M ints in [0, PQ_KSUB)")
+    // replayed committed batch: nothing double-appended
+    AnnIndexStore.appendBatchPq(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("qv"), col("nq")), store, Some("even"))
+    assert(AnnIndexStore.readPqAssignments(spark, store).count() === n)
+  }
+
+  test("pq probe is deterministic and returns k ranked neighbors per query") {
+    val store = freshStore()
+    buildPq(store)
+    val a = probePq(store)
+    val b = probePq(store)
+    assert(a == b, "probe-over-pq-store must be bit-stable")
+    assert(a.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)) == Seq(1L, 2L, 3L)))
+  }
+
+  test("pq recall >= raw-IVF recall on q_ann_recall's fixture; store measurably smaller") {
+    val store = freshStore()
+    buildPq(store)
+    // the raw store on the same vectors, for the size comparison
+    AnnIndexStore.appendBatch(spark, source(), store, Some("raw-full"))
+
+    // exact top-3 per probe (the same brute-force leg q_ann_recall uses)
+    val corpus = quantizedVectors()
+      .select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nq").as("nb"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id").asc)
+    val exact = corpus.crossJoin(broadcast(probes()))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("round(graft_ldot(qa, qb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 4)").as("cosine"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val pqHits = probePq(store)
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    val ivfHits = SparkEntry.queries("q_ann_recall")(spark, sfDir)
+      .agg(sum("n_hits")).head().getLong(0)
+    assert(pqHits >= ivfHits,
+      s"PQ recall ($pqHits/30) must hold the IVF floor ($ivfHits/30)")
+
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum
+        finally s.close()
+      }
+    }
+    val rawBytes = dirBytes(store + "/assign")
+    val pqBytes = dirBytes(store + "/pq_assign")
+    assert(pqBytes > 0 && rawBytes > 0)
+    assert(pqBytes * 3 < rawBytes,
+      s"pq store must be measurably smaller: pq=$pqBytes raw=$rawBytes")
+  }
+}
