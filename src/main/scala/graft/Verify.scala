@@ -11,8 +11,19 @@ object Verify {
     val subset: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the sweep across
+    // REAL executor JVMs — the one boundary local[*] can't exercise
+    // (closure/state serialization, executor-side classloading, network
+    // shuffle). Executors need this JVM's classpath: local-cluster
+    // launches them from SPARK_HOME, which has the Spark jars only.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder().master(master)
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath",
+          sys.props("java.class.path"))
+      else builder0
+    val spark = builder
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
