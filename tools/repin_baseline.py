@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Re-pin BASELINE_QUERIES.json from fresh grouped batteries (round 11).
+
+Pin = elementwise min over (previous pin, every fresh battery's
+min-of-reps). The previous pins are themselves mins over the r8/r9
+batteries (+ r10 firsts for queries added then), so the result is the
+least-noise estimate across five batteries of identical-or-current code.
+
+Stability is re-derived from the FRESH batteries only: a query is
+unstable when the spread of its three battery-mins exceeds 30% of the
+smallest (and that smallest clears the 0.3 s noise floor). Using
+battery-mins (each already min-of-3 reps) instead of raw reps separates
+environment drift across batteries from scheduler noise within one.
+
+Usage: python3 tools/repin_baseline.py bench_r11_b1.json bench_r11_b2.json ...
+Writes BASELINE_QUERIES.json in place; prints a summary.
+"""
+import json
+import sys
+from datetime import date
+
+OLD = "BASELINE_QUERIES.json"
+NOISE_FLOOR = 0.3
+SPREAD_LIMIT = 0.30
+
+
+def battery_mins(path):
+    with open(path) as f:
+        j = json.load(f)
+    return {q: min(runs) for q, runs in j["runs"].items()}
+
+
+def main(paths):
+    with open(OLD) as f:
+        old = json.load(f)
+    old_pins = {k: v for k, v in old.items() if k != "_meta"}
+
+    batteries = [battery_mins(p) for p in paths]
+    names = sorted(set().union(*[set(b) for b in batteries]))
+
+    pins, spread_pct, unstable, changed, fresh_only = {}, {}, [], 0, 0
+    for q in names:
+        fresh = [b[q] for b in batteries if q in b]
+        fresh_min = min(fresh)
+        if q in old_pins:
+            pins[q] = round(min(old_pins[q], fresh_min), 3)
+            if pins[q] < old_pins[q] - 5e-4:
+                changed += 1
+        else:
+            pins[q] = round(fresh_min, 3)
+            fresh_only += 1
+        sp = (max(fresh) - fresh_min) / fresh_min if fresh_min > 0 else 0.0
+        if fresh_min > NOISE_FLOOR and sp > SPREAD_LIMIT:
+            unstable.append(q)
+            spread_pct[q] = round(100 * sp)
+
+    # queries pinned before but absent from the fresh batteries were
+    # deregistered; drop them so the gate's intersection stays honest
+    dropped = sorted(set(old_pins) - set(names))
+
+    total = round(sum(pins.values()), 3)
+    meta = {
+        "pinned_from": (
+            "elementwise min over five same-box grouped batteries: r8, r9 "
+            "(via the prior pin, itself min(r8, r9) + r10 firsts for the "
+            "five r10 additions) and three fresh back-to-back r11 "
+            "batteries (noop sink, per-query warmup, min-of-3, sf0.1, "
+            "local[32], fresh JVM per battery). q_win_range and "
+            "q_compact_bins changed code in r11 (bucketed scale-safe "
+            "rewrites); their pins keep the elementwise min across both "
+            "implementations."
+        ),
+        "date": date.today().isoformat(),
+        "total_sec": total,
+        "total_sec_note": "total_sec is the sum of the rounded per-query "
+                          "values; validators should compare with tolerance 1e-3.",
+        "n_queries": len(pins),
+        "unstable_note": (
+            "queries whose three r11 battery-mins spread more than 30% "
+            "above the smallest (>0.3 s floor). Spread is measured across "
+            "batteries (fresh JVMs, minutes apart) — environment drift, "
+            "not within-battery scheduler noise. Ratio gates apply looser "
+            "thresholds (warn >2x, fail >3x) to these."
+        ),
+        "unstable": sorted(unstable),
+        "spread_pct": dict(sorted(spread_pct.items())),
+    }
+
+    out = {"_meta": meta}
+    out.update(dict(sorted(pins.items())))
+    with open(OLD, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+
+    btotals = [round(sum(b.values()), 1) for b in batteries]
+    print(f"battery totals (min-of-reps sums): {btotals}")
+    print(f"pinned {len(pins)} queries, total {total}s "
+          f"({changed} tightened, {fresh_only} newly pinned, "
+          f"dropped {dropped})")
+    print(f"n_unstable: {len(unstable)} -> {sorted(unstable)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
