@@ -414,7 +414,7 @@ object Aggregates {
           .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")),
         partKey = "o_orderstatus", orderKey = "o_orderkey",
         value = col("o_totalprice").cast(DecimalType(18, 2)),
-        range = 100L, bucketWidth = 4096L, out = "wsum_dec")
+        range = 100L, bucketWidth = 65536L, out = "wsum_dec")
         .select(col("o_orderstatus"), col("o_orderkey"),
           col("wsum_dec").cast("double").as("wsum"))
         .orderBy("o_orderstatus", "o_orderkey")),

@@ -22,6 +22,10 @@ from datetime import date
 OLD = "BASELINE_QUERIES.json"
 NOISE_FLOOR = 0.3
 SPREAD_LIMIT = 0.30
+# queries whose r11 rewrites deliberately changed the plan shape: the
+# old pin measured a DIFFERENT implementation (the single-task one the
+# rewrite exists to remove), so their pins come from fresh batteries only
+FRESH_ONLY = {"q_win_range", "q_compact_bins"}
 
 
 def battery_mins(path):
@@ -42,7 +46,7 @@ def main(paths):
     for q in names:
         fresh = [b[q] for b in batteries if q in b]
         fresh_min = min(fresh)
-        if q in old_pins:
+        if q in old_pins and q not in FRESH_ONLY:
             pins[q] = round(min(old_pins[q], fresh_min), 3)
             if pins[q] < old_pins[q] - 5e-4:
                 changed += 1
@@ -66,9 +70,10 @@ def main(paths):
             "five r10 additions) and three fresh back-to-back r11 "
             "batteries (noop sink, per-query warmup, min-of-3, sf0.1, "
             "local[32], fresh JVM per battery). q_win_range and "
-            "q_compact_bins changed code in r11 (bucketed scale-safe "
-            "rewrites); their pins keep the elementwise min across both "
-            "implementations."
+            "q_compact_bins changed plan shape in r11 (bucketed "
+            "scale-safe rewrites replacing single-task windows); their "
+            "pins come from the fresh batteries only — the old pins "
+            "measured the implementation the rewrite removed."
         ),
         "date": date.today().isoformat(),
         "total_sec": total,
