@@ -645,6 +645,75 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("n_toks"),
           expr("(cum - n_toks) DIV 256").as("shard"))
         .orderBy("lang", "doc_id")
+    }),
+
+    // Linear text-classifier INFERENCE as a scan (the fasttext/LR
+    // quality-filter stage of GPT-3/CCNet-style corpus pipelines):
+    // hashing-trick bag-of-words — each token hashes into one of 256
+    // buckets (two md5 hex digits), the bucket's integer weight stands
+    // in for a learned coefficient (at scale: a broadcast weight table
+    // of O(buckets), never O(vocab)), and the doc score is the
+    // tf-weighted mean bucket weight in centi-units. One explode + one
+    // map-side-combining agg — model inference adds zero shuffles
+    // beyond the token count itself. Weights 0..20 (shifted positive so
+    // integer DIV never sees a negative numerator — truncate-vs-floor
+    // division on negatives differs across engines).
+    "q_classifier_score" -> ((s, d) => {
+      val bucket =
+        "((instr('0123456789abcdef', substr(md5(CAST(word AS BINARY)), 1, 1)) - 1) * 16" +
+          " + (instr('0123456789abcdef', substr(md5(CAST(word AS BINARY)), 2, 1)) - 1))"
+      load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+        .withColumn("w", expr(s"CAST(($bucket * 37) % 21 AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("raw"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("raw * 100 DIV n_toks").as("score_cw"),
+          expr("raw * 100 DIV n_toks >= 1000").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + canonical-URL dedup — the crawl-frontier
+    // step BEFORE any content dedup in a web corpus: unify scheme/host
+    // case, strip default ports, `www.`, fragments, and utm_* tracking
+    // params, then keep one doc per canonical URL. URLs are derived
+    // deterministically from doc fields (the corpus has no URL column)
+    // with mixed-case hosts, optional port/params/fragments, so the
+    // canonicalizer has real work to do and case-variants provably
+    // unify. Scale shape: canonicalization is a row-local regex chain
+    // (narrow, codegen'd); the only shuffle is one map-side-combining
+    // groupBy(canon_url) — at 100 TB this is the cheapest dedup axis
+    // the engine has, and the variant counts are the audit trail.
+    "q_url_canon" -> ((s, d) => {
+      val raw =
+        """CASE WHEN doc_id % 2 = 0
+          |  THEN CONCAT('HTTPS://WWW.', UPPER(source), '.EXAMPLE.COM:443')
+          |  ELSE CONCAT('https://', source, '.example.com') END ||
+          |'/d/' || CAST(doc_id % 8 AS STRING) ||
+          |CASE WHEN doc_id % 3 = 0
+          |  THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS STRING) || '&utm_campaign=x'
+          |  ELSE '?id=' || CAST(doc_id % 4 AS STRING) END ||
+          |CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END""".stripMargin
+      load(s, d, "documents")
+        .withColumn("url", expr(raw))
+        .withColumn("u1", expr("regexp_replace(url, '#.*', '')"))
+        .withColumn("host", expr(
+          "regexp_replace(regexp_replace(lower(" +
+            "regexp_extract(u1, '^[A-Za-z]+://([^/?#]*)', 1))," +
+            " ':443$', ''), '^www\\\\.', '')"))
+        .withColumn("rest", expr(
+          "regexp_replace(regexp_replace(regexp_replace(" +
+            "regexp_extract(u1, '^[A-Za-z]+://[^/?#]*(.*)', 1)," +
+            " '&utm_[a-z_]+=[^&#]*', '')," +
+            " '\\\\?utm_[a-z_]+=[^&#]*&', '?')," +
+            " '\\\\?utm_[a-z_]+=[^&#]*$', '')"))
+        .withColumn("canon_url", expr(
+          "lower(regexp_extract(u1, '^([A-Za-z]+)://', 1)) || '://' || host || rest"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy("canon_url")
     })
   )
 
@@ -1004,6 +1073,44 @@ object Pipeline {
          |SELECT MD5(chunk) AS h, COUNT(*) AS n_occ,
          |  COUNT(DISTINCT doc_id) AS n_docs,
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-         |FROM ch GROUP BY MD5(chunk) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin
+         |FROM ch GROUP BY MD5(chunk) HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+    "q_classifier_score" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
+         |w AS (SELECT doc_id,
+         |    (((STRPOS('0123456789abcdef', SUBSTR(MD5(word), 1, 1)) - 1) * 16
+         |      + (STRPOS('0123456789abcdef', SUBSTR(MD5(word), 2, 1)) - 1)) * 37) % 21 AS w
+         |  FROM toks),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w) AS BIGINT) AS raw
+         |        FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_toks, raw * 100 // n_toks AS score_cw,
+         |  raw * 100 // n_toks >= 1000 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_url_canon" ->
+      """WITH u0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'HTTPS://WWW.' || UPPER(source) || '.EXAMPLE.COM:443'
+        |      ELSE 'https://' || source || '.example.com' END ||
+        |    '/d/' || CAST(doc_id % 8 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+        |      ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR) END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, url, REGEXP_REPLACE(url, '#.*', '', 'g') AS u1 FROM u0),
+        |parts AS (SELECT doc_id, url,
+        |    LOWER(REGEXP_EXTRACT(u1, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(LOWER(
+        |      REGEXP_EXTRACT(u1, '^[A-Za-z]+://([^/?#]*)', 1)),
+        |      ':443$', '', 'g'), '^www\.', '', 'g') AS host,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        |      REGEXP_EXTRACT(u1, '^[A-Za-z]+://[^/?#]*(.*)', 1),
+        |      '&utm_[a-z_]+=[^&#]*', '', 'g'),
+        |      '\?utm_[a-z_]+=[^&#]*&', '?', 'g'),
+        |      '\?utm_[a-z_]+=[^&#]*$', '', 'g') AS rest
+        |  FROM u1)
+        |SELECT scheme || '://' || host || rest AS canon_url,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_variants,
+        |  MIN(doc_id) AS keep_doc
+        |FROM parts GROUP BY 1 ORDER BY canon_url""".stripMargin
   )
 }

@@ -135,6 +135,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window [") || p.contains("hashpartitioning(lang"), p)
   }
 
+  test("classifier inference adds no shuffle beyond the doc_id agg — map-side combine on") {
+    val p = plan(graft.queries.Pipeline.queries("q_classifier_score")(spark, sfDir))
+    // the hashed weight is computed row-local on exploded tokens;
+    // partial sums run before the single doc_id exchange
+    assert(p.contains("partial_sum"), p)
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(exchanges == 1, s"expected one doc_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("url canonicalization is a row-local regex chain — no join, no extra shuffle") {
+    val p = plan(graft.queries.Pipeline.queries("q_url_canon")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    // count(distinct url) rewrites to two agg phases: at most the
+    // (canon,url) exchange + the canon exchange — never more
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(exchanges <= 2, s"canonicalization must not shuffle rows extra:\n$p")
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
