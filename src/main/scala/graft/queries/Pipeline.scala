@@ -714,6 +714,55 @@ object Pipeline {
           countDistinct(col("url")).as("n_variants"),
           min(col("doc_id")).as("keep_doc"))
         .orderBy("canon_url")
+    }),
+
+    // Gopher's OTHER repetition family: duplicate n-GRAM fraction
+    // (q_gopher_quality covers the token-level stats; the paper's
+    // dup_2gram..dup_10gram signals catch phrase-level boilerplate
+    // that token counts miss). Per doc: fraction of bigram slots
+    // sitting inside a repeated bigram, integer basis points, with the
+    // keep gate at <=900 bp (median 563, max 2666 on this corpus — the
+    // threshold genuinely separates). Scale shape is q_gopher_quality's
+    // exactly: row-local zip_with pair extraction (no self-join), then
+    // two map-side-combining aggregates, (doc,gram) then doc — the only
+    // wire traffic is partial counts.
+    "q_rep_bigram" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_slots"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          expr("dup_slots * 10000 DIV n_grams").as("dup_bp"),
+          expr("dup_slots * 10000 DIV n_grams <= 900").as("keep"))
+        .orderBy("doc_id")),
+
+    // Temperature-scaled mixture weights (the multilingual-LM sampling
+    // rule: p_l ∝ n_l^(1/T), here T=2 so w_l = floor(sqrt(n_l)) —
+    // IEEE-correctly-rounded sqrt of an exact integer is bit-identical
+    // across engines, and floor pins the boundary) — flattens the en
+    // skew toward uniform where q_mix_weights truncates everything to
+    // the smallest stratum. Output is the planner manifest: per-lang
+    // rate in basis points + the resampled target size. Scale shape:
+    // one map-side-combining count on a #langs-cardinality key, then a
+    // one-row broadcast of the normalizer — nothing else moves.
+    "q_mix_temperature" -> ((s, d) => {
+      val counts = load(s, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      val tot = counts.agg(sum(col("w")).as("sum_w"),
+        sum(col("n_docs")).as("n_total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("w"),
+          expr("w * 10000 DIV sum_w").as("rate_bp"),
+          expr("n_total * (w * 10000 DIV sum_w) DIV 10000").as("target_docs"))
+        .orderBy("lang")
     })
   )
 
@@ -1111,6 +1160,28 @@ object Pipeline {
         |SELECT scheme || '://' || host || rest AS canon_url,
         |  COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_variants,
         |  MIN(doc_id) AS keep_doc
-        |FROM parts GROUP BY 1 ORDER BY canon_url""".stripMargin
+        |FROM parts GROUP BY 1 ORDER BY canon_url""".stripMargin,
+    "q_rep_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, toks[k] || ' ' || toks[k + 1] AS gram
+         |      FROM t, UNNEST(RANGE(1, LEN(toks))) AS u(k)
+         |      WHERE LEN(toks) >= 2),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 10000
+         |    // CAST(SUM(c) AS BIGINT) AS dup_bp,
+         |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 10000
+         |    // CAST(SUM(c) AS BIGINT) <= 900 AS keep
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+        |             CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c)
+        |SELECT lang, n_docs, w, w * 10000 // sum_w AS rate_bp,
+        |  n_total * (w * 10000 // sum_w) // 10000 AS target_docs
+        |FROM c, t ORDER BY lang""".stripMargin
   )
 }

@@ -23,8 +23,9 @@ class DeterminismSpec extends SparkTestBase {
     "q_bpe_train", "q_incr_dedup", "q_incr_neardup", "q_minhash_est",
     "q_ann_recall", "q_attribution", "q_histogram_eqd", "q_pit_join",
     "q_winnow", "q_dq_assert",
-    // round-11 additions: hashed-weight classifier, URL canon dedup
-    "q_classifier_score", "q_url_canon")
+    // round-11 additions: hashed-weight classifier, URL canon dedup,
+    // bigram repetition filter, temperature mixture planner
+    "q_classifier_score", "q_url_canon", "q_rep_bigram", "q_mix_temperature")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

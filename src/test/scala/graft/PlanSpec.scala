@@ -154,6 +154,24 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"canonicalization must not shuffle rows extra:\n$p")
   }
 
+  test("bigram repetition filter shuffles partial counts only — no self-join") {
+    val p = plan(graft.queries.Pipeline.queries("q_rep_bigram")(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    // row-local zip_with pair extraction, then (doc,gram) + doc aggs:
+    // exactly two hash exchanges, both fed by partial aggregation
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(exchanges == 2, s"expected (doc,gram)+doc exchanges only, got $exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("temperature mixture planner broadcasts the one-row normalizer") {
+    val p = plan(graft.queries.Pipeline.queries("q_mix_temperature")(spark, sfDir))
+    // the normalizer join must be a broadcast of the 1-row aggregate,
+    // never a shuffle join of the lang counts against themselves
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
