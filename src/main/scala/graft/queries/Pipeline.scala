@@ -743,6 +743,50 @@ object Pipeline {
           expr("dup_slots * 10000 DIV n_grams <= 900").as("keep"))
         .orderBy("doc_id")),
 
+    // Tokenizer-vocabulary sizing: the cumulative token-coverage curve
+    // by word rank — "the smallest vocab covering X% of corpus tokens",
+    // the number a BPE/unigram tokenizer budget is chosen from. Scale
+    // path: the corpus-size word count collapses to its COUNT-HISTOGRAM
+    // (one row per distinct frequency — O(sqrt(corpus)) rows by Zipf,
+    // metadata-scale at 100 TB), and the rank-cumulative sums run as
+    // the distributed two-pass prefix sum (fixed count-range buckets,
+    // per-bucket windows, O(nb²) offset self-join over 32 bucket
+    // totals — q_compact_bins' kernel) — no partition-less window
+    // anywhere. Coverage targets resolve via a 4-row broadcast join.
+    "q_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nb = 32
+      val wc = load(s, d, "documents")
+        .select(explode(expr(tokens)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val h = wc.groupBy(col("c")).agg(count(lit(1)).as("n_words"))
+        .withColumn("toks", col("c") * col("n_words"))
+      val rng = h.agg(max("c").as("cmax"), sum("toks").as("total"))
+      val bucketed = h.crossJoin(broadcast(rng))
+        .withColumn("bkt", expr(s"CAST(((cmax - c) * $nb) DIV cmax AS INT)"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val btot = bucketed.groupBy(col("bkt"))
+        .agg(sum("toks").as("btoks"), sum("n_words").as("bwords"))
+      val offsets = btot.as("a")
+        .join(btot.as("b"), col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.btoks")), lit(0L)).as("offt"),
+          coalesce(sum(col("b.bwords")), lit(0L)).as("offw"))
+      val cum = bucketed
+        .withColumn("rt", sum("toks").over(wIn))
+        .withColumn("rw", sum("n_words").over(wIn))
+        .join(broadcast(offsets), "bkt")
+        .select((col("offw") + col("rw")).as("cum_words"),
+          expr("(offt + rt) * 10000 DIV total").as("cov_bp"))
+      val targets = s.range(1).select(
+        explode(expr("array(5000L, 7500L, 9000L, 9900L)")).as("target_bp"))
+      cum.join(broadcast(targets), col("cov_bp") >= col("target_bp"))
+        .groupBy(col("target_bp"))
+        .agg(min(col("cum_words")).as("vocab_size"))
+        .orderBy("target_bp")
+    }),
+
     // Temperature-scaled mixture weights (the multilingual-LM sampling
     // rule: p_l ∝ n_l^(1/T), here T=2 so w_l = floor(sqrt(n_l)) —
     // IEEE-correctly-rounded sqrt of an exact integer is bit-identical
@@ -1174,6 +1218,23 @@ object Pipeline {
          |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 10000
          |    // CAST(SUM(c) AS BIGINT) <= 900 AS keep
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH wc AS (SELECT word, COUNT(*) AS c
+         |  FROM (SELECT UNNEST($duckToks) AS word FROM documents)
+         |  GROUP BY word),
+         |h AS (SELECT c, COUNT(*) AS n_words FROM wc GROUP BY c),
+         |cum AS (SELECT
+         |    CAST(SUM(n_words) OVER w AS BIGINT) AS cum_words,
+         |    CAST(SUM(c * n_words) OVER w AS BIGINT) * 10000
+         |      // (SELECT CAST(SUM(c * n_words) AS BIGINT) FROM h) AS cov_bp
+         |  FROM h
+         |  WINDOW w AS (ORDER BY c DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t AS (SELECT UNNEST([5000, 7500, 9000, 9900]) AS target_bp)
+         |SELECT CAST(target_bp AS BIGINT) AS target_bp,
+         |  MIN(cum_words) AS vocab_size
+         |FROM t JOIN cum ON cum.cov_bp >= t.target_bp
+         |GROUP BY 1 ORDER BY target_bp""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs,
         |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w

@@ -25,7 +25,8 @@ class DeterminismSpec extends SparkTestBase {
     "q_winnow", "q_dq_assert",
     // round-11 additions: hashed-weight classifier, URL canon dedup,
     // bigram repetition filter, temperature mixture planner
-    "q_classifier_score", "q_url_canon", "q_rep_bigram", "q_mix_temperature")
+    "q_classifier_score", "q_url_canon", "q_rep_bigram", "q_mix_temperature",
+    "q_vocab_coverage")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

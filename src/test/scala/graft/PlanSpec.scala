@@ -172,6 +172,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("vocab coverage never runs a partition-less window — bucketed prefix sum") {
+    val p = plan(graft.queries.Pipeline.queries("q_vocab_coverage")(spark, sfDir))
+    // every Window in the plan must be keyed on the prefix-sum bucket;
+    // a global rank window over the vocabulary would be a single task
+    assert(!p.contains("Window [") || p.contains("hashpartitioning(bkt"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
