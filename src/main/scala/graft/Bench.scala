@@ -272,52 +272,24 @@ object Bench {
     val ratioJson = ratios.map { case (k, r) =>
       s"\"" + k + "\":" + BigDecimal(r).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    // Era normalization (r11): this box drifts uniformly between
-    // "eras" (~1.3-1.4× same-code battery-to-battery, BASELINE.md), so
-    // an absolute-pin gate false-fails EVERY query in a slow era — the
-    // r11 re-pin tightened pins from a fast era and the next battery
-    // tripped 7 spurious "fails" with a 1.43 median. The median
-    // measured/pin ratio across the battery estimates the era factor
-    // (one real regression among ~170 pinned queries cannot move a
-    // median), and the gate adjudicates each query RELATIVE to it.
-    // The normalizer is clamped at >=1 so a fast era never hides a
-    // regression; a uniform whole-engine slowdown is by construction
-    // indistinguishable from era drift here, so the raw ratios/lists
-    // are emitted alongside and eraDrift>1.75 downgrades pass to
-    // "warn_era" for human adjudication instead of silently passing.
-    val eraDrift =
-      if (ratios.isEmpty) 1.0
-      else {
-        val sorted = ratios.map(_._2).toSeq.sorted
-        val n = sorted.size
-        val m =
-          if (n % 2 == 1) sorted(n / 2)
-          else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
-        math.max(1.0, m)
-      }
-    val normRatios = ratios.map { case (k, r) => k -> r / eraDrift }
-    // Gate only queries whose baseline clears the 0.3 s noise floor;
-    // unstable-baseline queries get the loosened thresholds.
-    def gatedOn(rs: Iterable[(String, Double)])(
-        pred: Double => Boolean, loosePred: Double => Boolean): Seq[String] =
-      rs.collect {
-        case (k, r) if baseline(k) >= 0.3 &&
-          (if (unstableBaseline(k)) loosePred(r) else pred(r)) => k
-      }.toSeq
-    val baseWarn = gatedOn(normRatios)(r => r > 1.5 && r <= 2.0, r => r > 2.0 && r <= 3.0)
-    val baseFail = gatedOn(normRatios)(_ > 2.0, _ > 3.0)
-    val baseWarnRaw = gatedOn(ratios)(r => r > 1.5 && r <= 2.0, r => r > 2.0 && r <= 3.0)
-    val baseFailRaw = gatedOn(ratios)(_ > 2.0, _ > 3.0)
+    // Era-normalized adjudication (r11): policy + rationale live in
+    // BaselineGate (pure, unit-tested by BaselineGateSpec) — the box
+    // drifts uniformly between speed eras, so warn/fail apply to each
+    // ratio divided by the battery-wide median; see BASELINE.md.
+    val gateRes = BaselineGate.adjudicate(
+      ratios.toSeq, baseline, unstableBaseline)
+    val eraDrift = gateRes.eraDrift
+    val baseWarn = gateRes.warn
+    val baseFail = gateRes.fail
+    val baseWarnRaw = gateRes.warnRaw
+    val baseFailRaw = gateRes.failRaw
+    val gateStr = gateRes.gate
     val noBaseline = results.collect { case (k, _) if !baseline.contains(k) => k }
     val common = ratios.map(_._1).toSet
     val totalVs =
       if (common.isEmpty) 0.0
       else results.collect { case (k, v) if common(k) => v }.sum /
         baseline.collect { case (k, v) if common(k) => v }.sum
-    val gateStr =
-      if (baseFail.nonEmpty) "fail"
-      else if (eraDrift > 1.75) "warn_era"
-      else "pass"
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def dec(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
     val baselineJson =
