@@ -759,6 +759,13 @@ object Pipeline {
       val wc = load(s, d, "documents")
         .select(explode(expr(tokens)).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      // The histogram fans out into four branches (range agg, bucket
+      // totals, offsets, cumulative windows). The static plan prints
+      // the corpus scan once per branch, but AQE's ReuseExchange
+      // collapses the identical word-count exchange at runtime so the
+      // tokenize+count physically runs once (asserted on the executed
+      // plan in PlanSpec; an explicit localCheckpoint here was A/B'd
+      // 1.5x SLOWER — the eager barrier costs more than it saves).
       val h = wc.groupBy(col("c")).agg(count(lit(1)).as("n_words"))
         .withColumn("toks", col("c") * col("n_words"))
       val rng = h.agg(max("c").as("cmax"), sum("toks").as("total"))
@@ -797,6 +804,9 @@ object Pipeline {
     // one map-side-combining count on a #langs-cardinality key, then a
     // one-row broadcast of the normalizer — nothing else moves.
     "q_mix_temperature" -> ((s, d) => {
+      // counts feeds both the output rows and the normalizer aggregate;
+      // AQE ReuseExchange dedupes the identical lang-count exchange at
+      // runtime so the corpus is scanned once (PlanSpec asserts it)
       val counts = load(s, d, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"))

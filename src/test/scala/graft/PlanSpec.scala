@@ -180,6 +180,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("multi-branch histogram queries reuse the corpus exchange at runtime") {
+    // the static plan prints the scan once per branch; what must be
+    // true is that AQE collapses the identical exchanges so the
+    // corpus-scale tokenize+count runs once (an explicit checkpoint
+    // was A/B'd 1.5x slower than relying on this)
+    for (q <- Seq("q_vocab_coverage", "q_mix_temperature")) {
+      val df = graft.queries.Pipeline.queries(q)(spark, sfDir)
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("ReusedExchange") ||
+        executed.contains("ReusedSubquery"), s"$q never reused:\n$executed")
+    }
+  }
+
   test("pii redaction is one codegen'd projection — no shuffle at all") {
     val df = graft.queries.Pipeline.queries("q_pii_redact")(spark, sfDir)
     df.collect()
