@@ -780,17 +780,33 @@ object Pipeline {
         .groupBy(col("a.bkt").as("bkt"))
         .agg(coalesce(sum(col("b.btoks")), lit(0L)).as("offt"),
           coalesce(sum(col("b.bwords")), lit(0L)).as("offw"))
+      // Per-group cumulative words/tokens, plus the group's own (c,
+      // size) so a target crossing INSIDE a tie-group interpolates to
+      // the word-granular answer: groups are whole ranks only at their
+      // boundaries, and the c=1 Zipf tail is one giant group — a
+      // group-granular MIN would report "the whole vocabulary" for any
+      // target landing in it. needed = ceil(target·total/10⁴) tokens;
+      // the crossing group is the unique min-cum_toks row covering it
+      // (cum_toks strictly increases), and ceil((needed−before)/c)
+      // words of that group finish the budget. All-integer, so Spark
+      // and DuckDB agree bit-for-bit.
       val cum = bucketed
         .withColumn("rt", sum("toks").over(wIn))
         .withColumn("rw", sum("n_words").over(wIn))
         .join(broadcast(offsets), "bkt")
-        .select((col("offw") + col("rw")).as("cum_words"),
-          expr("(offt + rt) * 10000 DIV total").as("cov_bp"))
+        .select(col("c"), col("total"),
+          (col("offt") + col("rt")).as("cum_toks"),
+          (col("offw") + col("rw") - col("n_words")).as("words_before"),
+          (col("offt") + col("rt") - col("toks")).as("toks_before"))
       val targets = s.range(1).select(
         explode(expr("array(5000L, 7500L, 9000L, 9900L)")).as("target_bp"))
-      cum.join(broadcast(targets), col("cov_bp") >= col("target_bp"))
+      cum.crossJoin(broadcast(targets))
+        .withColumn("needed", expr("(target_bp * total + 9999) DIV 10000"))
+        .filter(col("cum_toks") >= col("needed"))
         .groupBy(col("target_bp"))
-        .agg(min(col("cum_words")).as("vocab_size"))
+        .agg(min_by(
+          expr("words_before + (needed - toks_before + c - 1) DIV c"),
+          col("cum_toks")).as("vocab_size"))
         .orderBy("target_bp")
     }),
 
@@ -1233,17 +1249,23 @@ object Pipeline {
          |  FROM (SELECT UNNEST($duckToks) AS word FROM documents)
          |  GROUP BY word),
          |h AS (SELECT c, COUNT(*) AS n_words FROM wc GROUP BY c),
-         |cum AS (SELECT
-         |    CAST(SUM(n_words) OVER w AS BIGINT) AS cum_words,
-         |    CAST(SUM(c * n_words) OVER w AS BIGINT) * 10000
-         |      // (SELECT CAST(SUM(c * n_words) AS BIGINT) FROM h) AS cov_bp
+         |cum AS (SELECT c,
+         |    (SELECT CAST(SUM(c * n_words) AS BIGINT) FROM h) AS total,
+         |    CAST(SUM(c * n_words) OVER w AS BIGINT) AS cum_toks,
+         |    CAST(SUM(n_words) OVER w AS BIGINT) - n_words AS words_before,
+         |    CAST(SUM(c * n_words) OVER w AS BIGINT) - c * n_words AS toks_before
          |  FROM h
          |  WINDOW w AS (ORDER BY c DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |t AS (SELECT UNNEST([5000, 7500, 9000, 9900]) AS target_bp)
-         |SELECT CAST(target_bp AS BIGINT) AS target_bp,
-         |  MIN(cum_words) AS vocab_size
-         |FROM t JOIN cum ON cum.cov_bp >= t.target_bp
+         |t AS (SELECT CAST(u AS BIGINT) AS target_bp
+         |      FROM (SELECT UNNEST([5000, 7500, 9000, 9900]) AS u)),
+         |j AS (SELECT target_bp, c, cum_toks, words_before, toks_before,
+         |    (target_bp * total + 9999) // 10000 AS needed
+         |  FROM cum, t)
+         |SELECT target_bp,
+         |  MIN_BY(words_before + (needed - toks_before + c - 1) // c,
+         |         cum_toks) AS vocab_size
+         |FROM j WHERE cum_toks >= needed
          |GROUP BY 1 ORDER BY target_bp""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs,

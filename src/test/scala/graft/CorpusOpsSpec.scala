@@ -62,4 +62,78 @@ class CorpusOpsSpec extends SparkTestBase {
     // and the dedup axis is real: fewer canonical URLs than docs
     assert(rows.length < nDocs, "no URL-level duplication found")
   }
+
+  test("bigram repetition stats match an independent JVM recomputation") {
+    val got = Pipeline.queries("q_rep_bigram")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var separated = 0
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length >= 2) {
+        val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val byGram = grams.groupBy(identity).view.mapValues(_.size)
+        val dupSlots = byGram.values.filter(_ > 1).sum.toLong
+        val dupBp = dupSlots * 10000 / grams.size
+        val (n, nd, bp, keep) = got(id)
+        assert(n == grams.size.toLong, s"doc $id n_grams")
+        assert(nd == byGram.size.toLong, s"doc $id n_distinct")
+        assert(bp == dupBp, s"doc $id dup_bp: got $bp want $dupBp")
+        assert(keep == (dupBp <= 900), s"doc $id keep")
+        if (!keep) separated += 1
+      } else assert(!got.contains(id), s"doc $id under 2 tokens must be absent")
+    }
+    assert(separated > 0 && separated < got.size,
+      s"degenerate repetition gate: $separated/${got.size} dropped")
+  }
+
+  test("temperature mixture flattens skew toward uniform but keeps order") {
+    val rows = Pipeline.queries("q_mix_temperature")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nTotal = rows.map(_._2).sum
+    val sumW = rows.map(_._3).sum
+    rows.foreach { case (lang, n, w, rateBp, target) =>
+      assert(w == math.floor(math.sqrt(n.toDouble)).toLong, s"$lang w")
+      assert(rateBp == w * 10000 / sumW, s"$lang rate")
+      assert(target == nTotal * rateBp / 10000, s"$lang target")
+      // THE temperature property: every stratum's sampled share sits
+      // BETWEEN its raw share and the uniform share (flattening, never
+      // inversion), modulo 1 bp of integer truncation
+      val rawBp = n * 10000 / nTotal
+      val uniBp = 10000L / rows.length
+      val lo = math.min(rawBp, uniBp) - 1
+      val hi = math.max(rawBp, uniBp) + 1
+      assert(rateBp >= lo && rateBp <= hi,
+        s"$lang rate $rateBp outside [$lo,$hi] (raw $rawBp uni $uniBp)")
+    }
+    // order preserved: bigger strata never get a smaller rate
+    rows.sortBy(_._2).map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "rate order inverted")
+      case _           =>
+    }
+  }
+
+  test("vocab coverage matches a brute-force rank walk and is monotone") {
+    val got = Pipeline.queries("q_vocab_coverage")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
+    val total = counts.values.sum
+    val ranked = counts.values.toSeq.sorted(Ordering[Long].reverse)
+    def smallestVocab(targetBp: Long): Long = {
+      var cum = 0L; var k = 0L
+      for (c <- ranked if cum * 10000 / total < targetBp) { cum += c; k += 1 }
+      k
+    }
+    for (t <- Seq(5000L, 7500L, 9000L, 9900L))
+      assert(got(t) == smallestVocab(t), s"target $t: got ${got(t)} want ${smallestVocab(t)}")
+    val sizes = Seq(5000L, 7500L, 9000L, 9900L).map(got)
+    assert(sizes == sizes.sorted, "coverage curve must be monotone")
+    assert(sizes.last <= counts.size, "vocab cannot exceed distinct words")
+  }
 }
