@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Re-pin BASELINE_QUERIES.json from fresh grouped batteries (round 11).
+"""Re-pin BASELINE_QUERIES.json from fresh grouped batteries.
 
 Pin = elementwise min over (previous pin, every fresh battery's
 min-of-reps). The previous pins are themselves mins over the r8/r9
@@ -22,10 +22,11 @@ from datetime import date
 OLD = "BASELINE_QUERIES.json"
 NOISE_FLOOR = 0.3
 SPREAD_LIMIT = 0.30
-# queries whose r11 rewrites deliberately changed the plan shape: the
-# old pin measured a DIFFERENT implementation (the single-task one the
-# rewrite exists to remove), so their pins come from fresh batteries only
-FRESH_ONLY = {"q_win_range", "q_compact_bins"}
+# Queries whose implementation changed since the last pin: the old pin
+# measured a DIFFERENT plan, so their pins come from fresh batteries
+# only. Empty after the r11 re-pin absorbed the rewrites — add names
+# here when re-pinning across an implementation change.
+FRESH_ONLY = set()
 
 
 def battery_mins(path):
@@ -65,15 +66,13 @@ def main(paths):
     total = round(sum(pins.values()), 3)
     meta = {
         "pinned_from": (
-            "elementwise min over five same-box grouped batteries: r8, r9 "
-            "(via the prior pin, itself min(r8, r9) + r10 firsts for the "
-            "five r10 additions) and three fresh back-to-back r11 "
-            "batteries (noop sink, per-query warmup, min-of-3, sf0.1, "
-            "local[32], fresh JVM per battery). q_win_range and "
-            "q_compact_bins changed plan shape in r11 (bucketed "
-            "scale-safe rewrites replacing single-task windows); their "
-            "pins come from the fresh batteries only — the old pins "
-            "measured the implementation the rewrite removed."
+            "elementwise min over (the prior pin, which chains back "
+            "through every earlier pinned battery) and "
+            f"{len(paths)} fresh grouped batteries (noop sink, "
+            "per-query warmup, min-of-3, sf0.1, local[32], fresh JVM "
+            "per battery)."
+            + (" Fresh-only (implementation changed since last pin): "
+               + ", ".join(sorted(FRESH_ONLY)) + "." if FRESH_ONLY else "")
         ),
         "date": date.today().isoformat(),
         "total_sec": total,
@@ -81,7 +80,7 @@ def main(paths):
                           "values; validators should compare with tolerance 1e-3.",
         "n_queries": len(pins),
         "unstable_note": (
-            "queries whose three r11 battery-mins spread more than 30% "
+            "queries whose fresh battery-mins spread more than 30% "
             "above the smallest (>0.3 s floor). Spread is measured across "
             "batteries (fresh JVMs, minutes apart) — environment drift, "
             "not within-battery scheduler noise. Ratio gates apply looser "
