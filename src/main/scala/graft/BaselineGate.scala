@@ -16,7 +16,15 @@ package graft
   *  - gate = "fail" if any normalized fail; else "warn_era" when
   *    eraDrift > 1.75 (a uniform whole-engine slowdown is
   *    indistinguishable from era drift by this method — escalate to a
-  *    human A/B instead of silently passing); else "pass".
+  *    human A/B instead of silently passing); else "pass";
+  *  - correlated-regression escalation (ADVICE r11/r12 medium): the
+  *    median self-normalizes away a real slowdown that spans ~half the
+  *    suite (e.g. 85 of 170 pins at 2.2× moves the median to 1.6, so
+  *    every normalized ratio "passes"). A would-be pass is therefore
+  *    downgraded to "warn_era" when raw fails exceed 10% of gated pins
+  *    or the battery-wide raw total exceeds 2× — both shapes mean
+  *    either a broad real regression or an era extreme enough that
+  *    normalized numbers alone must not be trusted.
   */
 object BaselineGate {
   final case class Result(
@@ -30,6 +38,10 @@ object BaselineGate {
 
   val NoiseFloorSec = 0.3
   val WarnEraAbove = 1.75
+  /** Raw-fail fraction of gated pins above which a pass is not trusted. */
+  val FailRawFracAbove = 0.10
+  /** Hard bound on the battery-wide raw total ratio. */
+  val TotalRawAbove = 2.0
 
   def median(xs: Seq[Double]): Double = {
     require(xs.nonEmpty, "median of empty")
@@ -55,11 +67,23 @@ object BaselineGate {
       gatedOn(rs)(r => r > 1.5 && r <= 2.0, r => r > 2.0 && r <= 3.0)
     def failsIn(rs: Seq[(String, Double)]) = gatedOn(rs)(_ > 2.0, _ > 3.0)
     val fail = failsIn(norm)
+    val failRaw = failsIn(ratios)
+    // Correlated-regression escalation (see scaladoc): raw evidence the
+    // median cannot be trusted to normalize away.
+    val gatedPins = ratios.count { case (k, _) => baseline(k) >= NoiseFloorSec }
+    val totalRaw = {
+      val pinned = ratios.collect { case (k, r) if baseline.contains(k) =>
+        (r * baseline(k), baseline(k)) }
+      if (pinned.isEmpty) 0.0 else pinned.map(_._1).sum / pinned.map(_._2).sum
+    }
+    val correlated =
+      (gatedPins > 0 && failRaw.size > FailRawFracAbove * gatedPins) ||
+        totalRaw > TotalRawAbove
     val gate =
       if (fail.nonEmpty) "fail"
-      else if (eraDrift > WarnEraAbove) "warn_era"
+      else if (eraDrift > WarnEraAbove || correlated) "warn_era"
       else "pass"
     Result(eraDrift, norm, warnsIn(norm), fail,
-      warnsIn(ratios), failsIn(ratios), gate)
+      warnsIn(ratios), failRaw, gate)
   }
 }

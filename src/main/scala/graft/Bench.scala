@@ -118,10 +118,20 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // A query that throws is BROKEN, not fast (VERDICT r12 #3: 21
+    // analysis-failing queries "timed" at their ~0.06 s exception
+    // latency, flattering the battery total by ~8 s of missing work).
+    // Record the first error per query; downstream, failed queries are
+    // excluded from every timing aggregate and force the gate to fail.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def execute(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+        (): Unit
+      }
     // Shuffle/spill accounting (r10): "minimize shuffles" as a measured
     // artifact, not a design claim — per-query shuffle-write and spill
     // bytes land in the JSON, so a map-side-combine regression (shuffle
@@ -214,7 +224,11 @@ object Bench {
         if (warmupMode == "perquery") run(name)
         name -> (1 to reps).map(_ => timedRun(name))
       }
-    val results = raw.map { case (k, rs) => k -> rs.map(_._1).min }
+    // Exclude broken queries from all timing aggregates: their "reps"
+    // measured exception latency, which would read as a 0.06 s success.
+    val results = raw.collect {
+      case (k, rs) if !failed.contains(k) => k -> rs.map(_._1).min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runsJson = raw.map { case (k, rs) =>
@@ -240,7 +254,7 @@ object Bench {
     // 0.3s: sub-0.3s queries are scheduler-noise-dominated and barely
     // move the total, so warning on them would drown the real signal.
     val warnings = raw.collect {
-      case (k, rs) if rs.map(_._1).min > 0.3 &&
+      case (k, rs) if !failed.contains(k) && rs.map(_._1).min > 0.3 &&
         (rs.map(_._1).max - rs.map(_._1).min) / rs.map(_._1).min > 0.30 =>
         val ts = rs.map(_._1)
         s"""{"query":"$k","min":${ts.min},"max":${ts.max},"spread_pct":${math.round(100 * (ts.max - ts.min) / ts.min)}}"""
@@ -283,7 +297,10 @@ object Bench {
     val baseFail = gateRes.fail
     val baseWarnRaw = gateRes.warnRaw
     val baseFailRaw = gateRes.failRaw
-    val gateStr = gateRes.gate
+    // Any broken query fails the gate outright — era normalization and
+    // thresholds only adjudicate SLOWNESS; a query that cannot run is a
+    // correctness failure the bench must not paper over.
+    val gateStr = if (failed.nonEmpty) "fail" else gateRes.gate
     val noBaseline = results.collect { case (k, _) if !baseline.contains(k) => k }
     val common = ratios.map(_._1).toSet
     val totalVs =
@@ -292,10 +309,14 @@ object Bench {
         baseline.collect { case (k, v) if common(k) => v }.sum
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def dec(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val failedJson = failed.map { case (k, msg) =>
+      s"\"" + k + "\":" + "\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
     val baselineJson =
       s""""vs_baseline":$ratioJson,"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_warn_raw":${strArr(baseWarnRaw)},"baseline_fail_raw":${strArr(baseFailRaw)},"no_baseline":${strArr(noBaseline.toSeq)},"baseline_gate":"$gateStr","baseline_file":"$baselinePath""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)
@@ -303,7 +324,7 @@ object Bench {
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
     // per-query detail (incl. raw runs) stays in the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   * Plain parquet scans: Catalyst pushes filters/column pruning into the
@@ -11,25 +11,52 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tables {
   def load(s: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects
-      // ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to
-      // microseconds — the same truncation DuckDB applies on read, so
-      // both engines see identical microsecond timestamps. The legacy
-      // conf is captured at DataFrame creation (verified empirically:
-      // execution after restore succeeds), so save/restore keeps the
-      // flip scoped to THIS read instead of mutating the shared
-      // session for every later TIMESTAMP(NANOS) scan (ADVICE r1).
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try s.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") loadEvents(s, s"$sfDir/$name.parquet")
+    else s.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Schema-adaptive events load. The driver has shipped `ts` under two
+    * physical encodings so far — TIMESTAMP(NANOS) (pre-r12, which Spark 4
+    * rejects outright unless read as BIGINT nanos) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (r12+, which Spark reads as TIMESTAMP_NTZ) —
+    * so the loader dispatches on the *logical* type it actually gets and
+    * normalizes every generation to the same session-UTC TimestampType
+    * at microsecond resolution, which is exactly what the DuckDB oracle
+    * sees for either encoding. Unknown future encodings fail with one
+    * readable error instead of 21 scattered analysis exceptions.
+    *
+    * The legacy conf is captured at DataFrame creation (verified
+    * empirically: execution after restore succeeds), so save/restore
+    * keeps the flip scoped to THIS read instead of mutating the shared
+    * session for every later TIMESTAMP(NANOS) scan (ADVICE r1).
+    */
+  private def loadEvents(s: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    val df =
+      try s.read.parquet(path)
       finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None    => s.conf.unset(key)
       }
-    } else s.read.parquet(s"$sfDir/$name.parquet")
+    df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) read as BIGINT nanos: truncate to micros — the
+      // same truncation DuckDB applies on read.
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads NTZ; the
+      // session runs in UTC, so casting to TimestampType reinterprets the
+      // wall-clock micros as the identical UTC instant the old nanos path
+      // produced — keeping the logical schema stable across generations.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      // TIMESTAMP(MICROS/MILLIS, adjusted to UTC): already the target type.
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts at $path has unsupported type $other — the driver " +
+        "regenerated testdata with a new physical encoding; teach " +
+        "graft.Tables.loadEvents to normalize it to session-UTC " +
+        "TimestampType (see TablesSchemaSpec)")
+    }
+  }
 }
 
 /** Determinism helpers for the DuckDB differential oracle (SURVEY.md §2.B

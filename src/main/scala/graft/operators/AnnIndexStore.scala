@@ -159,10 +159,26 @@ object AnnIndexStore {
     * write it once (atomic rename, concurrent-builder safe). Lloyd with
     * exact integer arithmetic: per-(sub, code, pos) bigint sums, counts,
     * truncate-toward-zero integer means, fixed `iters`. */
+  /** PQ subspace slicing silently mis-encodes when the embedding dim is
+    * not a multiple of PQ_M (`slice` just drops the tail positions), so
+    * both PQ entry points fail fast instead (ADVICE r11 low). One tiny
+    * agg job at ingest scale — not on any probe path. */
+  private def requirePqDim(vectors: DataFrame): Unit = {
+    val dims = vectors.select(size(col("qv")).as("d")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(dims.length == 1,
+      s"PQ requires a uniform embedding dim; found ${dims.mkString(", ")}")
+    require(dims.head % PQ_M == 0,
+      s"embedding dim ${dims.head} is not divisible by PQ_M=$PQ_M — the " +
+      "subspace slicer would drop the tail positions; pick a PQ_M that " +
+      "divides the dim")
+  }
+
   def ensurePqCodebook(spark: SparkSession, vectors: DataFrame,
                        storePath: String, iters: Int = 3): Unit = {
     if (storeExists(spark, pqCodebookPath(storePath))) return
     graft.functions.VectorExprs.register(spark)
+    requirePqDim(vectors)
     val rs = Checkpoints.ckpt(
       residSubs(assign(vectors, readCodebook(spark, storePath)),
         readCodebook(spark, storePath)))
@@ -209,6 +225,7 @@ object AnnIndexStore {
         return spark.read.parquet(batchDir(ap, name).toString)
       case None => ()
     }
+    requirePqDim(vectors)
     val cb = readCodebook(spark, storePath)
     val encoded = Checkpoints.ckpt(
       nearestCode(residSubs(assign(vectors, cb), cb),
@@ -262,8 +279,15 @@ object AnnIndexStore {
       .withColumn("adot", expr("graft_ldot(qsv, cw)"))
       .select(col("a_id"), col("pcell"), col("qcdot"), col("sub"),
         col("code"), col("adot"))
-    // candidate scoring: one table lookup per (candidate, subspace)
+    // candidate scoring: one table lookup per (candidate, subspace).
+    // dropDuplicates("vec_id") first (ADVICE r11 low): a vec_id ingested
+    // in two batches (replay without a stable batchId) would otherwise
+    // contribute its codes twice and sum(adot) would double-count its
+    // reconstructed dot. Duplicate rows are byte-identical (same vector,
+    // same frozen codebooks), so any survivor is the right one — same
+    // defense probe() already applies via dropDuplicates(a_id, b_id).
     val cand = readPqAssignments(spark, storePath)
+      .dropDuplicates("vec_id")
       .select(col("vec_id").as("b_id"), col("cell"), col("nq").as("nb"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val adc = cand

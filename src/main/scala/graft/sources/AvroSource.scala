@@ -53,20 +53,9 @@ class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = AvroSource.resolvePaths(options.asCaseSensitiveMap())
       .flatMap(AvroSource.listFiles)
-    val first = files.headOption.getOrElse(
-      throw new IllegalArgumentException("avro source: no input files"))
-    val schema = AvroSource.readWriterSchema(first)
-    // Fail at PLAN time, next to the cause, if the directory mixes writer
-    // schemas — otherwise the mismatch surfaces per-split at read time as
-    // a resolution error far from the offending file. Header reads are a
-    // few KB each; O(#files) driver I/O is the documented cost.
-    files.drop(1).foreach { f =>
-      val s = AvroSource.readWriterSchema(f)
-      if (s != schema) throw new IllegalArgumentException(
-        s"avro source: heterogeneous writer schemas: $first has $schema " +
-          s"but $f has $s")
-    }
-    AvroSource.toSparkSchema(schema)
+    if (files.isEmpty)
+      throw new IllegalArgumentException("avro source: no input files")
+    AvroSource.inferredSchemaFor(files)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -103,6 +92,40 @@ object AvroSource {
     val r = new DataFileReader[GenericRecord](f,
       new GenericDatumReader[GenericRecord]())
     try r.getSchema finally r.close()
+  }
+
+  /** Inference cache (ADVICE r11 low): Catalyst calls `inferSchema` on
+    * every plan over the same path set, and the homogeneity sweep below
+    * is O(#files) driver I/O — fine once, wasteful per-plan. Key =
+    * (path, size, mtime) per file, so an appended/replaced file misses
+    * the cache and re-triggers the sweep instead of serving a stale
+    * schema. Bounded: one entry per distinct path set actually planned
+    * in this JVM, evicted wholesale past 256 entries (driver-lifetime
+    * leak guard; re-inference is correct, just slower).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, Long, Long)], StructType]()
+
+  def inferredSchemaFor(files: Seq[java.io.File]): StructType = {
+    val key = files.map(f => (f.getPath, f.length, f.lastModified))
+    val cached = schemaCache.get(key)
+    if (cached != null) return cached
+    val first = files.head
+    val schema = readWriterSchema(first)
+    // Fail at PLAN time, next to the cause, if the directory mixes writer
+    // schemas — otherwise the mismatch surfaces per-split at read time as
+    // a resolution error far from the offending file. Header reads are a
+    // few KB each; O(#files) driver I/O is the documented, cached cost.
+    files.drop(1).foreach { f =>
+      val s = readWriterSchema(f)
+      if (s != schema) throw new IllegalArgumentException(
+        s"avro source: heterogeneous writer schemas: $first has $schema " +
+          s"but $f has $s")
+    }
+    val result = toSparkSchema(schema)
+    if (schemaCache.size > 256) schemaCache.clear()
+    schemaCache.put(key, result)
+    result
   }
 
   /** Avro → Spark for the supported subset; `[null, T]` ⇒ nullable T. */

@@ -96,6 +96,25 @@ class AvroSourceSpec extends SparkTestBase {
     assert(err.getMessage.contains("subdirectory"))
   }
 
+  test("schema-inference cache: repeat plans hit it, a changed file misses it") {
+    // the cache key is (path, size, mtime) per file — a second plan over
+    // unchanged files serves the cached schema, but REPLACING a file at
+    // the same path must re-infer, never serve the stale struct
+    val dir = tmp("cache")
+    val narrow = Tables.load(spark, sfDir, "region").select(col("r_regionkey"))
+    AvroSource.write(narrow.coalesce(1), dir)
+    def planSchema() = spark.read.format(classOf[AvroSource].getName)
+      .load(dir).schema.fieldNames.toSeq
+    assert(planSchema() === Seq("r_regionkey"))
+    assert(planSchema() === Seq("r_regionkey")) // second plan: cached path
+    // replace with a wider schema at the SAME directory
+    val wide = Tables.load(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    AvroSource.write(wide.coalesce(1), dir)
+    assert(planSchema() === Seq("r_regionkey", "r_name"),
+      "stale cached schema served after the file changed")
+  }
+
   test("heterogeneous writer schemas are rejected at plan time") {
     val dir = tmp("hetero")
     val a = Tables.load(spark, sfDir, "region").select(col("r_regionkey"))

@@ -69,6 +69,49 @@ class BaselineGateSpec extends AnyFunSuite {
     assert(r.gate == "warn_era") // 2.1 > 1.75
   }
 
+  test("correlated half-suite regression cannot self-normalize to a pass") {
+    // The ADVICE r11/r12 medium scenario: 85 of 170 pins at 2.2x raw,
+    // the rest at 1.0. Median lands at 1.6, so every normalized ratio
+    // is 2.2/1.6 = 1.375 < 1.5 — the old gate said "pass" on a battery
+    // where HALF the suite doubled. failRaw (85) > 10% of gated pins
+    // (170) must escalate.
+    val rs = (1 to 85).map(i => s"q_slow$i" -> 2.2) ++
+      (1 to 85).map(i => s"q_ok$i" -> 1.0)
+    val r = BaselineGate.adjudicate(rs, pins(rs), Set.empty)
+    assert(r.fail.isEmpty)          // normalization still forgives each
+    assert(r.failRaw.size == 85)    // but the raw evidence is recorded
+    assert(r.gate == "warn_era")    // and the gate refuses to pass
+  }
+
+  test("raw total above the hard bound escalates even with low era drift") {
+    // Two UNSTABLE heavy pins (10 s each) at 2.9x: under the loosened
+    // thresholds 2.9 neither warns-raw-fails (needs > 3) nor fails
+    // normalized, 18 cheap flat pins keep the median at 1.0 — yet the
+    // battery total is (2*29 + 9) / (2*10 + 9) = 2.31x. Only the
+    // total-ratio clause can catch this shape.
+    val heavy = Seq("q_h1" -> 2.9, "q_h2" -> 2.9)
+    val flat = (1 to 18).map(i => s"q_f$i" -> 1.0)
+    val base = (heavy.map { case (k, _) => k -> 10.0 } ++
+      flat.map { case (k, _) => k -> 0.5 }).toMap
+    val r = BaselineGate.adjudicate(heavy ++ flat, base,
+      unstable = Set("q_h1", "q_h2"))
+    assert(r.eraDrift === 1.0)
+    assert(r.fail.isEmpty && r.failRaw.isEmpty)
+    assert(r.gate == "warn_era")
+  }
+
+  test("a healthy battery with a couple of raw stragglers still passes") {
+    // 2 raw fails out of 40 gated pins (5%) and total well under 2x —
+    // the escalation must not cry wolf on ordinary long-tail noise when
+    // normalization already adjudicated them as era drift.
+    val rs = (1 to 38).map(i => s"q$i" -> 1.4) ++
+      Seq("q_t1" -> 2.1, "q_t2" -> 2.1)
+    val r = BaselineGate.adjudicate(rs, pins(rs), Set.empty)
+    assert(r.eraDrift === 1.4)
+    assert(r.fail.isEmpty && r.failRaw.size == 2)
+    assert(r.gate == "pass") // 2/40 = 5% <= 10%, total 1.435 < 2
+  }
+
   test("median: odd and even counts, empty ratios default") {
     assert(BaselineGate.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(BaselineGate.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)

@@ -130,7 +130,13 @@ class LayoutSpec extends SparkTestBase {
     def scalaFiles(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
-    val offenders = scalaFiles(main).filter { f =>
+    val all = scalaFiles(main)
+    // fail-closed (ADVICE r11 low): an empty walk (wrong cwd, moved
+    // tree) would vacuously pass — insist we actually scanned the
+    // engine, anchored on a file that must exist
+    assert(all.size > 10 && all.exists(_.getName == "Tables.scala"),
+      s"main-source walk found only ${all.size} files from ${main.getAbsolutePath} — guard did not scan the engine")
+    val offenders = all.filter { f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).contains("Window.orderBy")
     }

@@ -68,6 +68,48 @@ class PqIndexSpec extends SparkTestBase {
     assert(a.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)) == Seq(1L, 2L, 3L)))
   }
 
+  test("pq entry points reject a dim not divisible by PQ_M, fail-fast") {
+    // slice-based subspace splitting would silently drop tail positions
+    // on a non-divisible dim — both PQ entry points must refuse instead
+    val store = freshStore()
+    import spark.implicits._
+    val oddDim = Seq((1L, Seq.fill(AnnIndexStore.PQ_M + 1)(3L), 27L),
+      (2L, Seq.fill(AnnIndexStore.PQ_M + 1)(4L), 48L))
+      .toDF("vec_id", "qv", "nq")
+    AnnIndexStore.ensureCodebook(spark,
+      oddDim.select(col("vec_id").as("c_id"), col("qv").as("qc"),
+        col("nq").as("nc")), store)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.ensurePqCodebook(spark, oddDim, store)
+    }
+    assert(e.getMessage.contains("PQ_M"))
+    // and the encode path independently (a codebook trained elsewhere
+    // must not let a bad batch through)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndexStore.appendBatchPq(spark, oddDim, store, Some("bad"))
+    }
+    assert(e2.getMessage.contains("PQ_M"))
+  }
+
+  test("duplicate vec_id across batches cannot double-count in pq probe") {
+    // replay WITHOUT a stable batchId (the failure mode the ADVICE low
+    // flags): the same vectors land in the store twice; sum(adot) in
+    // probePq would double every duplicate's reconstructed dot without
+    // the per-vec_id dedup. Probe output must be identical to the
+    // clean store's.
+    val store = freshStore()
+    buildPq(store)
+    val clean = probePq(store)
+    AnnIndexStore.appendBatchPq(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("qv"), col("nq")), store, Some("even-dup"))
+    val n = quantizedVectors().count()
+    assert(AnnIndexStore.readPqAssignments(spark, store).count() > n,
+      "precondition: the store really does contain duplicates now")
+    assert(probePq(store) == clean,
+      "probe must be unaffected by duplicated assignments")
+  }
+
   test("pq recall >= raw-IVF recall on q_ann_recall's fixture; store measurably smaller") {
     val store = freshStore()
     buildPq(store)
