@@ -68,6 +68,20 @@ class TablesSchemaSpec extends SparkTestBase {
     }
   }
 
+  test("ts range predicates push through the NTZ-normalizing cast to the scan") {
+    // loadEvents puts cast(ts_ntz as timestamp) between the scan and
+    // every downstream predicate; at 100 TB the whole events design
+    // collapses if that cast blocks parquet filter pushdown. Catalyst
+    // unwraps the order-preserving cast (session tz is UTC) — pin that.
+    val plan = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit("2024-06-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,"),
+      s"ts range filter did not reach PushedFilters:\n$plan")
+  }
+
   test("events.ts normalizes to a plausible microsecond UTC instant") {
     // DuckDB reads TIMESTAMP micros (naive) directly; the old nanos path
     // truncated to micros. Either way the first event must decode to a
