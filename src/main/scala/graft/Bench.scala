@@ -72,6 +72,16 @@ import org.apache.spark.sql.SparkSession
   * JSON artifact (exit code stays 0 so the driver still records the
   * battery; the marker is the machine-readable failure).
   *
+  * Retry adjudication (r13): beyond uniform eras the box shows
+  * QUERY-LOCAL GC eras — every grouped rep of one query 3-6× slow
+  * with elevated GC, the same query clean minutes later (r13 A/B
+  * batteries: disjoint single-query fail sets, each clean in the
+  * sibling). One battery per round means 1-2 spurious gate fails per
+  * artifact, so gate-failing queries re-run once at battery end
+  * (fresh warmup + full reps) and adjudicate on min-of-both-blocks;
+  * `retried` in the artifact lists them. A real regression fails
+  * both blocks and still gates.
+  *
   * Era normalization (r11): the box swings uniformly between speed
   * "eras" (~1.3-1.4× same-code battery-to-battery; an idle-box A/B
   * minutes after a 133 s battery still measured 127 s vs the 108 s
