@@ -33,6 +33,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    try:  # written by Verify since r13; names queries that THREW
+        with open(f"{outdir}/failures.json") as f:
+            thrown = json.load(f)
+    except FileNotFoundError:
+        thrown = {}
     n_ok = n_fail = 0
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     for name in sorted(oracle):
@@ -41,7 +46,8 @@ def main():
         sql = oracle[name]
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output")
+            why = thrown.get(name, "no spark output (not written, no error recorded)")
+            print(f"FAIL {name}: {why}")
             n_fail += 1
             continue
         try:
