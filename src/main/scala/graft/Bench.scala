@@ -108,6 +108,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every other entry point pins UTC; since the events loader casts
+      // NTZ wall-clock micros in the SESSION zone, an unpinned bench on
+      // a non-UTC box would shift every events instant and silently
+      // time different work than the pins and the oracle surface
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // STATIC conf, default 100: the battery runs 165+ distinct plans
       // with several codegen units each, so the generated-class cache
@@ -270,16 +275,26 @@ object Bench {
     // a transient GC era, while a real plan regression fails both
     // blocks and still gates. Retried names are recorded in the
     // artifact so the second block is auditable.
-    val firstFails = gateOf(raw0).fail
-    val raw: Seq[(String, Seq[(Double, Long, Long, Long, Long)])] =
-      if (firstFails.isEmpty) raw0
-      else {
-        val extra = firstFails.map { q =>
-          run(q)
-          q -> (1 to reps).map(_ => timedRun(q))
-        }.toMap
-        raw0.map { case (k, rs) => k -> (rs ++ extra.getOrElse(k, Nil)) }
-      }
+    //
+    // Iterated to fixpoint rather than one pass: clearing a retried
+    // query LOWERS the battery median, which raises every other
+    // normalized ratio a step — a query at 1.99x in the first pass can
+    // cross 2.0x in the recomputed gate and deserves its own retry
+    // block too. Each query is retried at most once, so the loop is
+    // bounded by the battery size.
+    var rawCur = raw0
+    var retriedNames = Vector.empty[String]
+    var toRetry = gateOf(rawCur).fail.filterNot(retriedNames.contains)
+    while (toRetry.nonEmpty) {
+      val extra = toRetry.map { q =>
+        run(q)
+        q -> (1 to reps).map(_ => timedRun(q))
+      }.toMap
+      rawCur = rawCur.map { case (k, rs) => k -> (rs ++ extra.getOrElse(k, Nil)) }
+      retriedNames = retriedNames ++ toRetry
+      toRetry = gateOf(rawCur).fail.filterNot(retriedNames.contains)
+    }
+    val raw = rawCur
     // Exclude broken queries from all timing aggregates: their "reps"
     // measured exception latency, which would read as a 0.06 s success.
     val results = minsOf(raw)
@@ -307,8 +322,12 @@ object Bench {
     // a drifting harness is visible in the artifact itself. Floor at
     // 0.3s: sub-0.3s queries are scheduler-noise-dominated and barely
     // move the total, so warning on them would drown the real signal.
+    // Retried queries are excluded: their cross-block spread is the
+    // explained query-local GC era (block 1 slow, retry clean), not a
+    // drifting harness — `retried` + the raw runs carry that signal.
     val warnings = raw.collect {
-      case (k, rs) if !failed.contains(k) && rs.map(_._1).min > 0.3 &&
+      case (k, rs) if !failed.contains(k) && !retriedNames.contains(k) &&
+        rs.map(_._1).min > 0.3 &&
         (rs.map(_._1).max - rs.map(_._1).min) / rs.map(_._1).min > 0.30 =>
         val ts = rs.map(_._1)
         s"""{"query":"$k","min":${ts.min},"max":${ts.max},"spread_pct":${math.round(100 * (ts.max - ts.min) / ts.min)}}"""
@@ -348,14 +367,26 @@ object Bench {
         baseline.collect { case (k, v) if common(k) => v }.sum
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def dec(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    // Full JSON string escape incl. ALL control chars (same contract as
+    // Verify's writer, and for the same reason: one raw  or \f in
+    // an exception message would make the driver's json.load throw and
+    // zero the round's machine-readable bench).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     val failedJson = failed.map { case (k, msg) =>
-      s"\"" + k + "\":" + "\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+      jstr(k) + ":" + jstr(msg)
     }.mkString("{", ",", "}")
     val baselineJson =
       s""""vs_baseline":$ratioJson,"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_warn_raw":${strArr(baseWarnRaw)},"baseline_fail_raw":${strArr(baseFailRaw)},"no_baseline":${strArr(noBaseline.toSeq)},"baseline_gate":"$gateStr","baseline_file":"$baselinePath""""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(firstFails)},"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(retriedNames)},"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)
@@ -363,7 +394,7 @@ object Bench {
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
     // per-query detail (incl. raw runs) stays in the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${firstFails.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${retriedNames.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -164,8 +164,14 @@ object AnnIndexStore {
     * both PQ entry points fail fast instead (ADVICE r11 low). One tiny
     * agg job at ingest scale — not on any probe path. */
   private def requirePqDim(vectors: DataFrame): Unit = {
+    // null-safe collect (size(null) is NULL under default sizeOfNull
+    // semantics) and a pass on the empty case: a 0-row delta is a
+    // legitimate idle-tick/replay batch — appending nothing is correct,
+    // not an error.
     val dims = vectors.select(size(col("qv")).as("d")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .sorted
+    if (dims.isEmpty) return
     require(dims.length == 1,
       s"PQ requires a uniform embedding dim; found ${dims.mkString(", ")}")
     require(dims.head % PQ_M == 0,

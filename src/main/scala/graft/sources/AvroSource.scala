@@ -51,11 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = AvroSource.resolvePaths(options.asCaseSensitiveMap())
-      .flatMap(AvroSource.listFiles)
-    if (files.isEmpty)
-      throw new IllegalArgumentException("avro source: no input files")
-    AvroSource.inferredSchemaFor(files)
+    AvroSource.inferredSchemaFor(
+      AvroSource.resolvePaths(options.asCaseSensitiveMap())
+        .flatMap(AvroSource.listFiles))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -101,12 +99,19 @@ object AvroSource {
     * the cache and re-triggers the sweep instead of serving a stale
     * schema. Bounded: one entry per distinct path set actually planned
     * in this JVM, evicted wholesale past 256 entries (driver-lifetime
-    * leak guard; re-inference is correct, just slower).
+    * leak guard; re-inference is correct, just slower). Known residual
+    * risk: an in-place rewrite with the SAME byte length inside the
+    * filesystem's lastModified granularity is indistinguishable from
+    * the cached generation and would serve the stale schema — accepted
+    * (the writers here never rewrite in place; they replace files with
+    * differently-sized payloads).
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[Seq[(String, Long, Long)], StructType]()
 
   def inferredSchemaFor(files: Seq[java.io.File]): StructType = {
+    if (files.isEmpty)
+      throw new IllegalArgumentException("avro source: no input files")
     val key = files.map(f => (f.getPath, f.length, f.lastModified))
     val cached = schemaCache.get(key)
     if (cached != null) return cached

@@ -36,7 +36,10 @@ def main():
     try:  # written by Verify since r13; names queries that THREW
         with open(f"{outdir}/failures.json") as f:
             thrown = json.load(f)
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError):
+        # absent (pre-r13 dump) or truncated (Verify killed mid-write):
+        # fall back to the old no-output-only diagnosis rather than
+        # crashing the checker itself
         thrown = {}
     n_ok = n_fail = 0
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
@@ -44,10 +47,17 @@ def main():
         if only and name not in only:
             continue
         sql = oracle[name]
+        # thrown wins over any files on disk: Verify only overwrites on
+        # success, so a query that threw THIS run can leave stale parquet
+        # from a previous dump into the same outdir — comparing that
+        # would report ok for a broken query
+        if name in thrown:
+            print(f"FAIL {name}: {thrown[name]}")
+            n_fail += 1
+            continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
-            why = thrown.get(name, "no spark output (not written, no error recorded)")
-            print(f"FAIL {name}: {why}")
+            print(f"FAIL {name}: no spark output (not written, no error recorded)")
             n_fail += 1
             continue
         try:
