@@ -26,7 +26,12 @@ class DeterminismSpec extends SparkTestBase {
     // round-11 additions: hashed-weight classifier, URL canon dedup,
     // bigram repetition filter, temperature mixture planner
     "q_classifier_score", "q_url_canon", "q_rep_bigram", "q_mix_temperature",
-    "q_vocab_coverage")
+    "q_vocab_coverage",
+    // round-13 additions — the restored events family now reads ts
+    // through the NTZ-normalizing cast, so its partition-invariance is
+    // asserted on the new read path: session windows, as-of join,
+    // gap-fill interpolation, event-time dedup windows
+    "q_evt_session", "q_join_asof", "q_gapfill", "q_evt_uniques")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
