@@ -28,6 +28,14 @@ object Pipeline {
   private val tokens = "filter(split(text, ' '), x -> x <> '')"
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Reassembly segment width (tokens) for `q_substring_strip` — caps the
+    * per-buffer element count of the ordered-reassembly aggregation at
+    * 64 Ki positioned structs regardless of document length (the scale
+    * hazard is per-DOCUMENT buffers: a 16 MB body is ~3 M tokens).
+    * Package-visible so SubstringStripSpec can build documents that
+    * provably span segments. */
+  private[graft] val StripSegTokens = 65536L
+
   val queries: Map[String, Q] = Map(
     // Deterministic 2/16 sample, stratified by the md5 of the key (not
     // rand() — reproducible across retries/executors; the same doc ids
@@ -447,9 +455,19 @@ object Pipeline {
     // dropped from EVERY occurrence, and the survivors reassemble in
     // position order. Shapes: the same checkpointed shingle pass, one
     // anti-join of positioned tokens against the covered-position set,
-    // and a per-doc ordered reassembly via array_sort (no
-    // collect_list-order assumption). Output is count + md5 per doc —
-    // the cleaned text itself stays distributed.
+    // and a SEGMENT-CHUNKED ordered reassembly (no collect_list-order
+    // assumption): survivors aggregate per (doc_id, pos div 64Ki)
+    // segment first, then the per-doc pass concatenates the handful of
+    // segment strings in segment order. Both joins are therefore
+    // bounded-buffer — a 16 MB mediumtext body (the reference's cap,
+    // sql/init.sql:7) is ~3 M tokens, which the old single-pass
+    // reassembly held as 3 M structs in ONE aggregation buffer; the
+    // segmented plan's largest buffer is 64 Ki structs, and the per-doc
+    // buffer holds ≤ 46 already-joined strings. Output (count + md5 of
+    // the space-joined survivors) is byte-identical: segments are
+    // non-empty by construction, so joining per-segment joins with " "
+    // equals the flat join. The cleaned text still never hits the
+    // driver.
     "q_substring_strip" -> ((s, d) => {
       val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
       val grams0 = docs
@@ -475,10 +493,14 @@ object Pipeline {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("tok"))
       val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
+        .groupBy(col("doc_id"), expr(s"pos DIV $StripSegTokens").as("seg"))
+        .agg(count(lit(1)).as("seg_n"),
           array_join(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
-            " x -> x.tok)"), " ").as("clean"))
+            " x -> x.tok)"), " ").as("seg_txt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("seg_n")).as("n_kept"),
+          array_join(expr("transform(array_sort(collect_list(struct(seg, seg_txt)))," +
+            " x -> x.seg_txt)"), " ").as("clean"))
       docs.select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
         .join(kept, Seq("doc_id"), "left")
