@@ -57,10 +57,13 @@ object BaselineGate {
     val eraDrift =
       if (ratios.isEmpty) 1.0 else math.max(1.0, median(ratios.map(_._2)))
     val norm = ratios.map { case (k, r) => k -> r / eraDrift }
+    // defensive get: adjudicate() is a public API — a ratio key without
+    // a pin must not throw at gate time (Bench pre-filters, but the
+    // pure function shouldn't rely on it), matching totalRaw below
     def gatedOn(rs: Seq[(String, Double)])(
         pred: Double => Boolean, loosePred: Double => Boolean): Seq[String] =
       rs.collect {
-        case (k, r) if baseline(k) >= NoiseFloorSec &&
+        case (k, r) if baseline.get(k).exists(_ >= NoiseFloorSec) &&
           (if (unstable(k)) loosePred(r) else pred(r)) => k
       }
     def warnsIn(rs: Seq[(String, Double)]) =
@@ -70,7 +73,8 @@ object BaselineGate {
     val failRaw = failsIn(ratios)
     // Correlated-regression escalation (see scaladoc): raw evidence the
     // median cannot be trusted to normalize away.
-    val gatedPins = ratios.count { case (k, _) => baseline(k) >= NoiseFloorSec }
+    val gatedPins =
+      ratios.count { case (k, _) => baseline.get(k).exists(_ >= NoiseFloorSec) }
     val totalRaw = {
       val pinned = ratios.collect { case (k, r) if baseline.contains(k) =>
         (r * baseline(k), baseline(k)) }

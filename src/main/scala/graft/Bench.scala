@@ -77,10 +77,12 @@ import org.apache.spark.sql.SparkSession
   * with elevated GC, the same query clean minutes later (r13 A/B
   * batteries: disjoint single-query fail sets, each clean in the
   * sibling). One battery per round means 1-2 spurious gate fails per
-  * artifact, so gate-failing queries re-run once at battery end
-  * (fresh warmup + full reps) and adjudicate on min-of-both-blocks;
-  * `retried` in the artifact lists them. A real regression fails
-  * both blocks and still gates.
+  * artifact, so gate-failing AND (r14) warn-zone queries re-run once
+  * at battery end (fresh warmup + full reps, capped at 24 retries)
+  * and adjudicate on min-of-both-blocks; `retried` lists them and
+  * `retry_offset` marks where each one's block-2 reps start in the
+  * runs arrays. A real regression is slow in both blocks and still
+  * warns/gates.
   *
   * Era normalization (r11): the box swings uniformly between speed
   * "eras" (~1.3-1.4× same-code battery-to-battery; an idle-box A/B
@@ -263,38 +265,68 @@ object Bench {
         minsOf(rs).collect {
           case (k, v) if baseline.get(k).exists(_ > 0) => k -> v / baseline(k)
         }.toSeq, baseline, unstableBaseline)
-    // Retry adjudication (r13): the box exhibits QUERY-LOCAL GC eras —
-    // all reps of one grouped block elevated 3-6x with 10-20x the GC
-    // time, while the same query minutes later sits at pin x era
-    // (bench_r13_b1/b2: disjoint single-query fail sets, each clean in
-    // the sibling battery). The driver runs ONE battery per round, so
-    // without this every round's artifact carries 1-2 spurious fails.
-    // Automate the same A/B that BASELINE.md prescribes manually:
-    // re-run each gate-failing query at the END of the battery (fresh
-    // warmup + full reps) and keep all runs — min-of-both-blocks clears
-    // a transient GC era, while a real plan regression fails both
-    // blocks and still gates. Retried names are recorded in the
-    // artifact so the second block is auditable.
+    // Retry adjudication (r13, extended to warns r14): the box exhibits
+    // QUERY-LOCAL GC eras — all reps of one grouped block elevated 3-6x
+    // with 10-20x the GC time, while the same query minutes later sits
+    // at pin x era (bench_r13_b1/b2: disjoint single-query fail sets,
+    // each clean in the sibling battery). The driver runs ONE battery
+    // per round, so without this every round's artifact carries 1-2
+    // spurious fails. Automate the same A/B that BASELINE.md prescribes
+    // manually: re-run each gate-failing query at the END of the
+    // battery (fresh warmup + full reps) and keep all runs —
+    // min-of-both-blocks clears a transient GC era, while a real plan
+    // regression fails both blocks and still gates. Retried names are
+    // recorded in the artifact so the second block is auditable.
+    //
+    // r14: the same adjudication now covers the WARN zone (>1.5x
+    // normalized) — r13's q_agg_hll_merge warned in two batteries and
+    // was clean in two others the same day on byte-identical code
+    // (isolated 8-rep probe: min 0.369 s vs 0.379 s pin, 5-8 ms GC/rep),
+    // exactly the query-local-era signature, but warns never earned a
+    // second block so the artifact carried the noise. A real mild
+    // regression (say a steady 1.7x) is slow in BOTH blocks and still
+    // warns. Mild-era caveat: with era_drift clamped at >= 1, a battery
+    // in a mildly slow era (say 1.2x uniform but median-resistant
+    // sub-noise-floor mix) could push several queries over 1.5x; the
+    // retry set is therefore capped — beyond the cap the era itself is
+    // the story and warn_era/correlated escalation already reports it.
     //
     // Iterated to fixpoint rather than one pass: clearing a retried
     // query LOWERS the battery median, which raises every other
     // normalized ratio a step — a query at 1.99x in the first pass can
     // cross 2.0x in the recomputed gate and deserves its own retry
     // block too. Each query is retried at most once, so the loop is
-    // bounded by the battery size.
+    // bounded by the battery size (and by RetryCap).
+    val RetryCap = 24
     var rawCur = raw0
     var retriedNames = Vector.empty[String]
-    var toRetry = gateOf(rawCur).fail.filterNot(retriedNames.contains)
+    def retrySet(): Seq[String] = {
+      val g = gateOf(rawCur)
+      (g.fail ++ g.warn).distinct
+        .filterNot(retriedNames.contains)
+        .take(math.max(0, RetryCap - retriedNames.size))
+    }
+    var toRetry = retrySet()
     while (toRetry.nonEmpty) {
       val extra = toRetry.map { q =>
-        run(q)
+        // fresh-warmup parity with block 1: skip the untimed warmup when
+        // the battery ran without one, so block-2 mins are measured
+        // under the same methodology as block 1 and the baseline pins
+        // (ADVICE r13)
+        if (warmupMode != "none") run(q)
         q -> (1 to reps).map(_ => timedRun(q))
       }.toMap
       rawCur = rawCur.map { case (k, rs) => k -> (rs ++ extra.getOrElse(k, Nil)) }
       retriedNames = retriedNames ++ toRetry
-      toRetry = gateOf(rawCur).fail.filterNot(retriedNames.contains)
+      toRetry = retrySet()
     }
     val raw = rawCur
+    // Explicit block boundary per retried query (ADVICE r13): block-1
+    // reps ran in battery order, block-2 reps start at retry_offset —
+    // auditors no longer infer the boundary from the reps count.
+    val retryOffsets: Map[String, Int] =
+      raw.collect { case (k, rs) if retriedNames.contains(k) =>
+        k -> (rs.size - reps) }.toMap
     // Exclude broken queries from all timing aggregates: their "reps"
     // measured exception latency, which would read as a 0.06 s success.
     val results = minsOf(raw)
@@ -385,8 +417,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val baselineJson =
       s""""vs_baseline":$ratioJson,"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_warn_raw":${strArr(baseWarnRaw)},"baseline_fail_raw":${strArr(baseFailRaw)},"no_baseline":${strArr(noBaseline.toSeq)},"baseline_gate":"$gateStr","baseline_file":"$baselinePath""""
+    val retryOffsetJson = retryOffsets.map { case (k, o) =>
+      s"\"" + k + "\":" + o
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(retriedNames)},"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(retriedNames)},"retry_offset":$retryOffsetJson,"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)
@@ -394,9 +429,18 @@ object Bench {
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
     // per-query detail (incl. raw runs) stays in the file below.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${retriedNames.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_gate":"$gateStr"}""")
+    val gateLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${retriedNames.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_gate":"$gateStr"}"""
+    println(gateLine)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
+    // Machine-readable gate summary at a well-known path (ADVICE r13):
+    // the driver's BENCH_r*.json wrapper records only a stdout tail and
+    // has shipped "parsed": null since r2 — this file carries the gate
+    // verdict regardless of how the wrapper truncates.
+    val gatePath = sys.env.getOrElse("SPARK_GRAFT_GATE_OUT", "bench_gate.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(gatePath),
+      (gateLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

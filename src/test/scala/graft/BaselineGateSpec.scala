@@ -112,6 +112,16 @@ class BaselineGateSpec extends AnyFunSuite {
     assert(r.gate == "pass") // 2/40 = 5% <= 10%, total 1.435 < 2
   }
 
+  test("a ratio key without a pin is ignored, not a crash") {
+    // adjudicate() is a pure public API: Bench pre-filters to pinned
+    // keys, but the function itself must tolerate an unpinned ratio
+    // (it contributes to the median but to no gated list)
+    val rs = (1 to 10).map(i => s"q$i" -> 1.0) :+ ("q_unpinned" -> 9.9)
+    val r = BaselineGate.adjudicate(rs, pins(rs.init), Set.empty)
+    assert(!r.fail.contains("q_unpinned") && !r.warn.contains("q_unpinned"))
+    assert(r.gate == "pass")
+  }
+
   test("median: odd and even counts, empty ratios default") {
     assert(BaselineGate.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(BaselineGate.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
