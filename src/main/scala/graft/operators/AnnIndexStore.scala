@@ -286,16 +286,32 @@ object AnnIndexStore {
       .select(col("a_id"), col("pcell"), col("qcdot"), col("sub"),
         col("code"), col("adot"))
     // candidate scoring: one table lookup per (candidate, subspace).
-    // dropDuplicates("vec_id") first (ADVICE r11 low): a vec_id ingested
-    // in two batches (replay without a stable batchId) would otherwise
+    // Per-vec_id dedup first (ADVICE r11 low): a vec_id ingested in two
+    // batches (replay without a stable batchId) would otherwise
     // contribute its codes twice and sum(adot) would double-count its
-    // reconstructed dot. Duplicate rows are byte-identical (same vector,
-    // same frozen codebooks), so any survivor is the right one — same
-    // defense probe() already applies via dropDuplicates(a_id, b_id).
+    // reconstructed dot. Deterministically (ADVICE r13 low): the
+    // survivor is the MAX (cell, nq, codes) struct — identical on any
+    // partition layout — rather than dropDuplicates' arbitrary first
+    // row, and non-identical duplicates (a re-ingested changed vector,
+    // or an append on top of a store rebuilt with a different codebook)
+    // raise one descriptive error instead of silently returning
+    // partition-dependent neighbors; the batch dirs are UUID-named, so
+    // "newest wins" has no stable ordinal to key on and a loud conflict
+    // is the only honest answer.
     val cand = readPqAssignments(spark, storePath)
-      .dropDuplicates("vec_id")
-      .select(col("vec_id").as("b_id"), col("cell"), col("nq").as("nb"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cell"), col("nq"), col("codes"))).as("lo"),
+        max(struct(col("cell"), col("nq"), col("codes"))).as("hi"))
+      .select(col("vec_id"),
+        when(col("lo") =!= col("hi"), raise_error(concat(
+            lit("AnnIndexStore: conflicting duplicate PQ assignments for vec_id "),
+            col("vec_id").cast("string"),
+            lit(" — the store holds a re-ingested changed vector or mixed " +
+              "codebook generations; rebuild the index"))))
+          .otherwise(col("hi")).as("a"))
+      .select(col("vec_id").as("b_id"), col("a.cell").as("cell"),
+        col("a.nq").as("nb"),
+        posexplode(col("a.codes")).as(Seq("sub", "code")))
     val adc = cand
       .join(dt, cand("cell") === dt("pcell") &&
         cand("sub") === dt("sub") && cand("code") === dt("code"))

@@ -98,12 +98,16 @@ object AvroSource {
     * (path, size, mtime) per file, so an appended/replaced file misses
     * the cache and re-triggers the sweep instead of serving a stale
     * schema. Bounded: one entry per distinct path set actually planned
-    * in this JVM, evicted wholesale past 256 entries (driver-lifetime
-    * leak guard; re-inference is correct, just slower). Known residual
-    * risk: an in-place rewrite with the SAME byte length inside the
-    * filesystem's lastModified granularity is indistinguishable from
-    * the cached generation and would serve the stale schema — accepted
-    * (the writers here never rewrite in place; they replace files with
+    * in this JVM, single-entry evicted at the 256 cap (driver-lifetime
+    * leak guard; re-inference is correct, just slower). The sweep runs
+    * under computeIfAbsent so concurrent planners of the same path set
+    * share one sweep and an eviction can never wipe an entry another
+    * thread just computed (ADVICE r13 low — the old wholesale clear()
+    * raced with concurrent puts). Known residual risk: an in-place
+    * rewrite with the SAME byte length inside the filesystem's
+    * lastModified granularity is indistinguishable from the cached
+    * generation and would serve the stale schema — accepted (the
+    * writers here never rewrite in place; they replace files with
     * differently-sized payloads).
     */
   private val schemaCache =
@@ -113,24 +117,32 @@ object AvroSource {
     if (files.isEmpty)
       throw new IllegalArgumentException("avro source: no input files")
     val key = files.map(f => (f.getPath, f.length, f.lastModified))
-    val cached = schemaCache.get(key)
-    if (cached != null) return cached
-    val first = files.head
-    val schema = readWriterSchema(first)
-    // Fail at PLAN time, next to the cause, if the directory mixes writer
-    // schemas — otherwise the mismatch surfaces per-split at read time as
-    // a resolution error far from the offending file. Header reads are a
-    // few KB each; O(#files) driver I/O is the documented, cached cost.
-    files.drop(1).foreach { f =>
-      val s = readWriterSchema(f)
-      if (s != schema) throw new IllegalArgumentException(
-        s"avro source: heterogeneous writer schemas: $first has $schema " +
-          s"but $f has $s")
+    // Bound the cache BEFORE compute (mutating other keys inside a
+    // computeIfAbsent mapping function is forbidden by ConcurrentHashMap):
+    // evict arbitrary single entries until under the cap. A concurrent
+    // race can briefly over-evict — harmless; re-inference is correct.
+    var evicting = true
+    while (evicting && schemaCache.size >= 256 && !schemaCache.containsKey(key)) {
+      val it = schemaCache.keySet.iterator
+      if (it.hasNext) { schemaCache.remove(it.next()); () }
+      else evicting = false // weakly-consistent iterator raced to empty
     }
-    val result = toSparkSchema(schema)
-    if (schemaCache.size > 256) schemaCache.clear()
-    schemaCache.put(key, result)
-    result
+    schemaCache.computeIfAbsent(key, { _ =>
+      val first = files.head
+      val schema = readWriterSchema(first)
+      // Fail at PLAN time, next to the cause, if the directory mixes
+      // writer schemas — otherwise the mismatch surfaces per-split at
+      // read time as a resolution error far from the offending file.
+      // Header reads are a few KB each; O(#files) driver I/O is the
+      // documented, cached cost.
+      files.drop(1).foreach { f =>
+        val s = readWriterSchema(f)
+        if (s != schema) throw new IllegalArgumentException(
+          s"avro source: heterogeneous writer schemas: $first has $schema " +
+            s"but $f has $s")
+      }
+      toSparkSchema(schema)
+    })
   }
 
   /** Avro → Spark for the supported subset; `[null, T]` ⇒ nullable T. */

@@ -110,6 +110,26 @@ class PqIndexSpec extends SparkTestBase {
       "probe must be unaffected by duplicated assignments")
   }
 
+  test("conflicting duplicate assignments fail loudly, never partition-dependent") {
+    // a vec_id re-ingested with a CHANGED vector (or appended onto a
+    // store rebuilt with a different codebook) has non-identical
+    // duplicate rows — any silent survivor choice would make probePq
+    // partition-dependent, so the probe must raise a descriptive error
+    // instead (ADVICE r13 low)
+    val store = freshStore()
+    buildPq(store)
+    AnnIndexStore.appendBatchPq(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), expr("reverse(qv)").as("qv"),
+          (col("nq") + 1).as("nq")), store, Some("even-conflict"))
+    val e = intercept[Exception] { probePq(store) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("conflicting duplicate PQ assignments")),
+      s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("pq recall >= raw-IVF recall on q_ann_recall's fixture; store measurably smaller") {
     val store = freshStore()
     buildPq(store)
