@@ -31,3 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// JVM pinning (BASELINE.md "r14 era experiment"): fixed heap, pre-touched
+// pages, explicit G1 — removes heap-resize / first-touch page-fault /
+// GC-selection variance as candidate causes of the box's 1.17-1.64x
+// same-code bench "eras". SPARK_GRAFT_PIN_JVM=0 opts out (the A side of
+// the A/B; also the escape hatch on a memory-tight box, since Xms=Xmx
+// commits the full heap at launch).
+javaOptions ++= (
+  if (sys.env.get("SPARK_GRAFT_PIN_JVM").contains("0")) Seq.empty[String]
+  else Seq(
+    s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    "-XX:+AlwaysPreTouch",
+    "-XX:+UseG1GC"))

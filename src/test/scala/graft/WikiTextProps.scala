@@ -57,4 +57,47 @@ object WikiTextProps extends Properties("WikiText") {
     WikiText.detectRedirect(s"#REDIRECT [[$w]]").contains(w) &&
       WikiText.detectRedirect(s"x #REDIRECT [[$w]]").isEmpty
   }
+
+  // ---- recursive bracket-nesting generator (VERDICT r13 #4): arbitrary
+  // template/file-link/pipe-link/table nesting INCLUDING unbalanced
+  // openers/closers — the shapes real dump pathologies take. Atoms are
+  // whole (no split entities), so full-pipeline idempotence is the
+  // reference contract and must hold.
+  private def nestedGen(depth: Int): Gen[String] =
+    if (depth <= 0) word
+    else {
+      val sub = Gen.lzy(nestedGen(depth - 1))
+      Gen.frequency(
+        2 -> word,
+        2 -> Gen.zip(word, sub).map { case (w, in) => s"{{$w|$in}}" },
+        1 -> sub.map(in => s"[[File:f.png|$in]]"),
+        1 -> Gen.zip(word, sub).map { case (w, in) => s"[[$w|$in]]" },
+        1 -> Gen.zip(word, sub).map { case (w, in) => s"[[$in|$w]]" },
+        1 -> sub.map(in => s"<ref>$in</ref>"),
+        1 -> sub.map(in => s"'''$in'''"),
+        1 -> sub.map(in => s"{|\n|$in\n|}"),
+        2 -> Gen.zip(sub, sub).map { case (a, b) => s"$a $b" },
+        // unbalanced: stray opener / closer around real content
+        1 -> sub.map(in => s"{{$in"),
+        1 -> sub.map(in => s"$in}}"),
+        1 -> sub.map(in => s"[[File:f.png|$in"),
+        1 -> sub.map(in => s"[[$in"))
+    }
+
+  private val bracketNested: Gen[String] = Gen.choose(1, 5).flatMap(nestedGen)
+
+  property("bracket-nesting: cleaning is idempotent and never grows") =
+    Prop.forAll(bracketNested) { s =>
+      val once = WikiText.cleanWikiBody(s)
+      WikiText.cleanWikiBody(once) == once && once.length <= s.length
+    }
+
+  property("bracket-nesting: balanced markup never survives") =
+    Prop.forAll(bracketNested) { s =>
+      // completed pairs must always be removed even under stray
+      // openers/closers; only the strays themselves may remain
+      val out = WikiText.cleanWikiBody(s)
+      !out.contains("}}") || !out.contains("{{") ||
+        out.lastIndexOf("}}") < out.indexOf("{{")
+    }
 }
