@@ -179,24 +179,60 @@ object Similarity {
   }
 
   /** Exact Jaccard in basis points for candidate (a_id, b_id) pairs,
-    * verified ROW-LOCALLY: each pair carries both docs' sorted token
-    * arrays and intersects them in place (O(na + nb) per pair, never a
-    * pair × token re-explode). Extra candidate columns pass through.
-    * Shared by q_simjoin's verify stage and q_minhash_est's audit so
-    * the Jaccard-bp convention lives in one place. */
+    * verified via row-local segment intersects: each pair carries both
+    * docs' token arrays ONE HASH SEGMENT at a time and sums
+    * `size(array_intersect)` over segments (never a pair × token
+    * re-explode — that formulation multiplied candidates by the token
+    * count). Hash segmenting (`seg = pmod(xxhash64(word), S)`) makes
+    * the decomposition exact — a token lands in the same segment on
+    * both sides, so Σ_s |A_s ∩ B_s| = |A ∩ B| — while bounding every
+    * aggregation buffer and every carried array at ~n/S tokens instead
+    * of a whole document (the per-DOC buffer class flagged on the
+    * pre-r14 q_substring_strip: a 16 MB body is ~3 M tokens in one
+    * row otherwise). S defaults to 16; a 100 TB corpus with larger
+    * bodies raises `spark.graft.jaccard.segments` to keep n/S bounded.
+    *
+    * Token arrays are built ONLY for docs that appear in a candidate
+    * pair (semi-join on the candidate id set): candidates are a
+    * vanishing fraction of the corpus under prefix filtering / band
+    * collision, so aggregating every doc's array — as the pre-r14
+    * version did — was corpus-scaled work for candidate-scaled output.
+    * `cands` is checkpointed because the rewrite references it three
+    * times (id set, intersect spine, passthrough) and its upstream
+    * (windowed prefix ranks / band joins) must not re-run per use.
+    * Extra candidate columns pass through. Shared by q_simjoin's
+    * verify stage and q_minhash_est's audit so the Jaccard-bp
+    * convention lives in one place. */
   private def exactJaccardBp(cands: DataFrame, tokens: DataFrame): DataFrame = {
-    val docArr = tokens.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("word"))).as("toks"),
-        count(lit(1)).as("n"))
-    cands
-      .join(docArr.select(col("doc_id").as("a_id"), col("toks").as("ta"),
-        col("n").as("na")), "a_id")
-      .join(docArr.select(col("doc_id").as("b_id"), col("toks").as("tb"),
-        col("n").as("nb")), "b_id")
-      .withColumn("inter", expr("CAST(size(array_intersect(ta, tb)) AS BIGINT)"))
+    val segments = tokens.sparkSession.conf
+      .getOption("spark.graft.jaccard.segments").map(_.toInt).getOrElse(16)
+    val c = graft.Checkpoints.ckpt(cands)
+    // no .distinct(): left_semi ignores duplicate build rows, so the
+    // dedup shuffle would be pure overhead
+    val ids = c.select(col("a_id").as("doc_id"))
+      .union(c.select(col("b_id").as("doc_id")))
+    val segArr = tokens.join(ids, Seq("doc_id"), "left_semi")
+      .withColumn("seg", pmod(xxhash64(col("word")), lit(segments.toLong)))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(collect_list(col("word")).as("toks"), count(lit(1)).as("sn"))
+    val n = segArr.groupBy(col("doc_id")).agg(sum(col("sn")).as("n"))
+    // inner join on (b_id, seg): a segment held by only one side
+    // contributes 0 to the intersection and drops out here; pairs
+    // sharing NO segment at all rejoin with inter = 0 below.
+    val inter = c.select(col("a_id"), col("b_id"))
+      .join(segArr.select(col("doc_id").as("a_id"), col("seg"),
+        col("toks").as("ta")), "a_id")
+      .join(segArr.select(col("doc_id").as("b_id"), col("seg"),
+        col("toks").as("tb")), Seq("b_id", "seg"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(expr("size(array_intersect(ta, tb))")).as("inter"))
+    c.join(inter, Seq("a_id", "b_id"), "left")
+      .join(n.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jac_bp", expr("inter * 10000 DIV (na + nb - inter)"))
-      .drop("ta", "tb", "na", "nb")
+      .drop("na", "nb")
   }
 
   /** q_ann_ivf's pipeline: broadcast-codebook assignment, top-2 probe,

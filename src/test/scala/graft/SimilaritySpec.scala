@@ -143,6 +143,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.hashMinLabels(emptyMemb, emptyDocs).count() == 0)
   }
 
+  test("exact-Jaccard verify: hash-segment decomposition invariant in the segment count") {
+    // seg = pmod(xxhash64(word), S) partitions each doc's token set, so
+    // summing per-segment intersect sizes must equal the whole-set
+    // intersect for ANY S. S=1 collapses to the pre-r14 whole-document
+    // shape — equality against it proves the decomposition exact; S=7
+    // (coprime to nothing relevant, > default test parallelism) forces
+    // multi-segment docs at this SF.
+    def run(sim: String, est: String): (Seq[Seq[Any]], Seq[Seq[Any]]) =
+      (graft.queries.Similarity.queries(sim)(spark, sfDir)
+        .collect().toSeq.map(_.toSeq),
+        graft.queries.Similarity.queries(est)(spark, sfDir)
+          .collect().toSeq.map(_.toSeq))
+    val (simBase, estBase) = run("q_simjoin", "q_minhash_est")
+    assert(estBase.nonEmpty, "q_minhash_est must produce audited pairs")
+    for (s <- Seq("1", "7")) {
+      spark.conf.set("spark.graft.jaccard.segments", s)
+      try {
+        val (sim, est) = run("q_simjoin", "q_minhash_est")
+        assert(sim == simBase, s"q_simjoin diverged at segments=$s")
+        assert(est == estBase, s"q_minhash_est diverged at segments=$s")
+      } finally spark.conf.unset("spark.graft.jaccard.segments")
+    }
+  }
+
   test("dedup clusters: labels are component minima, canon count = cluster count") {
     val out = Similarity.queries("q_dedup_cluster")(spark, sfDir).collect()
     assert(out.length > 0)
