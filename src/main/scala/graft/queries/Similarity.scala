@@ -205,7 +205,16 @@ object Similarity {
     * convention lives in one place. */
   private def exactJaccardBp(cands: DataFrame, tokens: DataFrame): DataFrame = {
     val segments = tokens.sparkSession.conf
-      .getOption("spark.graft.jaccard.segments").map(_.toInt).getOrElse(16)
+      .getOption("spark.graft.jaccard.segments").map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.jaccard.segments must be a positive int, got '$v'")
+        }
+        require(n >= 1,
+          s"spark.graft.jaccard.segments must be >= 1, got $n " +
+            "(0 would divide by zero in the segment pmod)")
+        n
+      }.getOrElse(16)
     val c = graft.Checkpoints.ckpt(cands)
     // no .distinct(): left_semi ignores duplicate build rows, so the
     // dedup shuffle would be pure overhead

@@ -278,6 +278,10 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Similarity.queries("q_simjoin")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact-Jaccard verify must build token arrays only for docs in
+    // a candidate pair: a LeftSemi prune against the candidate id set,
+    // not a corpus-wide aggregation (r14 segmented rewrite)
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("det-LSH ANN: candidate join is a (band,nibble) equi-join, never nested-loop") {
