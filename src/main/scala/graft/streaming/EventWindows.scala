@@ -192,26 +192,47 @@ object EventWindows {
             state.remove()
             Iterator(ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= GapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed ::= ClosedSession(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+            // Rebuild the user's timeline from the open session (if
+            // any) plus this batch's events: sort spans by start, then
+            // coalesce neighbors whose gap is <= GapMs. Every span
+            // except the LAST is followed by a closing gap and emits
+            // immediately (the eager "emit the moment it closes"
+            // semantics this operator exists for); the last span stays
+            // open in state. Cross-batch out-of-order events above the
+            // watermark therefore extend the open session BACKWARD
+            // (min start) when they fall inside its leading gap, and
+            // pair up into their own closed sessions when they precede
+            // it by more than the gap — the previous single-cursor
+            // walk's `t - s.last <= GapMs` check was vacuously true
+            // for any PAST t, silently folding arbitrarily-old
+            // stragglers into the open session with an unchanged
+            // start. A straggler arriving after its span already
+            // emitted still produces an overlapping output row — the
+            // documented price of eager emission; the
+            // watermark-correct form is the built-in [[sessions]].
+            val eventSpans =
+              it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+            val all = (state.getOption.iterator ++ eventSpans).toSeq
+              .sortBy(s => (s.start, s.last))
+            if (all.isEmpty) Iterator.empty
+            else {
+              val merged = all.tail.foldLeft(List(all.head)) {
+                case (cur :: done, s) if s.start <= cur.last + GapMs =>
+                  SessionState(cur.start, math.max(cur.last, s.last),
+                    cur.n + s.n, cur.total + s.total) :: done
+                case (acc, s) => s :: acc
+              }.reverse
+              // the final span holds the max event time (spans are
+              // disjoint after coalescing), and this batch's events are
+              // above the watermark, so last + gap > watermark — the
+              // timeout timestamp is always legal
+              val open = merged.last
+              state.update(open)
+              state.setTimeoutTimestamp(open.last + GapMs)
+              merged.init.iterator.map(s =>
+                ClosedSession(user, new Timestamp(s.start),
+                  new Timestamp(s.last), s.n, s.total))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + GapMs)
-            }
-            closed.reverseIterator
           }
         })
   }

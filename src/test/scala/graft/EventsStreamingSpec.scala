@@ -93,6 +93,37 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: out-of-order stragglers extend backward or close alone") {
+    import graft.streaming.EventWindows
+    import graft.streaming.EventWindows.SessionEvent
+    val input = MemoryStream[SessionEvent](spark)
+    val q = EventWindows.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("fmgs_ooo")
+      .outputMode("append").start()
+    def rows() = spark.table("fmgs_ooo")
+      .select(col("user_id"), date_format(col("start"), "HH:mm").as("s"),
+        col("n_events"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    try {
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 09:00:00"), 1L, 1.0),
+        SessionEvent(Timestamp.valueOf("2024-01-01 09:10:00"), 1L, 2.0))
+      q.processAllAvailable() // watermark now 08:10 — all of batch 2 is on time
+      // 08:50 is within the 30-min gap BEFORE the open session's start →
+      // must extend it backward; 09:05 is inside the session → must fold
+      // in; 08:15 is on time (watermark 08:10) but > gap before even the extended 08:50 start → its own closed
+      // singleton (the pre-fix cursor walk folded ALL three into the
+      // open session, start unchanged at 09:00)
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 08:50:00"), 1L, 4.0),
+        SessionEvent(Timestamp.valueOf("2024-01-01 09:05:00"), 1L, 8.0),
+        SessionEvent(Timestamp.valueOf("2024-01-01 08:15:00"), 1L, 16.0))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, "08:15", 1L, 16.0)), rows())
+      input.addData(SessionEvent(Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 32.0))
+      q.processAllAvailable() // gap closes the extended session inline
+      assert(rows() == Set((1L, "08:15", 1L, 16.0), (1L, "08:50", 4L, 15.0)), rows())
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across batches") {
     import graft.streaming.EventWindows
     val input = MemoryStream[IdEv](spark)
