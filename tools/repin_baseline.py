@@ -26,7 +26,10 @@ SPREAD_LIMIT = 0.30
 # measured a DIFFERENT plan, so their pins come from fresh batteries
 # only. Empty after the r11 re-pin absorbed the rewrites — add names
 # here when re-pinning across an implementation change.
-FRESH_ONLY = set()
+# r14 session 2: the exact-Jaccard verify rewrite (segmented,
+# candidate-pruned) deliberately trades ~0.3 s of fixed stage overhead
+# at bench scale for corpus-scaled savings + bounded buffers at 100 TB.
+FRESH_ONLY = {"q_simjoin", "q_minhash_est"}
 
 
 def battery_mins(path):
