@@ -36,6 +36,29 @@ object Pipeline {
     * provably span segments. */
   private[graft] val StripSegTokens = 65536L
 
+  /** Probe count for `q_bloom_decontaminate`'s bloom bitmap. */
+  private[graft] val BloomK = 3
+
+  /** Bloom bitmap size in BITS for `q_bloom_decontaminate` — a power of
+    * two >= 64 so word indexing is exact. The default 2^20 (128 KB)
+    * holds ~20 Ki eval grams at FPR ~1e-4 with k=3; raising it for a
+    * bigger eval set costs driver + task-broadcast memory only, never a
+    * data-scaled structure. */
+  private[graft] def bloomBits(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.bloom.bits").map { v =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"spark.graft.bloom.bits must be a power-of-two long >= 64, got '$v'")
+        }
+      if (n < 64 || (n & (n - 1)) != 0)
+        throw new IllegalArgumentException(
+          s"spark.graft.bloom.bits must be a power of two >= 64, got $n")
+      n
+    }.getOrElse(1L << 20)
+
   val queries: Map[String, Q] = Map(
     // Deterministic 2/16 sample, stratified by the md5 of the key (not
     // rand() — reproducible across retries/executors; the same doc ids
@@ -154,6 +177,42 @@ object Pipeline {
         .orderBy("doc_id", "rn")
     }),
 
+    // BM25 ranking (k1 = 1.2, b = 0.75) of the corpus against its own
+    // 3 highest-df terms, entirely in integer arithmetic: the tf
+    // saturation term is the exact rational 44·T·tf /
+    // (20·T·tf + 6·T + 18·dl·N) in basis points (k1, b scaled to
+    // twentieths so no floats appear), idf is the Robertson–
+    // Spärck Jones odds (2N−2df+1)/(2df+1) in basis points — log-free,
+    // so Spark and DuckDB agree bit-for-bit. Shapes: one word-keyed df
+    // shuffle, the 3-row query-term side and the two 1-row scalars
+    // broadcast, per-doc tf agg map-side combining — the classic IR
+    // join tree whose only data-scaled exchange is keyed by doc_id.
+    // int64 headroom: 44·T·tf·10⁴ with T = corpus tokens stays under
+    // 2⁶³ through T ≈ 10¹² (a ~4 TB token stream per scoring shard).
+    "q_bm25" -> ((s, d) => {
+      val toks = load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+      val df = toks.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val qterms = df.orderBy(col("df").desc, col("word").asc).limit(3)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val n = load(s, d, "documents").agg(count(lit(1)).as("n"))
+      val t = toks.agg(count(lit(1)).as("t"))
+      toks.join(broadcast(qterms), "word")
+        .groupBy(col("doc_id"), col("word"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(t))
+        .select(col("doc_id"),
+          expr("((44 * t * tf * 10000) DIV (20 * t * tf + 6 * t + 18 * dl * n))" +
+            " * (((2 * n - 2 * df + 1) * 10000) DIV (2 * df + 1)) DIV 10000")
+            .as("contrib"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("bm25_bp"))
+        .orderBy(col("bm25_bp").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Sequence packing: fill 256-token shards in deterministic doc_id
     // order WITHIN each lang stratum (running token count → the shard
     // where each doc starts). Partitioned window — no global sort
@@ -183,6 +242,41 @@ object Pipeline {
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bg").asc)
         .limit(20)),
+
+    // Collocation mining by pointwise lift (the exponential of PMI, so
+    // log-free): lift = p(xy) / (p(x)·p(y)) = c_xy·tU² / (tB·c_x·c_y),
+    // in integer basis points with STAGED division — the staging text
+    // is identical in both engines, and c_xy <= min(c_x, c_y) bounds
+    // every intermediate by tU²·10⁴ (int64-safe through ~10⁹-token
+    // shards; beyond that the same query runs per mixture stratum).
+    // Top-20 bigrams with support >= 5 — the merge-seed / stop-phrase
+    // list a tokenizer pipeline wants. Shapes: unigram and bigram count
+    // tables are both map-side-combining aggs; the bigram side joins
+    // the unigram table twice on word keys; scalars broadcast.
+    "q_pmi_colloc" -> ((s, d) => {
+      val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
+      val uni = docs.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bg = docs.select(explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
+          " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1)))" +
+          " ELSE array() END")).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .select(expr("element_at(split(bg, ' '), 1)").as("x"),
+          expr("element_at(split(bg, ' '), 2)").as("y"), col("c_xy"))
+      val tu = uni.agg(sum(col("c")).as("tu"))
+      val tb = docs.agg(
+        sum(expr("greatest(size(toks) - 1, 0)")).cast("long").as("tb"))
+      bg.join(uni.select(col("w").as("x"), col("c").as("c_x")), "x")
+        .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
+        .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+        .select(col("x"), col("y"), col("c_xy"),
+          expr("((((c_xy * tu) DIV c_x) * tu) DIV c_y) * 10000 DIV tb")
+            .as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("x").asc, col("y").asc)
+        .limit(20)
+    }),
 
     // Normalization pass for downstream hashing: lowercase, non-[a-z0-9]
     // runs → one space, trim. Pure codegen'd row-local string ops.
@@ -241,6 +335,53 @@ object Pipeline {
       val grams = Checkpoints.ckpt(grams0)
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
       grams.filter(!isEval)
+        .join(evalGrams, "gh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination — the 100 TB scale path for
+    // q_decontaminate's train-side shuffle. The eval-side distinct
+    // grams fold into a FIXED-size bloom bitmap (`spark.graft.bloom
+    // .bits`, default 2^20 bits ≈ 128 KB): the driver collect is
+    // bounded by the conf (m/64 longs), never by data size — it is a
+    // sketch, like the ANN codebook. Train grams probe the bitmap as
+    // one array literal, row-local (k=3 xxhash64 probes, all
+    // codegen'd built-ins), so only the ~FPR fraction of clean grams
+    // plus the true matches ever reach the exact-verify join — the
+    // all-train-grams shuffle collapses to a candidate-only shuffle.
+    // Bloom filters have no false negatives and the verify join is
+    // exact, so the RESULT is identical to q_decontaminate (same
+    // oracle); the bitmap only changes which rows shuffle.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      val m = bloomBits(s)
+      val isEval = substring(md5(concat(col("doc_id").cast("string"),
+        lit("|eval")).cast("binary")), 1, 1) < "1"
+      val grams0 = load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"),
+          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
+        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+      val grams = Checkpoints.ckpt(grams0)
+      val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+      val words = evalGrams
+        .select(explode(expr(s"transform(sequence(1, $BloomK)," +
+          s" i -> pmod(xxhash64(gh, i), ${m}L))")).as("pos"))
+        .groupBy(expr("pos DIV 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+        .collect()
+      val bits = new Array[Long]((m / 64).toInt)
+      words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+      val probe = (1 to BloomK).map { i =>
+        expr(s"(element_at(bloom, CAST(pmod(xxhash64(gh, $i), ${m}L)" +
+          s" DIV 64 AS INT) + 1) & shiftleft(1L," +
+          s" CAST(pmod(xxhash64(gh, $i), ${m}L) % 64 AS INT))) <> 0L")
+      }.reduce(_ && _)
+      grams.filter(!isEval)
+        .withColumn("bloom", typedLit(bits.toSeq))
+        .filter(probe)
+        .drop("bloom")
         .join(evalGrams, "gh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gh")).as("n_shared"))
@@ -858,6 +999,21 @@ object Pipeline {
     })
   )
 
+  /** Shared by q_decontaminate and q_bloom_decontaminate: the bloom
+    * bitmap is a pure prefilter, so both queries declare the same exact
+    * result. */
+  private val decontOracle: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g AS (SELECT doc_id, MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+       |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+       |ev AS (SELECT doc_id FROM documents
+       |       WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 1) < '1'),
+       |eg AS (SELECT DISTINCT gh FROM g JOIN ev USING (doc_id)),
+       |tr AS (SELECT doc_id, gh FROM g
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
+       |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
+       |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_sample_det" ->
       """SELECT doc_id, lang, SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 1) AS h
@@ -931,6 +1087,23 @@ object Pipeline {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY weight DESC, word ASC) AS rn FROM w)
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
+         |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+         |q AS (SELECT word, df FROM df ORDER BY df DESC, word ASC LIMIT 3),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |t AS (SELECT COUNT(*) AS t FROM toks),
+         |tf AS (SELECT doc_id, word, df, COUNT(*) AS tf
+         |       FROM toks JOIN q USING (word) GROUP BY 1, 2, 3),
+         |sc AS (SELECT doc_id,
+         |    ((44 * t * tf * 10000) // (20 * t * tf + 6 * t + 18 * dl * n))
+         |      * (((2 * n - 2 * df + 1) * 10000) // (2 * df + 1)) // 10000
+         |      AS contrib
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN t)
+         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_bp
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25_bp DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_pack_greedy" ->
       s"""WITH t AS (SELECT doc_id, lang, CAST(LEN($duckToks) AS BIGINT) AS n_toks
          |  FROM documents),
@@ -947,6 +1120,25 @@ object Pipeline {
          |    k -> toks[k] || ' ' || toks[k + 1])) AS bg FROM t)
          |SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg
          |ORDER BY cnt DESC, bg ASC LIMIT 20""".stripMargin,
+    "q_pmi_colloc" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bgs AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+         |    k -> toks[k] || ' ' || toks[k + 1])) AS bg FROM t),
+         |bgc AS (SELECT STRING_SPLIT(bg, ' ')[1] AS x,
+         |    STRING_SPLIT(bg, ' ')[2] AS y, COUNT(*) AS c_xy
+         |  FROM bgs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |uni AS (SELECT word AS w, COUNT(*) AS c FROM
+         |  (SELECT UNNEST($duckToks) AS word FROM documents) GROUP BY 1),
+         |tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM uni),
+         |tb AS (SELECT CAST(SUM(GREATEST(LEN(toks) - 1, 0)) AS BIGINT) AS tb
+         |       FROM t)
+         |SELECT x, y, c_xy,
+         |  ((((c_xy * tu) // ux.c) * tu) // uy.c) * 10000 // tb AS lift_bp
+         |FROM bgc
+         |JOIN uni ux ON ux.w = x
+         |JOIN uni uy ON uy.w = y
+         |CROSS JOIN tu CROSS JOIN tb
+         |ORDER BY lift_bp DESC, x ASC, y ASC LIMIT 20""".stripMargin,
     "q_normalize_text" ->
       """SELECT doc_id,
         |  TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) AS norm
@@ -983,17 +1175,10 @@ object Pipeline {
         |  red,
         |  CAST(LEN(STRING_SPLIT_REGEX(red, '<IP>')) - 1 AS BIGINT) AS n_ip
         |FROM r ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |g AS (SELECT doc_id, MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
-         |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
-         |ev AS (SELECT doc_id FROM documents
-         |       WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 1) < '1'),
-         |eg AS (SELECT DISTINCT gh FROM g JOIN ev USING (doc_id)),
-         |tr AS (SELECT doc_id, gh FROM g
-         |       WHERE doc_id NOT IN (SELECT doc_id FROM ev))
-         |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
-         |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> decontOracle,
+    // bloom prefilter has no false negatives + exact verify join ⇒
+    // byte-identical result, same oracle
+    "q_bloom_decontaminate" -> decontOracle,
     "q_cdc_extract" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
         |olds AS (SELECT k AS ok, price AS old_price FROM o),
