@@ -316,4 +316,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
+
+  test("bloom decontamination probes the bitmap BEFORE the verify join") {
+    val p = plan(graft.queries.Pipeline
+      .queries("q_bloom_decontaminate")(spark, sfDir))
+    // the k xxhash64 probes must survive as a row-local Filter — if a
+    // refactor drops them the query silently degrades to the exact
+    // join's full-shuffle shape while staying correct
+    assert(p.contains("xxhash64"), s"bloom probe filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bm25 broadcasts the 3-term query side and both scalars") {
+    val p = plan(graft.queries.Pipeline.queries("q_bm25")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p) // qterms side
+    assert(!p.contains("CartesianProduct"), p)
+    // only word- and doc-keyed exchanges — never a global repartition
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("pmi lift joins unigram counts by hash, never cartesian") {
+    val p = plan(graft.queries.Pipeline.queries("q_pmi_colloc")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // x/y lookups are equi-joins (the tu/tb one-row sides may be BNLJ)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
