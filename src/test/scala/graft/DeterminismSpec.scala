@@ -31,7 +31,11 @@ class DeterminismSpec extends SparkTestBase {
     // through the NTZ-normalizing cast, so its partition-invariance is
     // asserted on the new read path: session windows, as-of join,
     // gap-fill interpolation, event-time dedup windows
-    "q_evt_session", "q_join_asof", "q_gapfill", "q_evt_uniques")
+    "q_evt_session", "q_join_asof", "q_gapfill", "q_evt_uniques",
+    // round-14 session-2 additions: integer-rational rankings and the
+    // bloom prefilter (its bitmap is built FROM an aggregation — a
+    // partition-dependent build would corrupt the candidate set)
+    "q_bm25", "q_pmi_colloc", "q_bloom_decontaminate")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
