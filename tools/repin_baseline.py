@@ -26,10 +26,11 @@ SPREAD_LIMIT = 0.30
 # measured a DIFFERENT plan, so their pins come from fresh batteries
 # only. Empty after the r11 re-pin absorbed the rewrites — add names
 # here when re-pinning across an implementation change.
-# r14 session 2: the exact-Jaccard verify rewrite (segmented,
-# candidate-pruned) deliberately trades ~0.3 s of fixed stage overhead
-# at bench scale for corpus-scaled savings + bounded buffers at 100 TB.
-FRESH_ONLY = {"q_simjoin", "q_minhash_est"}
+# (r14 session 2 used {"q_simjoin", "q_minhash_est"} for the segmented
+# exact-Jaccard verify rewrite; the c1/c2 re-pin absorbed it. New
+# queries need no entry — absent-from-old keys are fresh-pinned
+# automatically.)
+FRESH_ONLY = set()
 
 
 def battery_mins(path):
