@@ -346,14 +346,18 @@ object Pipeline {
     // grams fold into a FIXED-size bloom bitmap (`spark.graft.bloom
     // .bits`, default 2^20 bits ≈ 128 KB): the driver collect is
     // bounded by the conf (m/64 longs), never by data size — it is a
-    // sketch, like the ANN codebook. Train grams probe the bitmap as
-    // one array literal, row-local (k=3 xxhash64 probes, all
-    // codegen'd built-ins), so only the ~FPR fraction of clean grams
-    // plus the true matches ever reach the exact-verify join — the
-    // all-train-grams shuffle collapses to a candidate-only shuffle.
-    // Bloom filters have no false negatives and the verify join is
-    // exact, so the RESULT is identical to q_decontaminate (same
-    // oracle); the bitmap only changes which rows shuffle.
+    // sketch, like the ANN codebook. The bitmap ships as a ONE-ROW
+    // broadcast side (not an expression literal: a literal re-
+    // serializes the array into every task closure and bloats every
+    // plan dump; a broadcast moves it once per executor, which is the
+    // only shape that survives a 256 MB bitmap). Train grams probe it
+    // row-local (k=3 xxhash64 probes, all codegen'd built-ins), so
+    // only the ~FPR fraction of clean grams plus the true matches
+    // ever reach the exact-verify join — the all-train-grams shuffle
+    // collapses to a candidate-only shuffle. Bloom filters have no
+    // false negatives and the verify join is exact, so the RESULT is
+    // identical to q_decontaminate (same oracle); the bitmap only
+    // changes which rows shuffle.
     "q_bloom_decontaminate" -> ((s, d) => {
       val m = bloomBits(s)
       val isEval = substring(md5(concat(col("doc_id").cast("string"),
@@ -378,8 +382,12 @@ object Pipeline {
           s" DIV 64 AS INT) + 1) & shiftleft(1L," +
           s" CAST(pmod(xxhash64(gh, $i), ${m}L) % 64 AS INT))) <> 0L")
       }.reduce(_ && _)
+      val bitsDf = {
+        import s.implicits._
+        Seq(Tuple1(bits.toSeq)).toDF("bloom")
+      }
       grams.filter(!isEval)
-        .withColumn("bloom", typedLit(bits.toSeq))
+        .crossJoin(broadcast(bitsDf))
         .filter(probe)
         .drop("bloom")
         .join(evalGrams, "gh")

@@ -325,7 +325,9 @@ class PlanSpec extends SparkTestBase {
     // join's full-shuffle shape while staying correct
     assert(p.contains("xxhash64"), s"bloom probe filter missing:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the one-row bitmap side must arrive as a broadcast, never a
+    // shuffled side (BNLJ over the 1-row broadcast is the right shape)
+    assert(p.contains("BroadcastExchange"), p)
   }
 
   test("bm25 broadcasts the 3-term query side and both scalars") {
