@@ -195,9 +195,13 @@ object Pipeline {
       val df = toks.select(col("doc_id"), col("word")).distinct()
         .groupBy(col("word")).agg(count(lit(1)).as("df"))
       val qterms = df.orderBy(col("df").desc, col("word").asc).limit(3)
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // dl from the row-local size() (TokenCountRewrite: one primitive
+      // byte scan) and T = Σdl from the same frame — the exploded token
+      // stream is traversed exactly twice (df, tf), q_tfidf economics
+      val dl = load(s, d, "documents")
+        .select(col("doc_id"), expr(s"CAST(size($tokens) AS BIGINT)").as("dl"))
       val n = load(s, d, "documents").agg(count(lit(1)).as("n"))
-      val t = toks.agg(count(lit(1)).as("t"))
+      val t = dl.agg(sum(col("dl")).as("t"))
       toks.join(broadcast(qterms), "word")
         .groupBy(col("doc_id"), col("word"), col("df"))
         .agg(count(lit(1)).as("tf"))
@@ -368,7 +372,11 @@ object Pipeline {
           explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
         .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
       val grams = Checkpoints.ckpt(grams0)
-      val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
+      // the eval distinct feeds BOTH the bitmap build and the verify
+      // join — checkpoint it so the second action reuses the compact
+      // (~eval-gram-count) rows instead of re-shuffling the distinct
+      val evalGrams =
+        Checkpoints.ckpt(grams.filter(isEval).select(col("gh")).distinct())
       val words = evalGrams
         .select(explode(expr(s"transform(sequence(1, $BloomK)," +
           s" i -> pmod(xxhash64(gh, i), ${m}L))")).as("pos"))
@@ -1099,9 +1107,10 @@ object Pipeline {
       s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
          |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
          |q AS (SELECT word, df FROM df ORDER BY df DESC, word ASC LIMIT 3),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(LEN($duckToks) AS BIGINT) AS dl
+         |       FROM documents),
          |n AS (SELECT COUNT(*) AS n FROM documents),
-         |t AS (SELECT COUNT(*) AS t FROM toks),
+         |t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
          |tf AS (SELECT doc_id, word, df, COUNT(*) AS tf
          |       FROM toks JOIN q USING (word) GROUP BY 1, 2, 3),
          |sc AS (SELECT doc_id,
