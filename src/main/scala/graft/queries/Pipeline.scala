@@ -404,6 +404,46 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style distribution-matching selection score (Xie et al.,
+    // "Data Selection for Language Models via Importance Resampling",
+    // public preprint), reduced to its unigram core and made log-free:
+    // per-token lift of the TARGET distribution (the deterministic
+    // 1/16 eval sample — same split as decontamination) over the RAW
+    // corpus distribution, Laplace-smoothed ((c_t+1)/(T_t+V) vs
+    // c_r/T_r), per-doc tf-weighted integer-bp mean. This is the
+    // UNSUPERVISED data-selection stage; q_classifier_score is its
+    // supervised sibling. Shapes: the exploded stream collapses to
+    // (doc, word, tf) with map-side combine ONCE (checkpointed — it
+    // feeds raw counts, target counts, and the scoring join), the
+    // ratio table joins word-keyed (vocabulary-scale, NEVER broadcast),
+    // scalars broadcast; scoring is one doc-keyed agg.
+    "q_dsir" -> ((s, d) => {
+      val isEval = substring(md5(concat(col("doc_id").cast("string"),
+        lit("|eval")).cast("binary")), 1, 1) < "1"
+      val tf0 = load(s, d, "documents")
+        .select(col("doc_id"), isEval.as("ev"), explode(expr(tokens)).as("w"))
+        .groupBy(col("doc_id"), col("ev"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val tf = Checkpoints.ckpt(tf0)
+      val raw = tf.groupBy(col("w")).agg(sum(col("tf")).as("c_r"))
+      val tgt = tf.filter(col("ev")).groupBy(col("w"))
+        .agg(sum(col("tf")).as("c_t"))
+      val scal = raw.agg(sum(col("c_r")).as("t_r"), count(lit(1)).as("v"))
+      val tt = tgt.agg(sum(col("c_t")).as("t_t"))
+      val ratio = raw.join(tgt, Seq("w"), "left")
+        .select(col("w"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      tf.filter(!col("ev"))
+        .join(ratio, "w")
+        .crossJoin(broadcast(scal)).crossJoin(broadcast(tt))
+        .select(col("doc_id"), col("tf"),
+          expr("(((c_t + 1) * t_r) DIV c_r) * 10000 DIV (t_t + v)")
+            .as("lift_bp"))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(tf * lift_bp) DIV sum(tf)").as("dsir_bp"),
+          sum(col("tf")).as("n_toks"))
+        .orderBy("doc_id")
+    }),
+
     // Domain-mixture rebalance: downsample every lang stratum to the
     // smallest stratum's size by deterministic hash rank — the kept-doc
     // manifest a mixture-weighted training run snapshots. Rank is a
@@ -1196,6 +1236,26 @@ object Pipeline {
     // bloom prefilter has no false negatives + exact verify join ⇒
     // byte-identical result, same oracle
     "q_bloom_decontaminate" -> decontOracle,
+    "q_dsir" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 1) < '1' AS ev,
+         |    UNNEST($duckToks) AS w FROM documents),
+         |tf AS (SELECT doc_id, ev, w, COUNT(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |raw AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS c_r FROM tf GROUP BY 1),
+         |tgt AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS c_t
+         |        FROM tf WHERE ev GROUP BY 1),
+         |sc AS (SELECT CAST(SUM(c_r) AS BIGINT) AS t_r, COUNT(*) AS v FROM raw),
+         |tt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS t_t FROM tgt),
+         |r AS (SELECT raw.w, c_r, COALESCE(c_t, 0) AS c_t
+         |      FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+         |l AS (SELECT doc_id, tf,
+         |    (((c_t + 1) * t_r) // c_r) * 10000 // (t_t + v) AS lift_bp
+         |  FROM tf JOIN r USING (w) CROSS JOIN sc CROSS JOIN tt
+         |  WHERE NOT ev)
+         |SELECT doc_id,
+         |  CAST(SUM(tf * lift_bp) // SUM(tf) AS BIGINT) AS dsir_bp,
+         |  CAST(SUM(tf) AS BIGINT) AS n_toks
+         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_cdc_extract" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
         |olds AS (SELECT k AS ok, price AS old_price FROM o),

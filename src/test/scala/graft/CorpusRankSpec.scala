@@ -97,6 +97,38 @@ class CorpusRankSpec extends SparkTestBase {
     assert(got.size == 10, "fixture too small for a full top-10")
   }
 
+  test("dsir selection scores match an independent JVM recomputation") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = docToks()
+    val isEval = toks.keySet.map(id => id -> (md5hex(s"$id|eval").head < '1')).toMap
+    val tf: Map[(Long, String), Long] = toks.toSeq
+      .flatMap { case (id, ts) => ts.map(w => (id, w)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val raw = tf.toSeq.groupBy(_._1._2).map { case (w, g) => w -> g.map(_._2).sum }
+    val tgt = tf.toSeq.filter(p => isEval(p._1._1))
+      .groupBy(_._1._2).map { case (w, g) => w -> g.map(_._2).sum }
+    val tR = raw.valuesIterator.sum
+    val v = raw.size.toLong
+    val tT = tgt.valuesIterator.sum
+    val want = tf.toSeq.filter(p => !isEval(p._1._1))
+      .groupBy(_._1._1).toSeq.map { case (id, g) =>
+        val lifts = g.map { case ((_, w), f) =>
+          val lift = (((tgt.getOrElse(w, 0L) + 1) * tR) / raw(w)) * 10000 / (tT + v)
+          (f, lift)
+        }
+        val nToks = lifts.map(_._1).sum
+        (id, lifts.map(p => p._1 * p._2).sum / nToks, nToks)
+      }.sortBy(_._1)
+    val got = Pipeline.queries("q_dsir")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the target sample must actually separate: scores must not be
+    // constant across docs (a broken join would yield uniform smoothing)
+    assert(got.map(_._2).distinct.size > 1, "degenerate dsir scores")
+  }
+
   test("pmi collocations match an independent JVM recomputation") {
     val toks = docToks()
     val uni = toks.valuesIterator.flatten.toSeq

@@ -35,7 +35,7 @@ class DeterminismSpec extends SparkTestBase {
     // round-14 session-2 additions: integer-rational rankings and the
     // bloom prefilter (its bitmap is built FROM an aggregation — a
     // partition-dependent build would corrupt the candidate set)
-    "q_bm25", "q_pmi_colloc", "q_bloom_decontaminate")
+    "q_bm25", "q_pmi_colloc", "q_bloom_decontaminate", "q_dsir")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
