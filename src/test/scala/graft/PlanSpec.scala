@@ -338,6 +338,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
   }
 
+  test("dsir ratio join is equi-keyed; scoring rolls up on doc_id") {
+    val p = plan(graft.queries.Pipeline.queries("q_dsir")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("pmi lift joins unigram counts by hash, never cartesian") {
     val p = plan(graft.queries.Pipeline.queries("q_pmi_colloc")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
