@@ -66,10 +66,11 @@ object Plans {
       "window; the rank-cumulative sums reuse the bucketed prefix-sum " +
       "kernel — every Window keyed on the bucket."),
     "q_bloom_decontaminate" -> ("Sketch prefilter: the conf-sized " +
-      "bloom bitmap rides the plan as one array literal, probed by a " +
-      "row-local codegen'd xxhash64 Filter BELOW the verify join — " +
-      "only candidate grams shuffle, the clean bulk dies at the scan " +
-      "side."),
+      "bloom bitmap ships as a ONE-ROW broadcast side (once per " +
+      "executor — never an expression literal re-serialized per " +
+      "task), probed by a row-local codegen'd xxhash64 Filter BELOW " +
+      "the verify join — only candidate grams shuffle, the clean " +
+      "bulk dies at the scan side."),
     "q_bm25" -> ("Integer BM25: the 3-row query-term side and both " +
       "1-row scalars broadcast; the only data-scaled exchanges are " +
       "the word-keyed df/tf aggregations and the doc-keyed final " +

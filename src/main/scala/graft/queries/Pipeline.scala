@@ -56,8 +56,37 @@ object Pipeline {
       if (n < 64 || (n & (n - 1)) != 0)
         throw new IllegalArgumentException(
           s"spark.graft.bloom.bits must be a power of two >= 64, got $n")
+      // the bitmap lives on the driver and in one broadcast: cap at
+      // 2^33 bits (1 GiB) — beyond that (m/64) also stops fitting the
+      // JVM array index space, so fail descriptively here rather than
+      // with a NegativeArraySizeException at build time
+      if (n > (1L << 33))
+        throw new IllegalArgumentException(
+          s"spark.graft.bloom.bits must be <= ${1L << 33} (1 GiB bitmap), got $n")
       n
     }.getOrElse(1L << 20)
+
+  /** Deterministic 1/16 eval-sample membership by doc_id — ONE
+    * definition shared by both decontamination variants and DSIR, so
+    * the sample can never drift between queries that declare related
+    * oracles. */
+  private def isEvalDoc =
+    substring(md5(concat(col("doc_id").cast("string"),
+      lit("|eval")).cast("binary")), 1, 1) < "1"
+
+  /** One tokenize+shingle+md5 pass over the corpus, checkpointed:
+    * compact (doc_id, gh) rows shared by both decontamination
+    * variants. Same hazard-pinning rationale as [[Shingles]] — the two
+    * variants share one oracle, so their gram definition must be one
+    * place. At 100 TB the checkpoint also halves the job: both the
+    * eval and train branches read the materialized rows instead of
+    * re-running the dominant tokenize/shingle CPU work. */
+  private def corpusGrams(s: SparkSession, d: String): DataFrame =
+    Checkpoints.ckpt(load(s, d, "documents")
+      .withColumn("toks", expr(tokens))
+      .select(col("doc_id"),
+        explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
+      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
 
   val queries: Map[String, Q] = Map(
     // Deterministic 2/16 sample, stratified by the md5 of the key (not
@@ -184,11 +213,13 @@ object Pipeline {
     // twentieths so no floats appear), idf is the Robertson–
     // Spärck Jones odds (2N−2df+1)/(2df+1) in basis points — log-free,
     // so Spark and DuckDB agree bit-for-bit. Shapes: one word-keyed df
-    // shuffle, the 3-row query-term side and the two 1-row scalars
+    // shuffle, the 3-row query-term side and the 1-row scalar pair
     // broadcast, per-doc tf agg map-side combining — the classic IR
     // join tree whose only data-scaled exchange is keyed by doc_id.
-    // int64 headroom: 44·T·tf·10⁴ with T = corpus tokens stays under
-    // 2⁶³ through T ≈ 10¹² (a ~4 TB token stream per scoring shard).
+    // int64 headroom: the binding constraint is 44·10⁴·T·tf < 2⁶³,
+    // i.e. T·tf ≲ 2·10¹³ — with top-term tf up to ~10³ in long docs,
+    // keep scoring shards at T ≲ 10¹⁰ tokens (~40 GB of text each);
+    // beyond that, score per mixture stratum with per-stratum scalars.
     "q_bm25" -> ((s, d) => {
       val toks = load(s, d, "documents")
         .select(col("doc_id"), explode(expr(tokens)).as("word"))
@@ -200,13 +231,13 @@ object Pipeline {
       // stream is traversed exactly twice (df, tf), q_tfidf economics
       val dl = load(s, d, "documents")
         .select(col("doc_id"), expr(s"CAST(size($tokens) AS BIGINT)").as("dl"))
-      val n = load(s, d, "documents").agg(count(lit(1)).as("n"))
-      val t = dl.agg(sum(col("dl")).as("t"))
+      // both scalars from the one dl pass — no second documents scan
+      val scal = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
       toks.join(broadcast(qterms), "word")
         .groupBy(col("doc_id"), col("word"), col("df"))
         .agg(count(lit(1)).as("tf"))
         .join(dl, "doc_id")
-        .crossJoin(broadcast(n)).crossJoin(broadcast(t))
+        .crossJoin(broadcast(scal))
         .select(col("doc_id"),
           expr("((44 * t * tf * 10000) DIV (20 * t * tf + 6 * t + 18 * dl * n))" +
             " * (((2 * n - 2 * df + 1) * 10000) DIV (2 * df + 1)) DIV 10000")
@@ -250,9 +281,11 @@ object Pipeline {
     // Collocation mining by pointwise lift (the exponential of PMI, so
     // log-free): lift = p(xy) / (p(x)·p(y)) = c_xy·tU² / (tB·c_x·c_y),
     // in integer basis points with STAGED division — the staging text
-    // is identical in both engines, and c_xy <= min(c_x, c_y) bounds
-    // every intermediate by tU²·10⁴ (int64-safe through ~10⁹-token
-    // shards; beyond that the same query runs per mixture stratum).
+    // is identical in both engines. Staging order divides by tB BEFORE
+    // the second tU multiply: with c_xy <= c_x and tB ≈ tU every
+    // intermediate is bounded by ~tU·10⁴, so the arithmetic is
+    // int64-safe through tU ≈ 9·10¹⁴ tokens — far beyond any single
+    // scoring shard (the naive ...·tU)·10⁴ order overflows at ~3·10⁷).
     // Top-20 bigrams with support >= 5 — the merge-seed / stop-phrase
     // list a tokenizer pipeline wants. Shapes: unigram and bigram count
     // tables are both map-side-combining aggs; the bigram side joins
@@ -276,7 +309,7 @@ object Pipeline {
         .join(uni.select(col("w").as("y"), col("c").as("c_y")), "y")
         .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
         .select(col("x"), col("y"), col("c_xy"),
-          expr("((((c_xy * tu) DIV c_x) * tu) DIV c_y) * 10000 DIV tb")
+          expr("(((c_xy * tu) DIV c_x) * 10000 DIV tb) * tu DIV c_y")
             .as("lift_bp"))
         .orderBy(col("lift_bp").desc, col("x").asc, col("y").asc)
         .limit(20)
@@ -325,20 +358,9 @@ object Pipeline {
     // is a hash-distinct then a plain shuffle join (NOT broadcast —
     // eval grams grow with the corpus).
     "q_decontaminate" -> ((s, d) => {
-      val isEval = substring(md5(concat(col("doc_id").cast("string"),
-        lit("|eval")).cast("binary")), 1, 1) < "1"
-      // one tokenize+shingle+md5 pass over the corpus: both the eval
-      // and train branches read the materialized (doc_id, gh) rows
-      // (compact: id + 32-byte hash) instead of re-running the
-      // dominant CPU work per branch — at 100 TB that halves the job
-      val grams0 = load(s, d, "documents")
-        .withColumn("toks", expr(tokens))
-        .select(col("doc_id"),
-          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
-        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-      val grams = Checkpoints.ckpt(grams0)
-      val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
-      grams.filter(!isEval)
+      val grams = corpusGrams(s, d)
+      val evalGrams = grams.filter(isEvalDoc).select(col("gh")).distinct()
+      grams.filter(!isEvalDoc)
         .join(evalGrams, "gh")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("gh")).as("n_shared"))
@@ -364,19 +386,12 @@ object Pipeline {
     // changes which rows shuffle.
     "q_bloom_decontaminate" -> ((s, d) => {
       val m = bloomBits(s)
-      val isEval = substring(md5(concat(col("doc_id").cast("string"),
-        lit("|eval")).cast("binary")), 1, 1) < "1"
-      val grams0 = load(s, d, "documents")
-        .withColumn("toks", expr(tokens))
-        .select(col("doc_id"),
-          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
-        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-      val grams = Checkpoints.ckpt(grams0)
+      val grams = corpusGrams(s, d)
       // the eval distinct feeds BOTH the bitmap build and the verify
       // join — checkpoint it so the second action reuses the compact
       // (~eval-gram-count) rows instead of re-shuffling the distinct
       val evalGrams =
-        Checkpoints.ckpt(grams.filter(isEval).select(col("gh")).distinct())
+        Checkpoints.ckpt(grams.filter(isEvalDoc).select(col("gh")).distinct())
       val words = evalGrams
         .select(explode(expr(s"transform(sequence(1, $BloomK)," +
           s" i -> pmod(xxhash64(gh, i), ${m}L))")).as("pos"))
@@ -394,7 +409,7 @@ object Pipeline {
         import s.implicits._
         Seq(Tuple1(bits.toSeq)).toDF("bloom")
       }
-      grams.filter(!isEval)
+      grams.filter(!isEvalDoc)
         .crossJoin(broadcast(bitsDf))
         .filter(probe)
         .drop("bloom")
@@ -418,10 +433,8 @@ object Pipeline {
     // ratio table joins word-keyed (vocabulary-scale, NEVER broadcast),
     // scalars broadcast; scoring is one doc-keyed agg.
     "q_dsir" -> ((s, d) => {
-      val isEval = substring(md5(concat(col("doc_id").cast("string"),
-        lit("|eval")).cast("binary")), 1, 1) < "1"
       val tf0 = load(s, d, "documents")
-        .select(col("doc_id"), isEval.as("ev"), explode(expr(tokens)).as("w"))
+        .select(col("doc_id"), isEvalDoc.as("ev"), explode(expr(tokens)).as("w"))
         .groupBy(col("doc_id"), col("ev"), col("w"))
         .agg(count(lit(1)).as("tf"))
       val tf = Checkpoints.ckpt(tf0)
@@ -429,7 +442,9 @@ object Pipeline {
       val tgt = tf.filter(col("ev")).groupBy(col("w"))
         .agg(sum(col("tf")).as("c_t"))
       val scal = raw.agg(sum(col("c_r")).as("t_r"), count(lit(1)).as("v"))
-      val tt = tgt.agg(sum(col("c_t")).as("t_t"))
+      // coalesce: an empty target sample must smooth to 0, not
+      // NULL-poison every score (the oracle coalesces identically)
+      val tt = tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("t_t"))
       val ratio = raw.join(tgt, Seq("w"), "left")
         .select(col("w"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
       tf.filter(!col("ev"))
@@ -1149,15 +1164,14 @@ object Pipeline {
          |q AS (SELECT word, df FROM df ORDER BY df DESC, word ASC LIMIT 3),
          |dl AS (SELECT doc_id, CAST(LEN($duckToks) AS BIGINT) AS dl
          |       FROM documents),
-         |n AS (SELECT COUNT(*) AS n FROM documents),
-         |t AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+         |scal AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, COUNT(*) AS n FROM dl),
          |tf AS (SELECT doc_id, word, df, COUNT(*) AS tf
          |       FROM toks JOIN q USING (word) GROUP BY 1, 2, 3),
          |sc AS (SELECT doc_id,
          |    ((44 * t * tf * 10000) // (20 * t * tf + 6 * t + 18 * dl * n))
          |      * (((2 * n - 2 * df + 1) * 10000) // (2 * df + 1)) // 10000
          |      AS contrib
-         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN t)
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN scal)
          |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_bp
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25_bp DESC, doc_id ASC LIMIT 10""".stripMargin,
@@ -1190,7 +1204,7 @@ object Pipeline {
          |tb AS (SELECT CAST(SUM(GREATEST(LEN(toks) - 1, 0)) AS BIGINT) AS tb
          |       FROM t)
          |SELECT x, y, c_xy,
-         |  ((((c_xy * tu) // ux.c) * tu) // uy.c) * 10000 // tb AS lift_bp
+         |  (((c_xy * tu) // ux.c) * 10000 // tb) * tu // uy.c AS lift_bp
          |FROM bgc
          |JOIN uni ux ON ux.w = x
          |JOIN uni uy ON uy.w = y

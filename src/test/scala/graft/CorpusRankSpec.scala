@@ -141,7 +141,7 @@ class CorpusRankSpec extends SparkTestBase {
       .map { case (p, g) => p -> g.size.toLong }
       .filter(_._2 >= 5L)
       .map { case ((x, y), cxy) =>
-        (x, y, cxy, (((cxy * tu) / uni(x)) * tu / uni(y)) * 10000 / tb)
+        (x, y, cxy, (((cxy * tu) / uni(x)) * 10000 / tb) * tu / uni(y))
       }.toSeq
       .sortWith { (a, b) =>
         a._4 > b._4 || (a._4 == b._4 && (utf8Lt(a._1, b._1) ||
