@@ -282,10 +282,12 @@ object Pipeline {
     // log-free): lift = p(xy) / (p(x)·p(y)) = c_xy·tU² / (tB·c_x·c_y),
     // in integer basis points with STAGED division — the staging text
     // is identical in both engines. Staging order divides by tB BEFORE
-    // the second tU multiply: with c_xy <= c_x and tB ≈ tU every
-    // intermediate is bounded by ~tU·10⁴, so the arithmetic is
-    // int64-safe through tU ≈ 9·10¹⁴ tokens — far beyond any single
-    // scoring shard (the naive ...·tU)·10⁴ order overflows at ~3·10⁷).
+    // the second tU multiply, so the envelope (proved exact against
+    // BigInt by IntegerStagingProps) is the JOINT bound tU ≤ ~4·10¹⁴
+    // AND c_xy·tU ≤ 9·10¹⁸; any Zipf-shaped shard under ~10¹⁰ tokens
+    // (top bigram ≲ tU/20) satisfies both — shard per stratum beyond.
+    // (The naive ...·tU)·10⁴-last order overflowed at tU ≈ 3·10⁹ even
+    // for c_xy = 1, and at ~10⁸ for rare high-lift pairs.)
     // Top-20 bigrams with support >= 5 — the merge-seed / stop-phrase
     // list a tokenizer pipeline wants. Shapes: unigram and bigram count
     // tables are both map-side-combining aggs; the bigram side joins
