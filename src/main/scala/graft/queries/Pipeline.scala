@@ -433,7 +433,10 @@ object Pipeline {
     // (doc, word, tf) with map-side combine ONCE (checkpointed — it
     // feeds raw counts, target counts, and the scoring join), the
     // ratio table joins word-keyed (vocabulary-scale, NEVER broadcast),
-    // scalars broadcast; scoring is one doc-keyed agg.
+    // scalars broadcast; scoring is one doc-keyed agg. int64 envelope
+    // (proved vs BigInt by IntegerStagingProps): t_r ≤ ~4·10¹⁴ AND
+    // (c_t+1)·t_r ≤ 9·10¹⁸ — any Zipf-shaped shard under ~5·10¹⁰
+    // tokens; score per stratum beyond.
     "q_dsir" -> ((s, d) => {
       val tf0 = load(s, d, "documents")
         .select(col("doc_id"), isEvalDoc.as("ev"), explode(expr(tokens)).as("w"))

@@ -82,4 +82,28 @@ object IntegerStagingProps extends Properties("IntegerStaging") {
     Prop.forAllNoShrink(bm25Gen) { case (t, tf, dl, n, df) =>
       BigInt(bm25Long(t, tf, dl, n, df)) == bm25Big(t, tf, dl, n, df)
     }
+
+  private def dsirLong(ct: Long, cr: Long, tr: Long, tt: Long, v: Long): Long =
+    (((ct + 1) * tr) / cr) * 10000 / (tt + v)
+
+  private def dsirBig(ct: Long, cr: Long, tr: Long, tt: Long, v: Long): BigInt =
+    ((BigInt(ct) + 1) * BigInt(tr) / BigInt(cr)) * BigInt(10000) /
+      (BigInt(tt) + BigInt(v))
+
+  // q_dsir's documented joint envelope: (c_t+1)*t_r <= 9e18 (Zipf
+  // shards <= ~5e10 tokens) with corpus-consistent nesting: the raw
+  // corpus CONTAINS the target sample, so c_t <= c_r, t_t <= t_r,
+  // v <= t_r
+  private val dsirGen = for {
+    tr <- Gen.choose(1000L, 400000000000000L)
+    tt <- Gen.choose(1L, tr)
+    ct <- Gen.choose(0L, math.min(tt, 9000000000000000000L / tr - 1))
+    cr <- Gen.choose(math.max(1L, ct), tr)
+    v <- Gen.choose(1L, tr)
+  } yield (ct, cr, tr, tt, v)
+
+  property("dsir lift staging exact through the documented joint envelope") =
+    Prop.forAllNoShrink(dsirGen) { case (ct, cr, tr, tt, v) =>
+      BigInt(dsirLong(ct, cr, tr, tt, v)) == dsirBig(ct, cr, tr, tt, v)
+    }
 }
