@@ -221,6 +221,40 @@ object Aggregates {
         .agg(sum(expr("bitmap_count(bm)")).as("dist_parts"))
         .orderBy("l_returnflag")),
 
+    // Mergeable COUNT-MIN frequency sketch (graft.functions
+    // .CountMinSketch, a TypedImperativeAggregate): the
+    // frequency-estimation member of the sketch family (HLL distinct,
+    // exact bitmap, Misra–Gries heavy hitters, DDSketch quantiles).
+    // Sketches the corpus 4-gram frequencies — the "how often does this
+    // n-gram repeat across shards" question behind repetition filters
+    // and substring dedup at 100 TB, where the exact (gram, count)
+    // table is corpus-sized but a 3×1024 counter matrix is 24 KB.
+    // Element-wise-addition merge is commutative + associative, so the
+    // matrix is bit-identical under any partial-aggregation tree
+    // (CmsSpec asserts; DeterminismSpec pins it). The md5-hex hash
+    // family is portable arithmetic, so unlike the HLL sketch the
+    // WHOLE matrix hash-oracles against a relational DuckDB twin:
+    // top-20 exact grams, their min-of-3-cells estimates (never
+    // under-estimates, over_bp is the audited collision error).
+    "q_agg_cms" -> ((s, d) => {
+      graft.functions.CountMinSketch.register(s)
+      val grams = load(s, d, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(explode(expr(Shingles.fourGramSql(distinct = false))).as("word"))
+      val sk = grams.agg(expr("graft_cms(word, CAST(1 AS BIGINT), 3, 1024)").as("cms"))
+      val top = grams.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word").asc).limit(20)
+      def hexDigit(k: Int) =
+        s"(instr('0123456789abcdef', substr(md5(CAST(concat(CAST(s AS STRING), '|', word) AS BINARY)), $k, 1)) - 1)"
+      top.crossJoin(broadcast(sk))
+        .withColumn("est_cnt", expr(
+          "array_min(transform(sequence(0, 2), s -> element_at(cms, s * 1024 + " +
+            s"(${hexDigit(1)} * 256 + ${hexDigit(2)} * 16 + ${hexDigit(3)}) % 1024 + 1)))"))
+        .withColumn("over_bp", expr("(est_cnt - exact_cnt) * 10000 DIV exact_cnt"))
+        .select(col("word"), col("exact_cnt"), col("est_cnt"), col("over_bp"))
+        .orderBy(col("exact_cnt").desc, col("word").asc)
+    }),
+
     // Content-hash dedup (extension; the reference dedups only via the
     // redirect graph, SURVEY.md §2.A A6 — no content hashing anywhere).
     "q_dedup_exact" -> ((s, d) =>
@@ -551,6 +585,29 @@ object Aggregates {
     "q_agg_bitmap" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS dist_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Relational CM twin: the counter matrix is exact integer sums per
+    // (row, cell), so DuckDB rebuilds it from the same md5-hex-digit
+    // positions and must agree cell-for-cell with the sketch's
+    // min-of-cells reads.
+    "q_agg_cms" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |cnt AS (SELECT word, COUNT(*) AS exact_cnt FROM g GROUP BY word),
+        |pos AS (SELECT s, word, exact_cnt,
+        |    ((STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(s AS VARCHAR) || '|' || word), 1, 1)) - 1) * 256
+        |    +(STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(s AS VARCHAR) || '|' || word), 2, 1)) - 1) * 16
+        |    +(STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(s AS VARCHAR) || '|' || word), 3, 1)) - 1)) % 1024 AS p
+        |  FROM cnt CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS s)),
+        |cell AS (SELECT s, p, SUM(exact_cnt) AS c FROM pos GROUP BY s, p),
+        |top AS (SELECT word, exact_cnt FROM cnt ORDER BY exact_cnt DESC, word LIMIT 20),
+        |est AS (SELECT t2.word, t2.exact_cnt, CAST(MIN(cell.c) AS BIGINT) AS est_cnt
+        |        FROM top t2 JOIN pos ON pos.word = t2.word
+        |        JOIN cell ON cell.s = pos.s AND cell.p = pos.p GROUP BY 1, 2)
+        |SELECT word, exact_cnt, est_cnt,
+        |  (est_cnt - exact_cnt) * 10000 // exact_cnt AS over_bp
+        |FROM est ORDER BY exact_cnt DESC, word""".stripMargin,
     "q_agg_mode" ->
       """SELECT l_returnflag, CAST(MODE(l_linenumber) AS BIGINT) AS mode_line,
         |  COUNT(*) AS cnt

@@ -532,6 +532,54 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup candidate PAIRS — the Hamming-banding companion
+    // of q_minhash_pairs, completing the simhash family (q_simhash
+    // stops at the per-doc signature). 64-bit signature over the
+    // 4-gram shingle set (unigrams collide the whole corpus): bit j is
+    // the majority sign of md5-hex-digit bit (j/4, j%4) across
+    // shingles — one corpus-linear groupBy with 64 map-side-combining
+    // sums. Split into 4×16-bit bands; candidates share an exact band
+    // value (the pigeonhole guarantee: Hamming distance ≤ 3 over 64
+    // bits MUST match some band), then the exact 64-bit Hamming
+    // distance verifies each candidate via bit_count(xor) — never
+    // all-pairs, the same banded shape as the minhash and dHash paths.
+    "q_simhash_pairs" -> ((s, d) => {
+      val sh = fourGramShingles(load(s, d, "documents"))
+      val digitCols = (0 until 16).map { k =>
+        expr(s"instr('0123456789abcdef', substr(md5(CAST(word AS BINARY)), ${k + 1}, 1)) - 1")
+          .as(s"d$k")
+      }
+      val contribCols = (0 until 64).map { j =>
+        expr(s"(d${j / 4} DIV ${1 << (j % 4)}) % 2 * 2 - 1").as(s"c$j")
+      }
+      val sums = sh.select((col("doc_id") +: digitCols): _*)
+        .select((col("doc_id") +: contribCols): _*)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c0")).as("s0"), (1 until 64).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+      val bands = sums.select((col("doc_id") +: (0 until 4).map { b =>
+        (16 * b until 16 * b + 16)
+          .map(j => when(col(s"s$j") > 0, lit(1L << (j - 16 * b))).otherwise(0L))
+          .reduce(_ + _).as(s"hb$b")
+      }): _*)
+      val bl = bands.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
+      val cand = bl.as("a").join(bl.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+      val sa = bands.select((col("doc_id").as("a_id") +:
+        (0 until 4).map(b => col(s"hb$b").as(s"a$b"))): _*)
+      val sb = bands.select((col("doc_id").as("b_id") +:
+        (0 until 4).map(b => col(s"hb$b").as(s"b$b"))): _*)
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("hamming",
+          expr((0 until 4).map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")).cast("long"))
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (col("hamming") <= 6).as("is_near"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Near-dup CLUSTERS from minhash LSH: the step after
     // q_minhash_pairs that a real dedup pipeline needs — candidate
     // buckets → connected components → one canonical doc per cluster.
@@ -638,6 +686,98 @@ object Similarity {
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("b_id"), col("cosine"), col("rn").cast("long").as("rn"))
         .orderBy("a_id", "rn")
+    }),
+
+    // Approximate k-NN GRAPH over the whole embedding corpus — the
+    // structure SemDeDup-style semantic dedup, graph clustering, and
+    // diversity sampling consume. Same deterministic md5-parity
+    // hyperplane family as q_ann_lsh_det, widened to 32 planes split
+    // into 4×8-bit bands (256 buckets per band): with EVERY vector as
+    // a source, 4-bit nibbles would put ~1/16 of the corpus in each
+    // bucket and the candidate set would grow ~n²/16 — 8-bit bands
+    // keep buckets at ~n/256 so candidates stay near-linear. The
+    // 32-plane signature is ONE row-local fold (the weight matrix is a
+    // driver-built literal, embedded once); candidates bucket-join on
+    // (band, byte), exact integer-dot cosine re-ranks, top-3 per
+    // source, and a pair self-join marks MUTUAL edges (the symmetric
+    // k-NN graph clustering actually wants).
+    "q_knn_graph" -> ((s, d) => {
+      val q = quantized(s, d)
+      val mdInst = java.security.MessageDigest.getInstance("MD5")
+      def planeW(j: Int, i: Int): Int = {
+        val dig = mdInst.digest(s"$j|$i".getBytes("UTF-8"))
+        ((dig(0) >> 4) & 0xf) % 2 * 2 - 1
+      }
+      val wLit = (0 until 32).map(j => (1 to 64).map(i => planeW(j, i))
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      val sigExpr = "aggregate(transform(sequence(0, 31), j -> IF(" +
+        s"aggregate(zip_with(qv, element_at($wLit, j + 1), (a, b) -> a * b)," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
+        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val bands = q
+        .select(col("vec_id"), col("qv"), col("nq"), expr(sigExpr).as("sig"))
+        .select(col("vec_id"), col("qv"), col("nq"),
+          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+            "'band', b, 'bv', shiftright(sig, b * 8) % 256))")).as("bn"))
+        .select(col("vec_id"), col("qv"), col("nq"),
+          col("bn.band").as("band"), col("bn.bv").as("bv"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          col("a.qv").as("qa"), col("a.nq").as("na"),
+          col("b.qv").as("qb"), col("b.nq").as("nb"))
+        .dropDuplicates("a_id", "b_id")
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      val knn = cands
+        .select(col("a_id"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val rev = knn.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
+      knn.join(rev, col("a_id") === col("r_b") && col("b_id") === col("r_a"), "left")
+        .select(col("a_id"), col("rn").cast("long").as("rn"), col("b_id"),
+          col("cosine"), col("r_a").isNotNull.as("mutual"))
+        .orderBy("a_id", "rn")
+    }),
+
+    // Density-balanced CLUSTER SAMPLING (the diversity-preserving
+    // downsample a pretraining corpus runs after dedup): assign every
+    // embedding to its nearest codebook cell (same broadcast-codebook
+    // pass as q_kmeans_step), then keep floor(sqrt(cell_n)) members
+    // per cell — dense regions are cut hardest, sparse regions are
+    // kept (the sqrt flattening q_mix_temperature applies to language
+    // skew, applied here to embedding-space density). Selection within
+    // a cell is the md5-rank convention (deterministic, never rand()).
+    // Cell counts come from a 16-row aggregate joined back broadcast;
+    // the per-cell rank is a window over the cell key — at 100 TB the
+    // rank pass shards with the two-pass percentile-bounds kernel
+    // (q_histogram_eqd), the selection rule is unchanged.
+    "q_cluster_sample" -> ((s, d) => {
+      val q = quantized(s, d)
+      val cents = q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+      val wCell = Window.partitionBy(col("v_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      val assign = q.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("v_id"), col("c_id"),
+          (dotQ("qv", "qc").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+            .as("ccos"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") === 1)
+        .select(col("v_id"), col("c_id").as("cell"))
+      val sz = assign.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      val wRank = Window.partitionBy(col("cell"))
+        .orderBy(md5(col("v_id").cast("string").cast("binary")), col("v_id"))
+      assign.join(broadcast(sz), "cell")
+        .withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= expr("CAST(FLOOR(SQRT(CAST(cell_n AS DOUBLE))) AS BIGINT)"))
+        .select(col("cell"), col("rk").cast("long").as("rk"),
+          col("v_id").as("vec_id"), col("cell_n"))
+        .orderBy("cell", "rk")
     }),
 
     // EXACT set-similarity self-join with PREFIX FILTERING (Chaudhuri
@@ -899,6 +1039,29 @@ object Similarity {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |bits AS (SELECT doc_id, j,
+        |    SUM(((STRPOS('0123456789abcdef', SUBSTR(MD5(word), j // 4 + 1, 1)) - 1)
+        |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
+        |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 16 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 16),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.a_id, c.b_id,
+        |    CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN bands ba ON ba.doc_id = c.a_id
+        |  JOIN bands bb ON bb.doc_id = c.b_id AND bb.band = ba.band
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, hamming, hamming <= 6 AS is_near
+        |FROM ham ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
@@ -968,6 +1131,60 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM pc) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_knn_graph" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |contrib AS (SELECT vec_id, j,
+        |    SUM(v * ((STRPOS('0123456789abcdef', SUBSTR(MD5(j || '|' || i), 1, 1)) - 1) % 2 * 2 - 1)) AS s
+        |  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+        |  GROUP BY vec_id, j),
+        |sig AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM contrib GROUP BY vec_id),
+        |bd AS (SELECT vec_id, band, (sig // CAST(POW(2, band * 8) AS BIGINT)) % 256 AS bv
+        |       FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)),
+        |cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+        |            AND a.vec_id <> b.vec_id),
+        |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+        |       FROM cands c JOIN e ea ON ea.vec_id = c.a_id
+        |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        |       GROUP BY c.a_id, c.b_id),
+        |pc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
+        |knn AS (SELECT a_id, b_id, cosine, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pc) WHERE rn <= 3)
+        |SELECT k.a_id, k.rn, k.b_id, k.cosine, m.a_id IS NOT NULL AS mutual
+        |FROM knn k LEFT JOIN knn m ON m.a_id = k.b_id AND m.b_id = k.a_id
+        |ORDER BY k.a_id, k.rn""".stripMargin,
+    "q_cluster_sample" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |dots AS (SELECT v.vec_id AS v_id, c.vec_id AS c_id, CAST(SUM(v.v * c.v) AS BIGINT) AS dq
+        |         FROM e v JOIN e c ON c.i = v.i AND c.vec_id < 16 GROUP BY 1, 2),
+        |assign AS (SELECT v_id, c_id AS cell FROM (
+        |    SELECT d.v_id, d.c_id,
+        |      ROW_NUMBER() OVER (PARTITION BY d.v_id ORDER BY
+        |        CAST(d.dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))) DESC,
+        |        d.c_id ASC) AS crn
+        |    FROM dots d JOIN n nv ON nv.vec_id = d.v_id JOIN n nc ON nc.vec_id = d.c_id)
+        |  WHERE crn = 1),
+        |sz AS (SELECT cell, COUNT(*) AS cell_n FROM assign GROUP BY cell),
+        |rk AS (SELECT a.v_id, a.cell, s.cell_n,
+        |       ROW_NUMBER() OVER (PARTITION BY a.cell
+        |         ORDER BY MD5(CAST(a.v_id AS VARCHAR)), a.v_id) AS rk
+        |       FROM assign a JOIN sz s USING (cell))
+        |SELECT cell, rk, v_id AS vec_id, cell_n FROM rk
+        |WHERE rk <= CAST(FLOOR(SQRT(CAST(cell_n AS DOUBLE))) AS BIGINT)
+        |ORDER BY cell, rk""".stripMargin,
     // Brute-force twin: the oracle joins on EVERY shared shingle —
     // correct, and exactly the blowup the prefix filter avoids.
     "q_simjoin" ->

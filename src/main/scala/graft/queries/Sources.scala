@@ -100,6 +100,28 @@ object Sources {
         .orderBy("s_suppkey")
     }),
 
+    // Hive-partitioned parquet layout — THE first-class 100 TB layout
+    // primitive (a corpus lands partitioned by lang/date/source so a
+    // one-partition query reads one directory, not the corpus). Writes
+    // documents partitioned by lang, reads back with a lang predicate;
+    // PlanSpec asserts the predicate lands in the scan's
+    // PartitionFilters (directory pruning at PLANNING time — zero
+    // bytes of the other partitions are opened) and that lang is NOT
+    // in the data ReadSchema (it exists only as a directory name).
+    // The oracle compares against the unpartitioned parquet view, so a
+    // lossy roundtrip (partition-value escaping, type inference on the
+    // partition column) fails the hash.
+    "q_source_partitioned" -> ((s, d) => {
+      val p = s"/tmp/graft_source_part_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+      s.read.parquet(p)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // A1–A3: raw text streamed per <page>, fields extracted, ns filter.
     "q_source_text" -> ((s, _) =>
       WikiXml.pages(s, dumpPath)
@@ -205,6 +227,9 @@ object Sources {
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_source_partitioned" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
   )
 }
