@@ -35,7 +35,14 @@ class DeterminismSpec extends SparkTestBase {
     // round-14 session-2 additions: integer-rational rankings and the
     // bloom prefilter (its bitmap is built FROM an aggregation — a
     // partition-dependent build would corrupt the candidate set)
-    "q_bm25", "q_pmi_colloc", "q_bloom_decontaminate", "q_dsir")
+    "q_bm25", "q_pmi_colloc", "q_bloom_decontaminate", "q_dsir",
+    // round-15 additions: counter-matrix sketch (vector-add merge),
+    // 64-bit majority-vote banding, corpus-wide kNN graph (mutual
+    // flag from a pair self-join), sqrt-balanced cell sampling, and
+    // the hive-partitioned roundtrip (directory layout must not leak
+    // into results)
+    "q_agg_cms", "q_simhash_pairs", "q_knn_graph", "q_cluster_sample",
+    "q_source_partitioned")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

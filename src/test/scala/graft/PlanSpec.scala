@@ -350,4 +350,53 @@ class PlanSpec extends SparkTestBase {
     // x/y lookups are equi-joins (the tu/tb one-row sides may be BNLJ)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("partitioned source prunes directories at planning — lang never read as data") {
+    val p = plan(graft.queries.Sources
+      .queries("q_source_partitioned")(spark, sfDir))
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning), NOT in PushedFilters (row-group filtering inside files
+    // that should never be opened)
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line:\n$p"))
+    assert(pf.contains("lang"), pf)
+    val readSchema = p.linesIterator.filter(_.trim.startsWith("ReadSchema:"))
+      .toSeq.lastOption.getOrElse(fail(s"no ReadSchema:\n$p"))
+    assert(!readSchema.contains("lang"),
+      s"partition column materialized in the data schema:\n$readSchema")
+  }
+
+  test("simhash pair candidates join on (band, value) buckets, never all-pairs") {
+    val p = plan(Similarity.queries("q_simhash_pairs")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // signature build is ONE corpus groupBy with map-side partials
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("kNN graph candidates bucket-join; the 32-plane signature is row-local") {
+    val p = plan(Similarity.queries("q_knn_graph")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to a nested loop:\n$p")
+  }
+
+  test("CM sketch aggregates with map-side partials; the one-row matrix broadcasts") {
+    val p = plan(graft.queries.Aggregates.queries("q_agg_cms")(spark, sfDir))
+    // TypedImperativeAggregate partials merge map-side before the
+    // 1-row final — never a corpus-wide shuffle of raw gram rows into
+    // a single reducer
+    assert(p.contains("partial_graft_cms"), s"no partial CMS aggregation:\n$p")
+    // the 24 KB matrix reaches the top-20 rows as a broadcast
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cluster sampling: codebook and cell counts broadcast, assignment is one pass") {
+    val p = plan(Similarity.queries("q_cluster_sample")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the rank window is cell-partitioned, never partition-less
+    assert(!p.matches("(?s).*Window.*partitionBy: \\[\\].*"), p)
+  }
 }
