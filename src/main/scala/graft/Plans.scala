@@ -74,7 +74,21 @@ object Plans {
     "q_bm25" -> ("Integer BM25: the 3-row query-term side and both " +
       "1-row scalars broadcast; the only data-scaled exchanges are " +
       "the word-keyed df/tf aggregations and the doc-keyed final " +
-      "rollup — a TakeOrdered, never a global sort."))
+      "rollup — a TakeOrdered, never a global sort."),
+    "q_source_partitioned" -> ("Hive-partitioned layout: the lang " +
+      "predicate lands in PartitionFilters (directory pruning at " +
+      "planning — files of the other partitions are never opened) " +
+      "and lang is ABSENT from the data ReadSchema; it exists only " +
+      "as a directory name."),
+    "q_agg_cms" -> ("Count-Min sketch: partial_graft_cms matrices " +
+      "combine map-side (24 KB per partial, vector-add merge), the " +
+      "one final matrix broadcasts to the top-20 probe rows — the " +
+      "corpus shuffles gram COUNTS once and raw grams never."),
+    "q_knn_graph" -> ("Corpus-wide kNN graph: the 32-plane signature " +
+      "is one row-local fold (weight matrix embedded once as a " +
+      "literal), candidates equi-join on (band, byte) buckets — " +
+      "~n/256 per bucket, never all-pairs — and the mutual flag is " +
+      "a pair-keyed self-join of the top-3 edge list."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -545,17 +545,21 @@ object Similarity {
     // all-pairs, the same banded shape as the minhash and dHash paths.
     "q_simhash_pairs" -> ((s, d) => {
       val sh = fourGramShingles(load(s, d, "documents"))
+      // ONE md5 per shingle row, materialized, then 16 digit reads and
+      // 64 bit contributions as plain integer arithmetic — 16
+      // independent md5(...) digit columns would re-hash the shingle
+      // per digit if subexpression elimination ever misses (measured
+      // ~4 s → ~1 s on the sf0.1 battery)
       val digitCols = (0 until 16).map { k =>
-        expr(s"instr('0123456789abcdef', substr(md5(CAST(word AS BINARY)), ${k + 1}, 1)) - 1")
-          .as(s"d$k")
+        expr(s"instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1").as(s"d$k")
       }
-      val contribCols = (0 until 64).map { j =>
-        expr(s"(d${j / 4} DIV ${1 << (j % 4)}) % 2 * 2 - 1").as(s"c$j")
-      }
-      val sums = sh.select((col("doc_id") +: digitCols): _*)
-        .select((col("doc_id") +: contribCols): _*)
+      val sums = sh
+        .select(col("doc_id"), md5(col("word").cast("binary")).as("h"))
+        .select((col("doc_id") +: digitCols): _*)
         .groupBy(col("doc_id"))
-        .agg(sum(col("c0")).as("s0"), (1 until 64).map(j => sum(col(s"c$j")).as(s"s$j")): _*)
+        .agg(sum(expr("d0 % 2 * 2 - 1")).as("s0"),
+          (1 until 64).map(j =>
+            sum(expr(s"(d${j / 4} DIV ${1 << (j % 4)}) % 2 * 2 - 1")).as(s"s$j")): _*)
       val bands = sums.select((col("doc_id") +: (0 until 4).map { b =>
         (16 * b until 16 * b + 16)
           .map(j => when(col(s"s$j") > 0, lit(1L << (j - 16 * b))).otherwise(0L))
@@ -715,23 +719,27 @@ object Similarity {
         " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
         " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
         " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-      val bands = q
-        .select(col("vec_id"), col("qv"), col("nq"), expr(sigExpr).as("sig"))
-        .select(col("vec_id"), col("qv"), col("nq"),
+      // band rows carry ONLY the id — the pair-dedup shuffle moves
+      // 16-byte pairs, not 0.5 KB quantized vectors (corpus-wide
+      // candidates are ~n·bucket-width rows; at 100× the payload-free
+      // dedup is the difference between MBs and GBs of shuffle). The
+      // vectors re-attach per SIDE afterwards, each a keyed equi-join
+      // touching |pairs| rows.
+      val bl = q.select(col("vec_id"), expr(sigExpr).as("sig"))
+        .select(col("vec_id"),
           explode(expr("transform(sequence(0, 3), b -> named_struct(" +
             "'band', b, 'bv', shiftright(sig, b * 8) % 256))")).as("bn"))
-        .select(col("vec_id"), col("qv"), col("nq"),
-          col("bn.band").as("band"), col("bn.bv").as("bv"))
-      val cands = bands.as("a").join(bands.as("b"),
+        .select(col("vec_id"), col("bn.band").as("band"), col("bn.bv").as("bv"))
+      val cands = bl.as("a").join(bl.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          col("a.qv").as("qa"), col("a.nq").as("na"),
-          col("b.qv").as("qb"), col("b.nq").as("nb"))
-        .dropDuplicates("a_id", "b_id")
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val va = q.select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na"))
+      val vb = q.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nq").as("nb"))
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cosine").desc, col("b_id").asc)
-      val knn = cands
+      val knn = cands.join(va, "a_id").join(vb, "b_id")
         .select(col("a_id"), col("b_id"),
           cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
         .withColumn("rn", row_number().over(w))
