@@ -835,6 +835,90 @@ object Pipeline {
         .orderBy("chk")
     }),
 
+    // CATEGORICAL distribution-drift monitor (the production check a
+    // rolling ingest runs between corpus snapshots — did this batch's
+    // class mix move?): χ²-style per-cell contributions between the
+    // month's two halves and the pooled distribution, all-integer in
+    // PPM basis. Per-cell: observed count o, period share p_ppm,
+    // pooled share pool_ppm, signed deviation, and the squared
+    // contribution (dev² / pool share — the χ² cell term on ppm
+    // proportions). Envelope: o·10⁶ holds to ~9·10¹² events, dev² ≤
+    // 10¹² — exact int64 throughout; pool_ppm floors at 1 (GREATEST)
+    // so sub-ppm classes can't divide by zero. SHAPE: the contingency
+    // table is ONE compound-key map-side-combining agg; row/column/
+    // grand totals derive from the K-row table itself (never a second
+    // corpus scan) and join back broadcast.
+    "q_chi2_drift" -> ((s, d) => {
+      val o = load(s, d, "events")
+        .groupBy(expr("IF(day(ts) <= 15, 1L, 2L)").as("half"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("half")).agg(sum("o").as("r"))
+      val c = o.groupBy(col("event_type")).agg(sum("o").as("c"))
+      val n = o.agg(sum("o").as("n"))
+      o.join(broadcast(r), "half").join(broadcast(c), "event_type")
+        .crossJoin(broadcast(n))
+        .withColumn("p_ppm", expr("o * 1000000 DIV r"))
+        .withColumn("pool_ppm", expr("c * 1000000 DIV n"))
+        .withColumn("dev_ppm", col("p_ppm") - col("pool_ppm"))
+        .withColumn("chi2_contrib",
+          expr("dev_ppm * dev_ppm DIV GREATEST(pool_ppm, 1L)"))
+        .withColumn("drifted", expr("abs(dev_ppm) > 5000"))
+        .select(col("half"), col("event_type"), col("o"), col("p_ppm"),
+          col("pool_ppm"), col("dev_ppm"), col("chi2_contrib"), col("drifted"))
+        .orderBy("half", "event_type")
+    }),
+
+    // NUMERIC distribution-drift monitor — the Kolmogorov–Smirnov
+    // companion of q_chi2_drift: max ECDF gap of the (cent-quantized)
+    // event value between the month's halves. Exact integer staging:
+    // at each distinct value, D = |C1·n2 − C2·n1| (cross-multiplied —
+    // no proportion rounding), the statistic is max D / (n1·n2) in
+    // PPM, reported with the smallest value attaining it. Envelope:
+    // exact while n1·n2 < 2⁶³ (~3·10⁹ rows per side); beyond that,
+    // per-stratum KS. SHAPE: values collapse to their distinct-value
+    // counts first (one map-side-combining agg), and the cumulative
+    // counts run as the distributed two-pass prefix sum over 32
+    // value-range buckets (q_vocab_coverage's kernel) — no
+    // partition-less window at any scale.
+    "q_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nb = 32
+      val byV = load(s, d, "events")
+        .select(expr("IF(day(ts) <= 15, 1, 2)").as("half"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"))
+        .agg(sum(expr("IF(half = 1, 1L, 0L)")).as("a1"),
+          sum(expr("IF(half = 2, 1L, 0L)")).as("a2"))
+      val tot = byV.agg(sum("a1").as("n1"), sum("a2").as("n2"),
+        min("cents").as("vmin"), max("cents").as("vmax"))
+      val bucketed = byV.crossJoin(broadcast(tot))
+        .withColumn("bkt",
+          expr(s"CAST(((cents - vmin) * $nb) DIV (vmax - vmin + 1) AS INT)"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val btot = bucketed.groupBy(col("bkt"))
+        .agg(sum("a1").as("b1"), sum("a2").as("b2"))
+      val offsets = btot.as("a")
+        .join(btot.as("b"), col("b.bkt") < col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"))
+        .agg(coalesce(sum(col("b.b1")), lit(0L)).as("o1"),
+          coalesce(sum(col("b.b2")), lit(0L)).as("o2"))
+      val dev = bucketed
+        .withColumn("r1", sum("a1").over(wIn))
+        .withColumn("r2", sum("a2").over(wIn))
+        .join(broadcast(offsets), "bkt")
+        .select(col("cents"), col("n1"), col("n2"),
+          abs((col("o1") + col("r1")) * col("n2") -
+            (col("o2") + col("r2")) * col("n1")).as("dev"))
+      val mx = dev.agg(max("dev").as("ksnum"))
+      dev.crossJoin(broadcast(mx)).filter(col("dev") === col("ksnum"))
+        .groupBy(col("n1"), col("n2"), col("ksnum"))
+        .agg(min("cents").as("at_cents"))
+        .select(col("n1"), col("n2"),
+          expr("ksnum * 1000000 DIV (n1 * n2)").as("ks_ppm"),
+          col("at_cents"))
+    }),
+
     // End-to-end corpus pipeline (VERDICT r2 #7): gopher quality gate →
     // decontamination gate → near-dup cluster canon → per-lang packing,
     // composed from the SAME building blocks as the individual queries —
@@ -1333,6 +1417,39 @@ object Pipeline {
         |UNION ALL
         |SELECT 'n_chars', n_rows, chars_nulls, chars_distinct, chars_min, chars_max FROM a
         |ORDER BY col_name""".stripMargin,
+    "q_chi2_drift" ->
+      """WITH o AS (SELECT CAST(CASE WHEN DAY(ts) <= 15 THEN 1 ELSE 2 END AS BIGINT) AS half,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+        |r AS (SELECT half, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY half),
+        |c AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY event_type),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+        |j AS (SELECT o.half, o.event_type, o.o,
+        |        o.o * 1000000 // r.r AS p_ppm, c.c * 1000000 // n.n AS pool_ppm
+        |      FROM o JOIN r USING (half) JOIN c USING (event_type) CROSS JOIN n)
+        |SELECT half, event_type, o, p_ppm, pool_ppm,
+        |  p_ppm - pool_ppm AS dev_ppm,
+        |  (p_ppm - pool_ppm) * (p_ppm - pool_ppm) // GREATEST(pool_ppm, 1) AS chi2_contrib,
+        |  ABS(p_ppm - pool_ppm) > 5000 AS drifted
+        |FROM j ORDER BY half, event_type""".stripMargin,
+    // Oracle twin uses the naive partition-less cumulative window —
+    // correct semantics is what's compared; the bucketed prefix-sum
+    // plan is the engine's scale concern.
+    "q_ks_drift" ->
+      """WITH ev AS (SELECT CASE WHEN DAY(ts) <= 15 THEN 1 ELSE 2 END AS half,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+        |byv AS (SELECT cents,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        |  FROM ev GROUP BY cents),
+        |tot AS (SELECT CAST(SUM(a1) AS BIGINT) AS n1, CAST(SUM(a2) AS BIGINT) AS n2 FROM byv),
+        |cum AS (SELECT cents,
+        |    CAST(SUM(a1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+        |    CAST(SUM(a2) OVER (ORDER BY cents) AS BIGINT) AS c2 FROM byv),
+        |dev AS (SELECT cents, ABS(c1 * n2 - c2 * n1) AS dev FROM cum CROSS JOIN tot),
+        |mx AS (SELECT MAX(dev) AS ksnum FROM dev)
+        |SELECT n1, n2, ksnum * 1000000 // (n1 * n2) AS ks_ppm,
+        |  (SELECT MIN(cents) FROM dev WHERE dev = ksnum) AS at_cents
+        |FROM tot CROSS JOIN mx""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
          |tc AS (SELECT doc_id, word, COUNT(*) AS c FROM

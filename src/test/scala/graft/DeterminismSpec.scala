@@ -42,7 +42,10 @@ class DeterminismSpec extends SparkTestBase {
     // the hive-partitioned roundtrip (directory layout must not leak
     // into results)
     "q_agg_cms", "q_simhash_pairs", "q_knn_graph", "q_cluster_sample",
-    "q_source_partitioned")
+    "q_source_partitioned",
+    // drift monitors: ppm contingency staging; KS max-D argmin over
+    // the bucketed prefix sum
+    "q_chi2_drift", "q_ks_drift")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

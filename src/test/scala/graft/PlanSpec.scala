@@ -392,6 +392,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("chi2 drift: one compound-key agg; totals derive from the cell table, broadcast back") {
+    val p = plan(graft.queries.Pipeline.queries("q_chi2_drift")(spark, sfDir))
+    // the contingency cells partial-aggregate map-side; row/column/
+    // grand totals join back as broadcasts of the K-row table — never
+    // a second scan-sized exchange
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("KS drift: cumulative counts run on the bucketed prefix sum, never a global window") {
+    val p = plan(graft.queries.Pipeline.queries("q_ks_drift")(spark, sfDir))
+    // same contract as q_vocab_coverage: every Window keyed on the
+    // prefix-sum bucket; a partition-less ECDF window is a single task
+    assert(!p.contains("Window [") || p.contains("hashpartitioning(bkt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cluster sampling: codebook and cell counts broadcast, assignment is one pass") {
     val p = plan(Similarity.queries("q_cluster_sample")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
