@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(2).eval(null)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toIntArray().toSeq)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
+      (exprs: Seq[Expression]) => CountMinSketch(
+        exprs.head, exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue(),
+        exprs(3).eval(null).asInstanceOf[Number].intValue())))
     // Operator-optimization batch: rewrite the canonical
     // size∘filter∘split token-count tree into the primitive scan.
     e.injectOptimizerRule(_ => TokenCountRewrite)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -124,6 +125,40 @@ case class Hamming64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over a document's distinct 4-token shingles as ONE
+  * row-local pass — the codegen'd replacement for q_simhash_pairs'
+  * explode + 64-column majority-vote aggregation (the explode form
+  * shuffles nothing either, but pays the per-(shingle, bit) column
+  * machinery; this fold is a plain byte loop). Returns the 4×16-bit
+  * BAND values (array<long>, bands low-to-high) so banding is an
+  * `element_at`, and NULL when the text has no 4-token shingle —
+  * matching the SQL formulation, where such docs contribute no rows
+  * and thus no signature (a zero signature would instead collide all
+  * short docs into one bucket). Bit math is pinned to the SQL twin:
+  * bit j = majority over shingles of md5-hex-digit (j/4)'s bit (j%4),
+  * strict `sum > 0` majority, identical md5-of-UTF-8 family. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true // shingle-less texts yield NULL
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.simhash64($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object TextExprs {
@@ -313,5 +348,66 @@ object TextExprs {
       FunctionIdentifier("graft_hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "graft_hamming64"),
       (exprs: Seq[Expression]) => Hamming64(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+  }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** See [[SimHash64]]. Tokenization matches
+    * `filter(split(text, ' '), x -> x <> '')` (single-space split,
+    * empties dropped), shingles are DISTINCT 4-token windows joined by
+    * one space, and the bit/digit mapping is the portable SQL twin's:
+    * contribution of shingle s to bit j is ±1 by bit (j%4) of
+    * md5-hex-digit (j/4), band b = bits [16b, 16b+16) low-to-high. */
+  def simhash64(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < 4) return null
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](64)
+    val md = Md5.get()
+    var k = 0
+    while (k <= toks.length - 4) {
+      val shingle = s"${toks(k)} ${toks(k + 1)} ${toks(k + 2)} ${toks(k + 3)}"
+      if (seen.add(shingle)) {
+        md.reset()
+        val dig = md.digest(shingle.getBytes("UTF-8"))
+        var i = 0
+        while (i < 8) { // first 16 hex digits = first 8 md5 bytes
+          val hi = (dig(i) >> 4) & 0xf
+          val lo = dig(i) & 0xf
+          val base = i * 8
+          sums(base) += (hi & 1) * 2 - 1
+          sums(base + 1) += ((hi >> 1) & 1) * 2 - 1
+          sums(base + 2) += ((hi >> 2) & 1) * 2 - 1
+          sums(base + 3) += ((hi >> 3) & 1) * 2 - 1
+          sums(base + 4) += (lo & 1) * 2 - 1
+          sums(base + 5) += ((lo >> 1) & 1) * 2 - 1
+          sums(base + 6) += ((lo >> 2) & 1) * 2 - 1
+          sums(base + 7) += ((lo >> 3) & 1) * 2 - 1
+          i += 1
+        }
+      }
+      k += 1
+    }
+    val bands = new Array[Long](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var i = 0
+      while (i < 16) {
+        if (sums(b * 16 + i) > 0) v |= 1L << i
+        i += 1
+      }
+      bands(b) = v
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bands)
   }
 }

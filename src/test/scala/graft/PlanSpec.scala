@@ -370,8 +370,12 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Similarity.queries("q_simhash_pairs")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // signature build is ONE corpus groupBy with map-side partials
-    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    // signature build is the codegen'd row-local fold — no explode, no
+    // 64-column aggregation; the first shuffle is the 4-rows-per-doc
+    // banding
+    assert(p.contains("graft_simhash"), s"signature not the row-local fold:\n$p")
+    assert(!p.contains("Generate explode(transform"),
+      s"shingle explode returned to the signature path:\n$p")
   }
 
   test("kNN graph candidates bucket-join; the 32-plane signature is row-local") {

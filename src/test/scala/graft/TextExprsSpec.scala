@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, element_at, explode, expr, lit, md5, sum, when}
 
 /** graft_rollminhash must be bit-identical to the higher-order form it
   * replaced (`array_min(transform(sequence(1, len-w+1), i ->
@@ -90,5 +90,45 @@ class TextExprsSpec extends SparkTestBase {
       expr("""CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
         acc + IF(substring(a, CAST(i AS INT), 1) <> substring(b, CAST(i AS INT), 1), 1, 0)) AS BIGINT)""").as("ref"))
     df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_simhash == the explode + 64-column majority formulation on the real corpus") {
+    graft.functions.TextExprs.register(spark)
+    // reference: the SQL-expressible formulation q_simhash_pairs shipped
+    // before the fold (and that its DuckDB oracle still mirrors) —
+    // distinct 4-token shingles, ±1 by md5-hex-digit bit (j/4, j%4),
+    // strict sum > 0 majority, 4×16-bit bands low-to-high
+    val sh = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"),
+        explode(expr(graft.queries.Shingles.fourGramSql(distinct = true))).as("word"))
+    val digitCols = (0 until 16).map { k =>
+      expr(s"instr('0123456789abcdef', substr(h, ${k + 1}, 1)) - 1").as(s"d$k")
+    }
+    val ref = sh.select(col("doc_id"), md5(col("word").cast("binary")).as("h"))
+      .select((col("doc_id") +: digitCols): _*)
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("d0 % 2 * 2 - 1")).as("s0"),
+        (1 until 64).map(j =>
+          sum(expr(s"(d${j / 4} DIV ${1 << (j % 4)}) % 2 * 2 - 1")).as(s"s$j")): _*)
+      .select((col("doc_id") +: (0 until 4).map { b =>
+        (16 * b until 16 * b + 16)
+          .map(j => when(col(s"s$j") > 0, lit(1L << (j - 16 * b))).otherwise(0L))
+          .reduce(_ + _).as(s"r$b")
+      }): _*)
+    val fast = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
+      .filter(col("hb").isNotNull)
+      .select((col("doc_id") +:
+        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"f$b"))): _*)
+    // same doc coverage (shingle-less docs NULL out of both paths)...
+    assert(ref.count() === fast.count())
+    // ...and bit-identical band values everywhere
+    val mismatches = ref.join(fast, "doc_id")
+      .where((0 until 4).map(b => col(s"r$b") =!= col(s"f$b")).reduce(_ || _))
+      .count()
+    assert(mismatches === 0L)
+    // short text → NULL, like the explode form's absence of rows
+    assert(spark.sql("SELECT graft_simhash('a b c') AS h").head().isNullAt(0))
   }
 }
