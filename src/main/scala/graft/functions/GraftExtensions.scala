@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toIntArray().toSeq)))
     e.injectFunction((
+      FunctionIdentifier("graft_lshsig_md5"),
+      new ExpressionInfo(classOf[LshSigMd5].getName, "graft_lshsig_md5"),
+      (exprs: Seq[Expression]) => LshSigMd5(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_lshsig_md5", "nPlanes").toInt)))
+    e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

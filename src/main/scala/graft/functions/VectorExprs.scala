@@ -204,6 +204,76 @@ case class LshSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Deterministic md5-parity LSH signature — the codegen'd replacement
+  * for the interpreted `aggregate(transform(sequence(0, n-1), j ->
+  * IF(aggregate(zip_with(qv, wLit[j], ...)) >= 0, 1<<j, 0)))` fold the
+  * oracled LSH variants shipped with (evaluated on BOTH sides of the
+  * candidate self-join, the fold dominated q_knn_graph's runtime).
+  * Weight w(j, i) = md5("j|i") first-hex-digit parity ±1 over dims
+  * i ∈ 1..64 — the same pure function the DuckDB oracles derive in
+  * SQL, so signatures (and LSH buckets) stay bit-identical. Bit j
+  * sets on dot ≥ 0 (the det family's tie rule; splitmix `graft_lshsig`
+  * uses > 0). Strict 64-dim contract: any other length yields NULL
+  * (the SQL zip_with form would null-poison the fold there too). */
+case class LshSigMd5(child: Expression, nPlanes: Int) extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lshsig_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    LshSigMd5.sig(a.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("lshSig")
+      s"""
+         |java.lang.Long $boxed = graft.functions.LshSigMd5.sig($a, $nPlanes);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSigMd5 {
+  val Dims = 64
+  private val MaxPlanes = 63
+
+  /** ±1 per (plane j, dim i), i 1-based — identical to the SQL
+    * `(STRPOS('0123456789abcdef', SUBSTR(MD5(j || '|' || i), 1, 1)) - 1)
+    * % 2 * 2 - 1` family. */
+  val WEIGHTS: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxPlanes * Dims) { k =>
+      val j = k / Dims
+      val i = k % Dims + 1
+      val dig = md.digest(s"$j|$i".getBytes("UTF-8"))
+      (((dig(0) >> 4) & 0xf) % 2 * 2 - 1).toLong
+    }
+  }
+
+  /** Boxed so generated code can read the null without an extra flag
+    * channel; null on a non-64-dim vector. */
+  def sig(a: ArrayData, nPlanes: Int): java.lang.Long = {
+    val xs = a.toLongArray()
+    if (xs.length != Dims) return null
+    var sig = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val base = j * Dims
+      var s = 0L
+      var i = 0
+      while (i < Dims) { s += xs(i) * WEIGHTS(base + i); i += 1 }
+      if (s >= 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object QuantizeVec {
   /** Shared by the interpreted and generated paths (one definition, no
     * template drift). Public + JVM-static-reachable for codegen. */
@@ -274,5 +344,10 @@ object VectorExprs {
       FunctionIdentifier("graft_lshsig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),
       (exprs: Seq[Expression]) => LshSig(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lshsig_md5"),
+      new ExpressionInfo(classOf[LshSigMd5].getName, "graft_lshsig_md5"),
+      (exprs: Seq[Expression]) => LshSigMd5(exprs.head,
+        literalLong(exprs(1), "graft_lshsig_md5", "nPlanes").toInt))
   }
 }

@@ -637,26 +637,12 @@ object Similarity {
     "q_ann_lsh_det" -> ((s, d) => {
       val q = quantized(s, d)
       // ±1 hyperplane weights = md5 first-hex-digit parity of (plane j,
-      // dim i) — a pure function of (j, i), so it's evaluated ONCE per
-      // (j, i) on the driver and embedded as a 16×64 literal matrix; the
-      // signature is then one row-local fold per vector (the first
-      // formulation computed the md5 per (vector, j, i) row — 512k md5s
-      // — and paid two shuffles to reassemble the bits). The ORACLE
+      // dim i) — a pure function of (j, i), evaluated once into the
+      // codegen'd fold (functions.LshSigMd5; the r8 form embedded a
+      // 16×64 literal matrix into an interpreted zip_with fold, the
+      // r15 expression is the same math one JIT'd loop). The ORACLE
       // still derives identical weights from MD5 in SQL.
-      val mdInst = java.security.MessageDigest.getInstance("MD5")
-      def planeW(j: Int, i: Int): Int = {
-        val dig = mdInst.digest(s"$j|$i".getBytes("UTF-8"))
-        ((dig(0) >> 4) & 0xf) % 2 * 2 - 1
-      }
-      // embeddings are 64-dim (TESTDATA.md); zip_with would null-pad on
-      // a mismatch, which the spec-level oracle equality would catch
-      val wLit = (0 until 16).map(j => (1 to 64).map(i => planeW(j, i))
-        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-      val sigExpr = "aggregate(transform(sequence(0, 15), j -> IF(" +
-        s"aggregate(zip_with(qv, element_at($wLit, j + 1), (a, b) -> a * b)," +
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
-        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val sigExpr = "graft_lshsig_md5(qv, 16)"
       val bands = q
         .select(col("vec_id"), col("qv"), col("nq"), expr(sigExpr).as("sig"))
         .select(col("vec_id"), col("qv"), col("nq"),
@@ -699,18 +685,12 @@ object Similarity {
     // k-NN graph clustering actually wants).
     "q_knn_graph" -> ((s, d) => {
       val q = quantized(s, d)
-      val mdInst = java.security.MessageDigest.getInstance("MD5")
-      def planeW(j: Int, i: Int): Int = {
-        val dig = mdInst.digest(s"$j|$i".getBytes("UTF-8"))
-        ((dig(0) >> 4) & 0xf) % 2 * 2 - 1
-      }
-      val wLit = (0 until 32).map(j => (1 to 64).map(i => planeW(j, i))
-        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-      val sigExpr = "aggregate(transform(sequence(0, 31), j -> IF(" +
-        s"aggregate(zip_with(qv, element_at($wLit, j + 1), (a, b) -> a * b)," +
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
-        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
-        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      // signature = the codegen'd md5-parity fold (functions.LshSigMd5)
+      // — same pure (plane, dim) weight function the oracle derives in
+      // SQL; the interpreted zip_with/aggregate fold this replaced was
+      // evaluated on BOTH sides of the candidate self-join and
+      // dominated the query (3.7 s → 0.8 s at sf0.1)
+      val sigExpr = "graft_lshsig_md5(qv, 32)"
       // band rows carry ONLY the id — the pair-dedup shuffle moves
       // 16-byte pairs, not 0.5 KB quantized vectors (corpus-wide
       // candidates are ~n·bucket-width rows; at 100× the payload-free

@@ -88,6 +88,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("graft_lshsig_md5 == the interpreted zip_with fold it replaced, at 16 and 32 planes") {
+    // the oracled det-LSH family's contract: the codegen'd fold must be
+    // bit-identical to the SQL-expressible formulation (literal ±1
+    // md5-parity weight matrix + zip_with/aggregate) that the DuckDB
+    // oracles mirror — for BOTH plane counts in use
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def planeW(j: Int, i: Int): Int = {
+      val dig = mdInst.digest(s"$j|$i".getBytes("UTF-8"))
+      ((dig(0) >> 4) & 0xf) % 2 * 2 - 1
+    }
+    Seq(16, 32).foreach { nPlanes =>
+      val wLit = (0 until nPlanes).map(j => (1 to 64).map(i => planeW(j, i))
+        .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+      val foldExpr = s"aggregate(transform(sequence(0, ${nPlanes - 1}), j -> IF(" +
+        s"aggregate(zip_with(qv, element_at($wLit, j + 1), (a, b) -> a * b)," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) >= 0," +
+        " shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))," +
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      val mismatches = Tables.load(spark, sfDir, "embeddings")
+        .selectExpr("vec_id", "graft_quantize(embedding, 100000000) AS qv")
+        .selectExpr("vec_id", s"graft_lshsig_md5(qv, $nPlanes) AS fast",
+          s"$foldExpr AS ref")
+        .where(col("fast") =!= col("ref")).count()
+      assert(mismatches === 0L, s"nPlanes=$nPlanes diverges from the SQL fold")
+    }
+    // non-64-dim input nulls out instead of silently mis-hashing
+    assert(spark.sql(
+      "SELECT graft_lshsig_md5(array(1L, 2L), 16) AS s").head().isNullAt(0))
+  }
+
   test("approx_count_distinct within 5% of exact; approx median within p40-p60") {
     val rows = Aggregates.queries("q_agg_approx")(spark, sfDir).collect()
     val approx = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
