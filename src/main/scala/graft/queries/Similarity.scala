@@ -82,6 +82,38 @@ object Similarity {
     .select(col("doc_id"),
       explode(expr(Shingles.fourGramSql(distinct = true))).as("word"))
 
+  /** Verified SimHash band candidates `(a_id, b_id, hamming)` — ONE
+    * definition shared by q_simhash_pairs and q_simhash_cluster so the
+    * oracled queries can never drift on the signature/banding rules.
+    * Signature is the codegen'd row-local `graft_simhash` fold
+    * (functions.SimHash64); NULL (shingle-less) docs are excluded
+    * exactly like the SQL formulation's absence of rows; candidates
+    * equi-join on exact 16-bit band values; the exact 64-bit Hamming
+    * distance is `bit_count(xor)` over the candidate pairs only. */
+  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextExprs.register(s)
+    val bands = load(s, d, "documents")
+      .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
+      .filter(col("hb").isNotNull)
+      .select((col("doc_id") +:
+        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
+    val bl = bands.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
+    val cand = bl.as("a").join(bl.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    val sa = bands.select((col("doc_id").as("a_id") +:
+      (0 until 4).map(b => col(s"hb$b").as(s"a$b"))): _*)
+    val sb = bands.select((col("doc_id").as("b_id") +:
+      (0 until 4).map(b => col(s"hb$b").as(s"b$b"))): _*)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("hamming",
+        expr((0 until 4).map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")).cast("long"))
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** (doc_id, bucket) LSH band-bucket membership from (doc_id, word)
     * shingle rows — inline md5 hash family, no vocabulary broadcast. */
   def lshBuckets(shingles: DataFrame): DataFrame =
@@ -550,30 +582,30 @@ object Similarity {
     // band), then the exact 64-bit Hamming distance verifies each
     // candidate via bit_count(xor) — never all-pairs, the same banded
     // shape as the minhash and dHash paths.
-    "q_simhash_pairs" -> ((s, d) => {
-      graft.functions.TextExprs.register(s)
-      val bands = load(s, d, "documents")
-        .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
-        .filter(col("hb").isNotNull)
-        .select((col("doc_id") +:
-          (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
-      val bl = bands.select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
-      val cand = bl.as("a").join(bl.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
-      val sa = bands.select((col("doc_id").as("a_id") +:
-        (0 until 4).map(b => col(s"hb$b").as(s"a$b"))): _*)
-      val sb = bands.select((col("doc_id").as("b_id") +:
-        (0 until 4).map(b => col(s"hb$b").as(s"b$b"))): _*)
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("hamming",
-          expr((0 until 4).map(b => s"bit_count(a$b ^ b$b)").mkString(" + ")).cast("long"))
+    "q_simhash_pairs" -> ((s, d) =>
+      simhashCandidates(s, d)
         .select(col("a_id"), col("b_id"), col("hamming"),
           (col("hamming") <= 6).as("is_near"))
-        .orderBy("a_id", "b_id")
+        .orderBy("a_id", "b_id")),
+
+    // SimHash near-dup CLUSTERS — the third leg of the dedup-cluster
+    // triangle (minhash q_dedup_cluster, embedding q_semdedup_cluster,
+    // now Hamming): verified near pairs (Hamming ≤ 6) feed the SAME
+    // bipartite hash-min CC kernel, each pair a 2-member bucket, so
+    // the per-hop cost is |pairs| rows, checkpointed and bounded by
+    // cluster diameter — identical scale posture to its two siblings.
+    "q_simhash_cluster" -> ((s, d) => {
+      val pairs = simhashCandidates(s, d)
+        .filter(col("hamming") <= 6)
+        .select(col("a_id"), col("b_id"))
+      val bucket = concat(col("a_id").cast("string"), lit("|"), col("b_id").cast("string"))
+      val memb = pairs.select(col("a_id").as("doc_id"), bucket.as("bucket"))
+        .union(pairs.select(col("b_id").as("doc_id"), bucket.as("bucket")))
+      val ids = load(s, d, "documents").select(col("doc_id"))
+      hashMinLabels(memb, ids)
+        .select(col("doc_id"), col("lbl").as("cluster"),
+          (col("doc_id") === col("lbl")).as("is_canon"))
+        .orderBy("doc_id")
     }),
 
     // Near-dup CLUSTERS from minhash LSH: the step after
@@ -1042,6 +1074,36 @@ object Similarity {
         |  GROUP BY 1, 2)
         |SELECT a_id, b_id, hamming, hamming <= 6 AS is_near
         |FROM ham ORDER BY a_id, b_id""".stripMargin,
+    "q_simhash_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |bits AS (SELECT doc_id, j,
+        |    SUM(((STRPOS('0123456789abcdef', SUBSTR(MD5(word), j // 4 + 1, 1)) - 1)
+        |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
+        |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
+        |  GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, j // 16 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 16),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.a_id, c.b_id,
+        |    CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN bands ba ON ba.doc_id = c.a_id
+        |  JOIN bands bb ON bb.doc_id = c.b_id AND bb.band = ba.band
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id FROM ham WHERE hamming <= 6),
+        |e AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
+        |r AS (SELECT a AS n, a AS lbl FROM (SELECT DISTINCT a FROM e)
+        |      UNION SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.n),
+        |c AS (SELECT n, MIN(lbl) AS cluster FROM r GROUP BY n)
+        |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+        |  d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_canon
+        |FROM documents d LEFT JOIN c ON c.n = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),

@@ -45,7 +45,9 @@ class DeterminismSpec extends SparkTestBase {
     "q_source_partitioned",
     // drift monitors: ppm contingency staging; KS max-D argmin over
     // the bucketed prefix sum
-    "q_chi2_drift", "q_ks_drift")
+    "q_chi2_drift", "q_ks_drift",
+    // third dedup-cluster leg: Hamming pairs through the CC kernel
+    "q_simhash_cluster")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
