@@ -103,12 +103,17 @@ case class CountMinSketch(
 }
 
 object CountMinSketch {
+  private val Md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Row-`s` column for `key`: integer value of md5("s|key")'s first 3
     * hex digits, mod `width`. Must stay byte-identical to the SQL twin
     * `(d1·256 + d2·16 + d3) % width` with `dk = instr(hex, substr(md5, k, 1)) − 1`. */
   def position(s: Int, key: String, width: Int): Int = {
-    val dig = MessageDigest.getInstance("MD5")
-      .digest(s"$s|$key".getBytes("UTF-8"))
+    val md = Md5.get()
+    md.reset()
+    val dig = md.digest(s"$s|$key".getBytes("UTF-8"))
     // first 3 hex digits = high nibble, low nibble, high nibble of bytes 0..1
     val v = (((dig(0) >> 4) & 0xf) << 8) | ((dig(0) & 0xf) << 4) | ((dig(1) >> 4) & 0xf)
     v % width
