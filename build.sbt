@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Driver bench contract (VERDICT r15 #6): the driver records a stdout
+// tail and json-parses the LAST line; BENCH_r*.json has shipped
+// "parsed": null since r2 because sbt wrapped the gate JSON in an
+// "[info] " prefix and followed it with the "[success] Total time"
+// epilogue. Forked runs inherit stdout directly (no prefix), and the
+// epilogue is suppressed, so graft.Bench's final gate line IS the last
+// stdout line, bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // suites share one SparkSession (and two specs swap the default
 // session); run them sequentially in the forked JVM
 Test / parallelExecution := false

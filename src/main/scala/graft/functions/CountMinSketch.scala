@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -50,6 +51,20 @@ case class CountMinSketch(
   require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
   require(width >= 1 && 4096 % width == 0,
     "width must divide 4096 (3 md5 hex digits) so cells stay uniform")
+
+  // Declared input contract (ADVICE r15): a wrongly-typed key/count
+  // becomes an ANALYSIS error instead of the blind UTF8String cast in
+  // update() dying mid-task with an opaque ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult = keyExpr.dataType match {
+    case StringType => cntExpr.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms: cnt must be an integral type, got ${other.simpleString}")
+    }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cms: key must be STRING, got ${other.simpleString}")
+  }
 
   override def children: Seq[Expression] = Seq(keyExpr, cntExpr)
   override def nullable: Boolean = false
@@ -126,6 +141,6 @@ object CountMinSketch {
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(
         exprs.head, exprs(1),
-        exprs(2).eval(null).asInstanceOf[Number].intValue(),
-        exprs(3).eval(null).asInstanceOf[Number].intValue()))
+        VectorExprs.literalLong(exprs(2), "graft_cms", "depth").toInt,
+        VectorExprs.literalLong(exprs(3), "graft_cms", "width").toInt))
 }

@@ -69,8 +69,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(
         exprs.head, exprs(1),
-        exprs(2).eval(null).asInstanceOf[Number].intValue(),
-        exprs(3).eval(null).asInstanceOf[Number].intValue())))
+        VectorExprs.literalLong(exprs(2), "graft_cms", "depth").toInt,
+        VectorExprs.literalLong(exprs(3), "graft_cms", "width").toInt)))
     // Operator-optimization batch: rewrite the canonical
     // size∘filter∘split token-count tree into the primitive scan.
     e.injectOptimizerRule(_ => TokenCountRewrite)

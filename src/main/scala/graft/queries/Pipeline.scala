@@ -915,7 +915,11 @@ object Pipeline {
         .groupBy(col("n1"), col("n2"), col("ksnum"))
         .agg(min("cents").as("at_cents"))
         .select(col("n1"), col("n2"),
-          expr("ksnum * 1000000 DIV (n1 * n2)").as("ks_ppm"),
+          // GREATEST(..., 1): if every event lands in one half, n1*n2 = 0
+          // and Spark DIV would yield NULL while DuckDB // raises — the
+          // guard makes both engines emit ks_ppm = 0 on degenerate input
+          // (ksnum is 0 too: one empty CDF means every |dev| term is 0).
+          expr("ksnum * 1000000 DIV GREATEST(n1 * n2, 1)").as("ks_ppm"),
           col("at_cents"))
     }),
 
@@ -1447,7 +1451,7 @@ object Pipeline {
         |    CAST(SUM(a2) OVER (ORDER BY cents) AS BIGINT) AS c2 FROM byv),
         |dev AS (SELECT cents, ABS(c1 * n2 - c2 * n1) AS dev FROM cum CROSS JOIN tot),
         |mx AS (SELECT MAX(dev) AS ksnum FROM dev)
-        |SELECT n1, n2, ksnum * 1000000 // (n1 * n2) AS ks_ppm,
+        |SELECT n1, n2, ksnum * 1000000 // GREATEST(n1 * n2, 1) AS ks_ppm,
         |  (SELECT MIN(cents) FROM dev WHERE dev = ksnum) AS at_cents
         |FROM tot CROSS JOIN mx""".stripMargin,
     "q_pipeline_e2e" ->

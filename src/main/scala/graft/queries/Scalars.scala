@@ -267,11 +267,11 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT p_partkey,
-        |  ROUND(p_retailprice, 1) AS r1,
+        |  ROUND(p_retailprice, 1) + 0 AS r1,
         |  CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
         |  CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p,
         |  CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p,
-        |  ROUND(LN(p_retailprice), 4) AS ln_p,
+        |  ROUND(LN(p_retailprice), 4) + 0 AS ln_p,
         |  POW(p_size, 2) AS size_sq,
         |  CAST(p_partkey % 7 AS BIGINT) AS mod7,
         |  CAST(SIGN(p_retailprice - 1000) AS BIGINT) AS sgn
@@ -279,10 +279,10 @@ object Scalars {
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(LEN(embedding) AS BIGINT) AS dim,
-        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_e,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_e,
         |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
-        |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS max_e
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) + 0 AS l2,
+        |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) + 0 AS max_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_array_funcs2" ->
       """WITH q AS (SELECT vec_id,

@@ -43,8 +43,17 @@ object Similarity {
   private[graft] def dotQ(a: String, b: String): Column = expr(s"graft_ldot($a, $b)")
 
 
+  /** Rounded cosine OUTPUT column. `+ 0` normalizes IEEE signed zero
+    * (−0.0 + 0 = +0.0, every other value unchanged): a tiny NEGATIVE
+    * cosine rounds to `-0.0` in engines whose ROUND is IEEE-native
+    * (DuckDB), while Spark's BigDecimal round emits `+0.0` — numerically
+    * equal but hash-distinct, which failed q_knn_graph's driver value-hash
+    * in r15 (one near-orthogonal pair in 1493 rows). The oracle SQL twin
+    * of every rounded-double output carries the same `+ 0`; the
+    * convention is pinned by DeterminismSpec's negative-zero canary and
+    * OracleSqlSpec's source guard. */
   private[graft] def cosine(dq: Column, na: Column, nb: Column): Column =
-    round(dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4)
+    round(dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4) + lit(0d)
 
   /** distinct (doc_id, word) pairs of the corpus. Dedup is row-local
     * (`array_distinct` before the explode) — no corpus-wide shuffle. */
@@ -88,8 +97,15 @@ object Similarity {
     * Signature is the codegen'd row-local `graft_simhash` fold
     * (functions.SimHash64); NULL (shingle-less) docs are excluded
     * exactly like the SQL formulation's absence of rows; candidates
-    * equi-join on exact 16-bit band values; the exact 64-bit Hamming
-    * distance is `bit_count(xor)` over the candidate pairs only. */
+    * equi-join on exact 8-bit band values — EIGHT bands of 8 bits
+    * (ADVICE r15: 4×16 bands only pigeonhole-guarantee recall for
+    * Hamming ≤ 3, while the is_near threshold is ≤ 6; 8 bands
+    * guarantee a shared band for Hamming ≤ 7, so every true near pair
+    * is a candidate by construction, not probabilistically). The two
+    * 8-bit halves of each 16-bit signature element are split
+    * arithmetically (low byte = band 2b, high byte = band 2b+1); the
+    * exact 64-bit Hamming distance is `bit_count(xor)` over the
+    * candidate pairs only, still on the four full elements. */
   private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExprs.register(s)
     val bands = load(s, d, "documents")
@@ -98,7 +114,10 @@ object Similarity {
       .select((col("doc_id") +:
         (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
     val bl = bands.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
+      posexplode(array((0 until 8).map { k =>
+        val e = col(s"hb${k / 2}")
+        if (k % 2 == 0) e.bitwiseAND(lit(255L)) else shiftright(e, 8)
+      }: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
     val cand = bl.as("a").join(bl.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -577,9 +596,11 @@ object Similarity {
     // signature = no 4-token shingle, excluded exactly like the
     // explode form (whose such docs produce no rows — a zero
     // signature would instead collide every short doc into one
-    // bucket). Candidates share an exact 16-bit band value (the
-    // pigeonhole guarantee: Hamming ≤ 3 over 64 bits MUST match some
-    // band), then the exact 64-bit Hamming distance verifies each
+    // bucket). Candidates share an exact 8-bit band value — 8 bands
+    // of 8 bits, so the pigeonhole guarantee covers Hamming ≤ 7,
+    // strictly beyond the is_near ≤ 6 threshold (ADVICE r15: the
+    // earlier 4×16 banding only guaranteed recall to distance 3) —
+    // then the exact 64-bit Hamming distance verifies each
     // candidate via bit_count(xor) — never all-pairs, the same banded
     // shape as the minhash and dHash paths.
     "q_simhash_pairs" -> ((s, d) =>
@@ -872,7 +893,7 @@ object Similarity {
         |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 50 AND a.vec_id <> b.vec_id
         |         GROUP BY a.vec_id, b.vec_id),
         |cos AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
@@ -889,7 +910,7 @@ object Similarity {
         |         GROUP BY a.label, a.vec_id, b.vec_id)
         |SELECT CAST(label AS BIGINT) AS label, a_id, b_id, cosine FROM (
         |  SELECT label, a_id, b_id,
-        |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |WHERE cosine >= 0.35 ORDER BY a_id, b_id""".stripMargin,
     "q_ann_ivf" ->
@@ -902,7 +923,7 @@ object Similarity {
         |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
         |       GROUP BY a.vec_id, b.vec_id),
         |cc AS (SELECT v_id, c_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) + 0 AS ccos
         |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
         |ranked AS (SELECT v_id, c_id, ccos,
         |    ROW_NUMBER() OVER (PARTITION BY v_id ORDER BY ccos DESC, c_id ASC) AS crn
@@ -917,7 +938,7 @@ object Similarity {
         |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
         |       GROUP BY c.a_id, c.b_id),
         |pc AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
@@ -933,7 +954,7 @@ object Similarity {
         |         AND a.vec_id <> b.vec_id
         |       GROUP BY 1, 2),
         |bc AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM bd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
         |brute AS (SELECT a_id, b_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
@@ -942,7 +963,7 @@ object Similarity {
         |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
         |       GROUP BY a.vec_id, b.vec_id),
         |cc AS (SELECT v_id, c_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) AS ccos
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))), 4) + 0 AS ccos
         |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
         |ranked AS (SELECT v_id, c_id, ccos,
         |    ROW_NUMBER() OVER (PARTITION BY v_id ORDER BY ccos DESC, c_id ASC) AS crn
@@ -957,7 +978,7 @@ object Similarity {
         |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
         |       GROUP BY c.a_id, c.b_id),
         |pc AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
         |ivf AS (SELECT a_id, b_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
@@ -1061,9 +1082,9 @@ object Similarity {
         |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
         |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
         |  GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 16 AS band,
-        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
-        |  FROM bits GROUP BY doc_id, j // 16),
+        |bands AS (SELECT doc_id, j // 8 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 8),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
         |           AND a.doc_id < b.doc_id),
@@ -1084,9 +1105,9 @@ object Similarity {
         |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
         |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
         |  GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 16 AS band,
-        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
-        |  FROM bits GROUP BY doc_id, j // 16),
+        |bands AS (SELECT doc_id, j // 8 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 8),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
         |           AND a.doc_id < b.doc_id),
@@ -1134,7 +1155,7 @@ object Similarity {
         |         GROUP BY a.vec_id, b.vec_id),
         |pr AS (SELECT a_id, b_id FROM (
         |  SELECT a_id, b_id,
-        |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |    ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM dots JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |  WHERE cosine >= 0.35),
         |ed AS (SELECT a_id AS a, b_id AS b FROM pr UNION SELECT b_id, a_id FROM pr),
@@ -1168,7 +1189,7 @@ object Similarity {
         |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
         |       GROUP BY c.a_id, c.b_id),
         |pc AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
@@ -1196,7 +1217,7 @@ object Similarity {
         |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
         |       GROUP BY c.a_id, c.b_id),
         |pc AS (SELECT a_id, b_id,
-        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) AS cosine
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
         |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
         |knn AS (SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn

@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch dir for the format-roundtrip queries. SF-scoped (a
+    * concurrent run at another SF must not clobber the data between the
+    * eager write and the lazy read-back) AND JVM-scoped via
+    * applicationId (ADVICE r15: two JVMs verifying the SAME dataset —
+    * the multi-JVM sweep plus a local Verify — raced on
+    * mode=overwrite of one fixed path). applicationId is stable within
+    * a session, so re-runs in one JVM reuse (and cleanly overwrite)
+    * their own path. */
+  private def scratchDir(s: SparkSession, fmt: String, d: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_source_${fmt}_${d.replaceAll("[^A-Za-z0-9]", "_")}_$app"
+  }
+
   /** A tiny pages-articles export, materialized once to the JVM temp dir
     * so the text source has a real file to stream — the same fixture
     * shape as src/test/resources/mini-wiki.xml. */
@@ -41,10 +54,7 @@ object Sources {
     // parquet view directly, so a lossy roundtrip (quoting, type
     // inference, decimal text) fails the hash.
     "q_source_csv" -> ((s, d) => {
-      // SF-scoped path: a concurrent run at another SF (the round
-      // driver overlaps Verify and Bench) must not clobber the data
-      // between this eager write and the lazy read-back
-      val p = s"/tmp/graft_source_csv_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = scratchDir(s, "csv", d)
       load(s, d, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .coalesce(1).write.mode("overwrite").option("header", "true").csv(p)
@@ -63,7 +73,7 @@ object Sources {
     // casts. splitSize forces the read through >1 byte-range partition
     // even at sf0.01, so the oracled path exercises split reassembly.
     "q_source_avro" -> ((s, d) => {
-      val p = s"/tmp/graft_source_avro_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = scratchDir(s, "avro", d)
       graft.sources.AvroSource.write(
         load(s, d, "customer")
           .select(col("c_custkey"), col("c_name"),
@@ -75,7 +85,7 @@ object Sources {
     }),
 
     "q_source_json" -> ((s, d) => {
-      val p = s"/tmp/graft_source_json_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = scratchDir(s, "json", d)
       load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
       s.read.json(p)
         .select(col("n_nationkey").cast("long").as("n_nationkey"),
@@ -89,7 +99,7 @@ object Sources {
     // types (no inference step), so the roundtrip must be lossless
     // including the decimal account balance.
     "q_source_orc" -> ((s, d) => {
-      val p = s"/tmp/graft_source_orc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = scratchDir(s, "orc", d)
       load(s, d, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
           col("s_acctbal"))
@@ -112,7 +122,7 @@ object Sources {
     // lossy roundtrip (partition-value escaping, type inference on the
     // partition column) fails the hash.
     "q_source_partitioned" -> ((s, d) => {
-      val p = s"/tmp/graft_source_part_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = scratchDir(s, "part", d)
       load(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").partitionBy("lang").parquet(p)

@@ -50,7 +50,7 @@ object Udaf {
     "q_udaf_geomean" ->
       """SELECT p_brand,
         |  ROUND(EXP(CAST(SUM(CAST(LN(p_retailprice) AS DECIMAL(18,8))) AS DOUBLE)
-        |            / COUNT(*)), 4) AS gm_price,
+        |            / COUNT(*)), 4) + 0 AS gm_price,
         |  COUNT(*) AS cnt
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )

@@ -18,15 +18,58 @@ float < Decimal are all distinct).
 
 Dev tool only — not part of the engine (the engine has zero Python).
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct
 
 import duckdb
+
+
+def floats_eq(a, b):
+    """BIT-strict float compare (VERDICT r15 #2): the driver hashes raw
+    values, so -0.0 vs 0.0 (numerically == in Python) is a driver FAIL.
+    Compare the IEEE byte patterns; NaN==NaN kept (any NaN payload)."""
+    if math.isnan(a) and math.isnan(b):
+        return True
+    return struct.pack('<d', a) == struct.pack('<d', b)
+
+
+def vals_eq(a, b):
+    """Driver-equivalent value compare: floats bit-strict, lists/tuples
+    element-wise recursive (array columns hold floats too), type-strict
+    scalars otherwise."""
+    if a is None or b is None:
+        return a is None and b is None
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, float):
+        return floats_eq(a, b)
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(vals_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def selftest():
+    """Checker-on-the-checker: the r15 q_knn_graph escape (-0.0 == 0.0
+    under Python ==) must FAIL here, and the legitimate equalities must
+    pass. Run: python3 tools/check_oracle.py --selftest"""
+    assert not vals_eq(-0.0, 0.0), "-0.0 vs 0.0 must FAIL (r15 q_knn_graph)"
+    assert not vals_eq([1.0, -0.0], [1.0, 0.0]), "-0.0 inside arrays must FAIL"
+    assert vals_eq(float('nan'), float('nan')), "NaN == NaN kept"
+    assert vals_eq(-0.0, -0.0) and vals_eq(0.0, 0.0)
+    assert vals_eq(0.1 + 0.2, 0.1 + 0.2) and not vals_eq(0.1 + 0.2, 0.3)
+    assert not vals_eq(1, 1.0), "int vs float is a dtype FAIL"
+    assert not vals_eq(True, 1), "bool vs int is a dtype FAIL"
+    assert vals_eq([["a", 1]], [["a", 1]]) and not vals_eq([1], [1, 2])
+    assert vals_eq(None, None) and not vals_eq(None, 0.0)
+    print("selftest ok")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -92,20 +135,17 @@ def main():
         bad = None
         for r, (g, w) in enumerate(zip(got, want)):
             for a, b in zip([g[i] for i in gi], [w[i] for i in wi]):
-                if a is None and b is None:
+                if vals_eq(a, b):
                     continue
-                if a is not None and b is not None and type(a) is not type(b):
+                if type(a) is not type(b):
                     bad = (r, f"{a!r}:{type(a).__name__}",
                            f"{b!r}:{type(b).__name__}", None)
-                    break
-                if isinstance(a, float) and isinstance(b, float):
-                    if a == b or (math.isnan(a) and math.isnan(b)):
-                        continue
+                elif isinstance(a, float) and isinstance(b, float) \
+                        and not (math.isnan(a) or math.isnan(b)):
                     bad = (r, a, b, abs(a - b))
-                    break
-                if a != b:
+                else:
                     bad = (r, a, b, None)
-                    break
+                break
             if bad:
                 break
         if bad:
