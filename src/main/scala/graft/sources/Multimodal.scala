@@ -334,18 +334,20 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Hamming-band bucket join over 64-bit hashes: 4 bands × 16 bits —
-    * any pair within Hamming distance 3 shares at least one clean band
-    * (pigeonhole: guaranteed recall ≤3, probabilistic 4..maxDist), and
-    * a 16-bit band keeps expected bucket size n/65536 per band, so the
-    * join stays a bucket join at crawl scale (at 10⁹ images widen to
-    * 20–24-bit bands or multi-probe — same shape). Never all-pairs.
+  /** Hamming-band bucket join over 64-bit hashes: 8 bands × 8 bits —
+    * any pair within Hamming distance 7 shares at least one clean band
+    * (pigeonhole), so recall is GUARANTEED through the maxDist=6 verify
+    * threshold, not probabilistic (ADVICE r15 flagged the earlier 4×16
+    * banding, which only guaranteed distance ≤ 3). An 8-bit band keeps
+    * expected bucket size n/256 per band; the exact Hamming verify
+    * prunes band-collision noise (at 10⁹ images widen to 16–24-bit
+    * bands or multi-probe — same shape). Never all-pairs.
     * Returns (a_id, b_id, hamming ≤ maxDist) pairs. */
   def hammingNearDup(hashes: DataFrame, maxDist: Int): DataFrame = {
     val bands = hashes.select(col("media_id"), col("dhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
+        explode(expr("sequence(0, 7)")).as("band"))
       .withColumn("bs",
-        expr("shiftrightunsigned(dhash, CAST(band * 16 AS INT)) & 65535"))
+        expr("shiftrightunsigned(dhash, CAST(band * 8 AS INT)) & 255"))
     val a = bands.select(col("media_id").as("a_id"), col("dhash").as("ha"),
       col("band"), col("bs"))
     val b = bands.select(col("media_id").as("b_id"), col("dhash").as("hb"),
@@ -468,8 +470,8 @@ object Multimodal {
     val hashes = base.unionByName(variants).select(col("media_id"),
       expr("graft_dhash_text(coalesce(p, ''))").as("h"))
     val bands = hashes.select(col("media_id"), col("h"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bs", expr("substring(h, CAST(band * 16 + 1 AS INT), 16)"))
+        explode(expr("sequence(0, 7)")).as("band"))
+      .withColumn("bs", expr("substring(h, CAST(band * 8 + 1 AS INT), 8)"))
     val a = bands.select(col("media_id").as("a_id"), col("h").as("ha"),
       col("band"), col("bs"))
     val b = bands.select(col("media_id").as("b_id"), col("h").as("hb"),
@@ -486,7 +488,7 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    // Perceptual image near-dup dedup: real decode → dHash → 4×16-bit
+    // Perceptual image near-dup dedup: real decode → dHash → 8×8-bit
     // Hamming-band bucket join → exact bit_count verify. Not oracle-able
     // (DuckDB cannot decode PNG/BMP); ImageNearDupSpec asserts every
     // planted perturbed variant (brightness-shifted, format-swapped) is
@@ -564,8 +566,8 @@ object Multimodal {
         |           THEN '1' ELSE '0' END), '') AS h
         |  FROM pr
         |), bands AS (
-        |  SELECT media_id, h, band, substr(h, CAST(band * 16 + 1 AS INT), 16) AS bs
-        |  FROM hashes, range(0, 4) t(band)
+        |  SELECT media_id, h, band, substr(h, CAST(band * 8 + 1 AS INT), 8) AS bs
+        |  FROM hashes, range(0, 8) t(band)
         |), cand AS (
         |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id, a.h AS ha, b.h AS hb
         |  FROM bands a JOIN bands b
