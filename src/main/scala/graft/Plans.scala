@@ -88,7 +88,15 @@ object Plans {
       "is one row-local fold (weight matrix embedded once as a " +
       "literal), candidates equi-join on (band, byte) buckets — " +
       "~n/256 per bucket, never all-pairs — and the mutual flag is " +
-      "a pair-keyed self-join of the top-3 edge list."))
+      "a pair-keyed self-join of the top-3 edge list."),
+    "q_cdc_chunks" -> ("Content-defined chunking: boundary detection, " +
+      "chunk assembly and hashing are ALL row-local (position filter + " +
+      "posexplode inside one projection) — zero exchanges before the " +
+      "presentation sort; corpus-linear with a per-row cost cap."),
+    "q_editsim" -> ("Edit-distance near-dup: candidates equi-join on " +
+      "the 8-char prefix block (bucket join, never a cartesian); the " +
+      "O(n·m) levenshtein verify runs only on block-collision pairs " +
+      "after the join."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -627,6 +627,39 @@ object Pipeline {
         .filter(col("n_occ") > 1)
         .orderBy("h")),
 
+    // CONTENT-DEFINED chunking (the FastCDC/rsync shape): chunk
+    // boundaries are set by the CONTENT — position i starts a new chunk
+    // when md5 of the 8-char gram at i has a leading '0' hex digit
+    // (expected 1-in-16 → ~16-char mean chunks over the 240-char
+    // prefix) — so an insertion early in a document shifts only the ONE
+    // chunk it lands in, and every later chunk re-aligns and re-hashes
+    // identically. That re-alignment is what makes CDC the dedup
+    // chunking (fixed-stride q_chunk_dedup loses every chunk after an
+    // edit). Entirely ROW-LOCAL (per-row position filter + explode):
+    // zero shuffles before the presentation sort; corpus-linear with a
+    // per-row cost cap from the prefix bound. Boundary positions run
+    // 2..len-7 (an 8-gram must fit); position 1 always starts chunk 0.
+    "q_cdc_chunks" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), expr("substring(text, 1, 240)").as("p"))
+        .filter(length(col("p")) >= 8)
+        .withColumn("starts", expr(
+          "concat(array(1), CASE WHEN length(p) >= 9 THEN" +
+            " filter(sequence(2, length(p) - 7)," +
+            " i -> substring(md5(CAST(substring(p, i, 8) AS BINARY)), 1, 1) = '0')" +
+            " ELSE CAST(array() AS ARRAY<INT>) END)"))
+        .select(col("doc_id"), col("p"), col("starts"),
+          posexplode(col("starts")))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_no"),
+          col("col").cast("long").as("start_pos"),
+          expr("CAST(IF(pos + 2 <= size(starts), element_at(starts, pos + 2)," +
+            " length(p) + 1) - col AS BIGINT)").as("chunk_len"),
+          expr("md5(CAST(substring(p, col, CAST(IF(pos + 2 <= size(starts)," +
+            " element_at(starts, pos + 2), length(p) + 1) - col AS INT)) AS BINARY))")
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_no")),
+
     // Cross-document repeated-substring detection — the sub-document
     // granularity the whole-body dedup family (exact md5, chunk, MinHash)
     // cannot see: boilerplate, licenses, navigation chrome repeated
@@ -1179,6 +1212,21 @@ object Pipeline {
        |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 240) AS p FROM documents),
+        |b AS (SELECT doc_id, p,
+        |  list_prepend(CAST(1 AS BIGINT),
+        |    list_filter(RANGE(CAST(2 AS BIGINT), CAST(GREATEST(LEN(p) - 6, 2) AS BIGINT)),
+        |      i -> substr(md5(substr(p, CAST(i AS INT), 8)), 1, 1) = '0')) AS starts
+        |  FROM t WHERE LEN(p) >= 8),
+        |c AS (SELECT doc_id, p, starts,
+        |  GENERATE_SUBSCRIPTS(starts, 1) AS k, UNNEST(starts) AS st FROM b)
+        |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_no,
+        |  CAST(st AS BIGINT) AS start_pos,
+        |  CAST(COALESCE(starts[k + 1], LEN(p) + 1) - st AS BIGINT) AS chunk_len,
+        |  md5(substr(p, CAST(st AS INT),
+        |    CAST(COALESCE(starts[k + 1], LEN(p) + 1) - st AS INT))) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
     "q_sample_det" ->
       """SELECT doc_id, lang, SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|s0'), 1, 1) AS h
         |FROM documents

@@ -200,6 +200,32 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // SKIPGRAM pair generation (word2vec/GloVe training input): every
+    // (center, context) token pair within window ±2, distance kept, both
+    // directions counted — the op that turns a corpus into
+    // embedding-training examples. Pair extraction is row-local
+    // (zip_with over shifted slices per offset — no self-join, no
+    // explode-then-join); the only shuffle is the map-side-combining
+    // count on (w, c, dist) and the top-30 is a TakeOrdered, so at
+    // 100 TB only partial pair counts cross the wire. Total order:
+    // (cnt desc, w, c, dist) — (w, c, dist) is the group key, unique.
+    "q_skipgram" -> ((s, d) => {
+      val p = load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, 2), k -> CASE WHEN size(toks) > k THEN" +
+            " zip_with(slice(toks, 1, size(toks) - k), slice(toks, k + 1, size(toks) - k)," +
+            " (a, b) -> named_struct('w', a, 'c', b, 'dist', CAST(k AS BIGINT)))" +
+            " ELSE array() END))")).as("p"))
+        .select(col("p.w").as("w"), col("p.c").as("c"), col("p.dist").as("dist"))
+      p.union(p.select(col("c").as("w"), col("w").as("c"), col("dist")))
+        .groupBy(col("w"), col("c"), col("dist"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"), col("c"), col("dist"))
+        .limit(30)
+    }),
+
     // UDTF shape (one row → many with ordinal): split each document into
     // sentence-ish chunks on the word 'table', keep the ordinal.
     "q_udtf_sentences" -> ((s, d) =>
@@ -418,6 +444,16 @@ object Text {
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_skipgram" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |p AS (SELECT toks[CAST(i AS INT)] AS w, toks[CAST(i + k AS INT)] AS c,
+         |    CAST(k AS BIGINT) AS dist
+         |  FROM t, UNNEST(RANGE(1, 3)) AS u(k),
+         |    UNNEST(RANGE(1, GREATEST(LEN(toks) - k + 1, 1))) AS v(i)
+         |  WHERE LEN(toks) > k)
+         |SELECT w, c, dist, COUNT(*) AS cnt FROM (
+         |  SELECT w, c, dist FROM p UNION ALL SELECT c AS w, w AS c, dist FROM p)
+         |GROUP BY w, c, dist ORDER BY cnt DESC, w, c, dist LIMIT 30""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_apply" -> bpeApplyOracle(8),
     "q_lm_score" ->

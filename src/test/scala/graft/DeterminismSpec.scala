@@ -47,7 +47,11 @@ class DeterminismSpec extends SparkTestBase {
     // the bucketed prefix sum
     "q_chi2_drift", "q_ks_drift",
     // third dedup-cluster leg: Hamming pairs through the CC kernel
-    "q_simhash_cluster")
+    "q_simhash_cluster",
+    // round-16 additions: content-defined chunking (row-local boundary
+    // arithmetic), Levenshtein blocked-verify, skipgram pair counts
+    // (top-30 tie order pinned by the (cnt, w, c, dist) total order)
+    "q_cdc_chunks", "q_editsim", "q_skipgram")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries
