@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_cdc_starts"),
+      new ExpressionInfo(classOf[CdcStarts].getName, "graft_cdc_starts"),
+      (exprs: Seq[Expression]) => CdcStarts(
+        exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_cdc_starts", "gram").toInt)))
+    e.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(

@@ -161,6 +161,40 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunk START positions (q_cdc_chunks' boundary scan)
+  * as one primitive loop per row — same escalation story as
+  * [[RollingMinHash]]: the declarative form
+  * `concat(array(1), filter(sequence(2, len-gram+1), i ->
+  * substring(md5(CAST(substring(p, i, gram) AS BINARY)), 1, 1) = '0'))`
+  * pays an interpreted higher-order lambda with a full 32-char hex
+  * render per position (6.1 s at sf0.1 — the slowest query in the
+  * engine). This loop reuses one MessageDigest and tests the boundary
+  * nibble directly on the digest byte ((d(0) & 0xf0) == 0 ⇔ leading
+  * hex digit '0') — bit-identical to the HOF form and its DuckDB
+  * oracle (CdcSpec pins the equality on the corpus). NULL when the
+  * text is shorter than one gram. */
+case class CdcStarts(child: Expression, gram: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true // sub-gram texts yield NULL
+  override def prettyName: String = "graft_cdc_starts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.cdcStarts(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.cdcStarts($c, $gram);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   private val HexDigits = "0123456789abcdef".toCharArray
 
@@ -314,6 +348,31 @@ object TextExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[CdcStarts]]. 1-based code-point positions: position 1 always
+    * opens chunk 0; position i in [2, n-gram+1] opens a chunk when
+    * md5 of the gram starting there leads with hex '0'. Code-point
+    * walk matches `substring`'s char semantics for non-ASCII input. */
+  def cdcStarts(text: UTF8String, gram: Int): ArrayData = {
+    val str = text.toString
+    val offs = codePointOffsets(str)
+    val n = offs.length - 1
+    if (n < gram) return null
+    val md = Md5.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](n / 12 + 2)
+    buf += 1
+    var i = 2
+    val last = n - gram + 1
+    while (i <= last) {
+      md.reset()
+      val d = md.digest(str.substring(offs(i - 1), offs(i - 1 + gram))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((d(0) & 0xf0) == 0) buf += i
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf.toArray)
+  }
+
   private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -352,6 +411,12 @@ object TextExprs {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cdc_starts"),
+      new ExpressionInfo(classOf[CdcStarts].getName, "graft_cdc_starts"),
+      (exprs: Seq[Expression]) => CdcStarts(
+        exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_cdc_starts", "gram").toInt))
   }
 
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {

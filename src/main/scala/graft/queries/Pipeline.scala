@@ -639,15 +639,17 @@ object Pipeline {
     // zero shuffles before the presentation sort; corpus-linear with a
     // per-row cost cap from the prefix bound. Boundary positions run
     // 2..len-7 (an 8-gram must fit); position 1 always starts chunk 0.
-    "q_cdc_chunks" -> ((s, d) =>
+    // The boundary scan is the codegen'd `graft_cdc_starts` fold
+    // (functions/TextExprs.scala) — the declarative
+    // concat(array(1), filter(sequence(...), md5-leading-'0')) form
+    // measured 6.1 s at sf0.1 (interpreted HOF + full hex render per
+    // position), the fold sub-second; CdcSpec pins fold == HOF form.
+    "q_cdc_chunks" -> ((s, d) => {
+      graft.functions.TextExprs.register(s)
       load(s, d, "documents")
         .select(col("doc_id"), expr("substring(text, 1, 240)").as("p"))
         .filter(length(col("p")) >= 8)
-        .withColumn("starts", expr(
-          "concat(array(1), CASE WHEN length(p) >= 9 THEN" +
-            " filter(sequence(2, length(p) - 7)," +
-            " i -> substring(md5(CAST(substring(p, i, 8) AS BINARY)), 1, 1) = '0')" +
-            " ELSE CAST(array() AS ARRAY<INT>) END)"))
+        .withColumn("starts", expr("graft_cdc_starts(p, 8)"))
         .select(col("doc_id"), col("p"), col("starts"),
           posexplode(col("starts")))
         .select(col("doc_id"),
@@ -658,7 +660,8 @@ object Pipeline {
           expr("md5(CAST(substring(p, col, CAST(IF(pos + 2 <= size(starts)," +
             " element_at(starts, pos + 2), length(p) + 1) - col AS INT)) AS BINARY))")
             .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_no")),
+        .orderBy("doc_id", "chunk_no")
+    }),
 
     // Cross-document repeated-substring detection — the sub-document
     // granularity the whole-body dedup family (exact md5, chunk, MinHash)

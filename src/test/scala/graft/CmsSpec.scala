@@ -97,4 +97,32 @@ class CmsSpec extends SparkTestBase {
         org.apache.spark.sql.catalyst.expressions.Literal(1L), 0, 1024)
     }
   }
+
+  test("wrongly-typed arguments fail at analysis, not mid-task (ADVICE r15)") {
+    import spark.implicits._
+    graft.functions.CountMinSketch.register(spark)
+    val df = Seq(("a", 1L)).toDF("k", "c")
+    df.createOrReplaceTempView("cms_in")
+    // integer key: analysis-time type-check failure, not a task CCE
+    val eKey = intercept[Exception] {
+      spark.sql("SELECT graft_cms(c, c, 2, 64) FROM cms_in").collect()
+    }
+    assert(eKey.getMessage.toLowerCase.contains("graft_cms") ||
+      eKey.getMessage.toLowerCase.contains("data type"), eKey.getMessage)
+    // string count: same
+    val eCnt = intercept[Exception] {
+      spark.sql("SELECT graft_cms(k, k, 2, 64) FROM cms_in").collect()
+    }
+    assert(eCnt.getMessage.toLowerCase.contains("graft_cms") ||
+      eCnt.getMessage.toLowerCase.contains("data type"), eCnt.getMessage)
+    // non-literal depth: rejected at registration with a named argument
+    val eDepth = intercept[Exception] {
+      spark.sql("SELECT graft_cms(k, c, CAST(c AS INT), 64) FROM cms_in").collect()
+    }
+    assert(eDepth.getMessage.contains("depth"), eDepth.getMessage)
+    // INT count still accepted (integral family)
+    val ok = spark.sql(
+      "SELECT graft_cms(k, CAST(c AS INT), 2, 64) AS m FROM cms_in").collect()
+    assert(ok.length == 1)
+  }
 }
