@@ -30,7 +30,12 @@ SPREAD_LIMIT = 0.30
 # exact-Jaccard verify rewrite; the c1/c2 re-pin absorbed it. New
 # queries need no entry — absent-from-old keys are fresh-pinned
 # automatically.)
-FRESH_ONLY = set()
+# r16: the 4x16 -> 8x8 Hamming-banding widening (guaranteed recall to
+# distance 7) is an implementation change for the whole simhash/dHash
+# candidate family — old pins measured half the bands and ~1% of the
+# candidate volume.
+FRESH_ONLY = {"q_simhash_pairs", "q_simhash_cluster",
+              "q_image_neardup", "q_image_neardup_det"}
 
 
 def battery_mins(path):
