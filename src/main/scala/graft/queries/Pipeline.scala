@@ -663,6 +663,59 @@ object Pipeline {
         .orderBy("doc_id", "chunk_no")
     }),
 
+    // Per-source CONTRIBUTION CAPPING (the bounding step a
+    // differential-privacy or source-debiasing pipeline runs before
+    // aggregation: no single contributor may dominate the corpus): each
+    // source keeps at most 5 documents, chosen by the repo's md5-rank
+    // convention (deterministic, never rand(); doc_id breaks the
+    // astronomically-unlikely hash tie). ONE window shuffle on the
+    // source key, then the per-source aggregate reuses the same
+    // partitioning (no second exchange). At 100 TB the per-source
+    // row_number is inherently per-key sequential — which is exactly
+    // the semantics capping wants; a skewed mega-source caps by the
+    // two-pass rank-bounds kernel (q_histogram_eqd) with the selection
+    // rule unchanged.
+    "q_contrib_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      load(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count_if(rk <= 5)").as("n_kept"),
+          coalesce(sum(when(col("rk") <= 5, col("n_chars"))), lit(0L)).as("kept_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
+    // LEXICAL DIVERSITY per language — the corpus-health metrics a
+    // data-mixing run reads before setting sampling weights: bigram
+    // token count, bigram vocabulary, hapax legomena (bigrams seen
+    // exactly once — the productive-vocabulary signal), type/token
+    // ratio and hapax share in integer ppm. Bigrams rather than
+    // unigrams because a capped generator vocabulary saturates unigram
+    // TTR (the sf-series documents draw ~31 distinct words per lang —
+    // every unigram hapax count is 0). Shapes: row-local bigram
+    // assembly (element_at over the token array, no self-join), then
+    // two map-side-combining hash aggs — (lang, gram) then lang — the
+    // canonical two-level vocabulary rollup that scales to any corpus.
+    "q_lexical_stats" -> ((s, d) =>
+      load(s, d, "documents")
+        .select(col("lang"), expr(tokens).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("gram"))
+        .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("grams"), count(lit(1)).as("vocab"),
+          expr("count_if(cnt = 1)").as("hapax"))
+        .select(col("lang"), col("grams"), col("vocab"), col("hapax"),
+          expr("vocab * 1000000 DIV grams").as("ttr_ppm"),
+          expr("hapax * 1000000 DIV vocab").as("hapax_ppm"))
+        .orderBy("lang")),
+
     // Cross-document repeated-substring detection — the sub-document
     // granularity the whole-body dedup family (exact md5, chunk, MinHash)
     // cannot see: boilerplate, licenses, navigation chrome repeated
@@ -1215,6 +1268,29 @@ object Pipeline {
        |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_contrib_cap" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE rk <= 5) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE rk <= 5), 0) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_lexical_stats" ->
+      """WITH t AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |w AS (SELECT lang, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+        |wc AS (SELECT lang, gram, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        |agg AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS grams, COUNT(*) AS vocab,
+        |    CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS hapax
+        |  FROM wc GROUP BY lang)
+        |SELECT lang, grams, vocab, hapax,
+        |  vocab * 1000000 // grams AS ttr_ppm,
+        |  hapax * 1000000 // vocab AS hapax_ppm
+        |FROM agg ORDER BY lang""".stripMargin,
     "q_cdc_chunks" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 240) AS p FROM documents),
         |b AS (SELECT doc_id, p,

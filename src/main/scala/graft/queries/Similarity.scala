@@ -55,6 +55,25 @@ object Similarity {
   private[graft] def cosine(dq: Column, na: Column, nb: Column): Column =
     round(dq.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 4) + lit(0d)
 
+  /** (vec_id, band, bv) rows of the 32-plane md5-parity LSH signature
+    * split into 4×8-bit bands (256 buckets per band) — ONE definition
+    * shared by q_knn_graph and q_label_prop so the corpus-wide candidate
+    * rule cannot drift between the oracled queries (the same
+    * shared-definition discipline as simhashCandidates). The signature is
+    * the codegen'd row-local fold `graft_lshsig_md5`
+    * (functions.LshSigMd5) — the interpreted zip_with/aggregate fold it
+    * replaced was evaluated on BOTH sides of the candidate self-join and
+    * dominated q_knn_graph (3.7 s → 0.8 s at sf0.1). Band rows carry
+    * ONLY the id — candidate-pair shuffles move 16-byte pairs, not
+    * 0.5 KB quantized vectors; the vectors re-attach per side afterwards
+    * by keyed equi-join. */
+  private def lshBandRows32(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), expr("graft_lshsig_md5(qv, 32)").as("sig"))
+      .select(col("vec_id"),
+        explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+          "'band', b, 'bv', shiftright(sig, b * 8) % 256))")).as("bn"))
+      .select(col("vec_id"), col("bn.band").as("band"), col("bn.bv").as("bv"))
+
   /** distinct (doc_id, word) pairs of the corpus. Dedup is row-local
     * (`array_distinct` before the explode) — no corpus-wide shuffle. */
   private def docWords(s: SparkSession, d: String): DataFrame =
@@ -654,6 +673,90 @@ object Similarity {
         .orderBy("a_id", "b_id")
     }),
 
+    // CONTRASTIVE training-pair mining (the input a triplet/InfoNCE
+    // embedding-training run consumes): for each anchor, the hardest
+    // positive is its most-similar SAME-label vector and the hardest
+    // negative its most-similar DIFFERENT-label vector — "hard" because
+    // the highest-cosine negative is exactly the pair the loss learns
+    // most from. Anchors are a bounded query set (vec_id < 50), so the
+    // scored pairs are broadcast × corpus — linear in the corpus like
+    // q_cosine_topk, never corpus × corpus. ONE window over
+    // (anchor, is-positive) ranks both sides in a single pass, then a
+    // conditional aggregate pivots the two rank-1 rows per anchor into
+    // one output row; anchors lacking either side (no same-label or no
+    // different-label sibling) are dropped in both engines.
+    "q_contrastive_pairs" -> ((s, d) => {
+      val q = quantized(s, d)
+      val left = q.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("qv").as("qa"), col("nq").as("na"))
+      val right = q.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("qv").as("qb"), col("nq").as("nb"))
+      val w = Window.partitionBy(col("a_id"), col("is_pos"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      right.crossJoin(broadcast(left))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"),
+          (col("a_label") === col("b_label")).as("is_pos"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("a_id"))
+        .agg(max(when(col("is_pos"), col("b_id"))).as("pos_id"),
+          max(when(col("is_pos"), col("cosine"))).as("pos_cos"),
+          max(when(!col("is_pos"), col("b_id"))).as("neg_id"),
+          max(when(!col("is_pos"), col("cosine"))).as("neg_cos"))
+        .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .orderBy("a_id")
+    }),
+
+    // Semi-supervised LABEL PROPAGATION over the banded k-NN structure
+    // (the step that turns a small labeled seed set into weak labels
+    // for the whole corpus — classifier-based quality filtering at
+    // pretraining scale bootstraps exactly this way): vectors with
+    // vec_id % 5 = 0 play the unlabeled 20%, everyone else is seed.
+    // Candidates come from the SAME 32-plane/4×8-bit band rows as
+    // q_knn_graph (lshBandRows32 — shared definition, so the two
+    // oracled queries cannot drift); each unlabeled node takes its
+    // top-5 labeled candidates by exact integer-dot cosine and adopts
+    // the majority label (votes DESC, label ASC tie-break). `correct`
+    // compares the adopted label against the held-out truth, making
+    // the query its own accuracy probe. Unlabeled nodes whose buckets
+    // contain no labeled vector emit no row — identically in both
+    // engines. Scale: band bucket-join (never all-pairs), payload-free
+    // candidate dedup, vectors re-attached by key — q_knn_graph's
+    // posture with an anchor-side filter.
+    "q_label_prop" -> ((s, d) => {
+      val q = quantized(s, d)
+      val bl = lshBandRows32(q)
+      val cands = bl.filter(col("vec_id") % 5 === 0).as("a")
+        .join(bl.filter(col("vec_id") % 5 =!= 0).as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val va = q.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+        col("nq").as("na"), col("label").as("a_label"))
+      val vb = q.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+        col("nq").as("nb"), col("label").as("b_label"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      val wv = Window.partitionBy(col("a_id"))
+        .orderBy(col("votes").desc, col("b_label").asc)
+      cands.join(va, "a_id").join(vb, "b_id")
+        .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("a_id"), col("a_label"), col("b_label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("pr", row_number().over(wv))
+        .filter(col("pr") === 1)
+        .select(col("a_id").as("vec_id"),
+          col("b_label").cast("long").as("pred_label"), col("votes"),
+          (col("b_label") === col("a_label")).as("correct"))
+        .orderBy("vec_id")
+    }),
+
     // Near-dup CLUSTERS from minhash LSH: the step after
     // q_minhash_pairs that a real dedup pipeline needs — candidate
     // buckets → connected components → one canonical doc per cluster.
@@ -763,23 +866,7 @@ object Similarity {
     // k-NN graph clustering actually wants).
     "q_knn_graph" -> ((s, d) => {
       val q = quantized(s, d)
-      // signature = the codegen'd md5-parity fold (functions.LshSigMd5)
-      // — same pure (plane, dim) weight function the oracle derives in
-      // SQL; the interpreted zip_with/aggregate fold this replaced was
-      // evaluated on BOTH sides of the candidate self-join and
-      // dominated the query (3.7 s → 0.8 s at sf0.1)
-      val sigExpr = "graft_lshsig_md5(qv, 32)"
-      // band rows carry ONLY the id — the pair-dedup shuffle moves
-      // 16-byte pairs, not 0.5 KB quantized vectors (corpus-wide
-      // candidates are ~n·bucket-width rows; at 100× the payload-free
-      // dedup is the difference between MBs and GBs of shuffle). The
-      // vectors re-attach per SIDE afterwards, each a keyed equi-join
-      // touching |pairs| rows.
-      val bl = q.select(col("vec_id"), expr(sigExpr).as("sig"))
-        .select(col("vec_id"),
-          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
-            "'band', b, 'bv', shiftright(sig, b * 8) % 256))")).as("bn"))
-        .select(col("vec_id"), col("bn.band").as("band"), col("bn.bv").as("bv"))
+      val bl = lshBandRows32(q)
       val cands = bl.as("a").join(bl.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.vec_id") =!= col("b.vec_id"))
@@ -908,6 +995,64 @@ object Similarity {
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   private val oraclesBase: Map[String, String] = Map(
+    "q_contrastive_pairs" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 50 AND a.vec_id <> b.vec_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine,
+        |  qa.label AS a_label, qb.label AS b_label
+        |  FROM d JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+        |  JOIN q qa ON qa.vec_id = a_id JOIN q qb ON qb.vec_id = b_id),
+        |pos AS (SELECT a_id, b_id AS pos_id, cosine AS pos_cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM c WHERE a_label = b_label) WHERE rn = 1),
+        |neg AS (SELECT a_id, b_id AS neg_id, cosine AS neg_cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM c WHERE a_label <> b_label) WHERE rn = 1)
+        |SELECT pos.a_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg ON neg.a_id = pos.a_id ORDER BY pos.a_id""".stripMargin,
+    "q_label_prop" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |contrib AS (SELECT vec_id, j,
+        |    SUM(v * ((STRPOS('0123456789abcdef', SUBSTR(MD5(j || '|' || i), 1, 1)) - 1) % 2 * 2 - 1)) AS s
+        |  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+        |  GROUP BY vec_id, j),
+        |sig AS (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM contrib GROUP BY vec_id),
+        |bd AS (SELECT vec_id, band, (sig // CAST(POW(2, band * 8) AS BIGINT)) % 256 AS bv
+        |       FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)),
+        |cands AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+        |            AND a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0),
+        |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+        |       FROM cands c JOIN e ea ON ea.vec_id = c.a_id
+        |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        |       GROUP BY c.a_id, c.b_id),
+        |pc AS (SELECT a_id, b_id,
+        |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
+        |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id),
+        |top AS (SELECT a_id, b_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pc) WHERE rn <= 5),
+        |votes AS (SELECT t.a_id, q2.label AS lbl, COUNT(*) AS votes
+        |          FROM top t JOIN q q2 ON q2.vec_id = t.b_id GROUP BY 1, 2),
+        |pred AS (SELECT a_id, lbl, votes FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY votes DESC, lbl ASC) AS pr
+        |  FROM votes) WHERE pr = 1)
+        |SELECT p.a_id AS vec_id, CAST(p.lbl AS BIGINT) AS pred_label, p.votes,
+        |  p.lbl = qa.label AS correct
+        |FROM pred p JOIN q qa ON qa.vec_id = p.a_id ORDER BY vec_id""".stripMargin,
     "q_editsim" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 32) AS s,
         |    substr(text, 1, 8) AS blk FROM documents)
