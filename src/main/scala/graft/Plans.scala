@@ -96,7 +96,17 @@ object Plans {
     "q_editsim" -> ("Edit-distance near-dup: candidates equi-join on " +
       "the 8-char prefix block (bucket join, never a cartesian); the " +
       "O(n·m) levenshtein verify runs only on block-collision pairs " +
-      "after the join."))
+      "after the join."),
+    "q_contrastive_pairs" -> ("Contrastive pair mining: the bounded " +
+      "anchor set broadcasts (BroadcastNestedLoopJoin over the 50-row " +
+      "side — linear in the corpus, never corpus²); ONE window over " +
+      "(anchor, is-positive) ranks hardest positive and hardest " +
+      "negative in a single pass before the pivot aggregate."),
+    "q_label_prop" -> ("Label propagation: candidates come from the " +
+      "(band, byte) bucket equi-join of the shared 32-plane LSH " +
+      "banding — no cartesian anywhere in the plan; vectors re-attach " +
+      "to the deduped candidate pairs by keyed equi-join, so the " +
+      "candidate shuffle moves 16-byte id pairs, not vectors."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

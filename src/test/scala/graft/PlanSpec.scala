@@ -46,6 +46,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "LSH must bucket-join, not cross-join")
   }
 
+  test("label propagation candidates bucket-join on the shared LSH bands — no cartesian") {
+    val p = plan(Similarity.queries("q_label_prop")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("contrastive mining broadcasts the bounded anchor side") {
+    val p = plan(Similarity.queries("q_contrastive_pairs")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 50-anchor side must broadcast (linear in the corpus)")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graft_lshsig signature projection runs inside whole-stage codegen") {
     // VERDICT r2 #4: the LSH signature was the last interpreted UDF in
     // an ANN hot path — as a native Expression it must stay inside the
