@@ -51,7 +51,13 @@ class DeterminismSpec extends SparkTestBase {
     // round-16 additions: content-defined chunking (row-local boundary
     // arithmetic), Levenshtein blocked-verify, skipgram pair counts
     // (top-30 tie order pinned by the (cnt, w, c, dist) total order)
-    "q_cdc_chunks", "q_editsim", "q_skipgram")
+    "q_cdc_chunks", "q_editsim", "q_skipgram",
+    // round-16 closing additions: hardest-pair mining (rank-1 pivot
+    // under the (cosine, b_id) total order), label propagation
+    // (majority vote tie-broken (votes DESC, label ASC)), md5-rank
+    // contribution cap, two-level bigram vocabulary rollup
+    "q_contrastive_pairs", "q_label_prop", "q_contrib_cap",
+    "q_lexical_stats")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

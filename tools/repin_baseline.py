@@ -30,12 +30,13 @@ SPREAD_LIMIT = 0.30
 # exact-Jaccard verify rewrite; the c1/c2 re-pin absorbed it. New
 # queries need no entry — absent-from-old keys are fresh-pinned
 # automatically.)
-# r16: the 4x16 -> 8x8 Hamming-banding widening (guaranteed recall to
-# distance 7) is an implementation change for the whole simhash/dHash
-# candidate family — old pins measured half the bands and ~1% of the
-# candidate volume.
-FRESH_ONLY = {"q_simhash_pairs", "q_simhash_cluster",
-              "q_image_neardup", "q_image_neardup_det"}
+# (r16 mid-round used {"q_simhash_pairs", "q_simhash_cluster",
+# "q_image_neardup", "q_image_neardup_det"} for the 4x16 -> 8x8
+# Hamming-banding widening; the b1-b3 re-pin absorbed it. The r16
+# closing re-pin over b4/b5 extends the surface by the four new
+# operators — fresh-pinned automatically by absence — with no
+# implementation change to any pinned query.)
+FRESH_ONLY = set()
 
 
 def battery_mins(path):
