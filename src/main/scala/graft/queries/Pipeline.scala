@@ -668,24 +668,38 @@ object Pipeline {
     // aggregation: no single contributor may dominate the corpus): each
     // source keeps at most 5 documents, chosen by the repo's md5-rank
     // convention (deterministic, never rand(); doc_id breaks the
-    // astronomically-unlikely hash tie). ONE window shuffle on the
-    // source key, then the per-source aggregate reuses the same
-    // partitioning (no second exchange). At 100 TB the per-source
-    // row_number is inherently per-key sequential — which is exactly
-    // the semantics capping wants; a skewed mega-source caps by the
-    // two-pass rank-bounds kernel (q_histogram_eqd) with the selection
-    // rule unchanged.
+    // astronomically-unlikely hash tie). The kept set is computed by the
+    // O(k)-state `graft_topk` aggregate (functions.TopKSketch), NOT a
+    // row_number window: the window form buffers and SORTS each source's
+    // FULL doc list to keep 5 — under a hot source (one domain = 10⁹
+    // docs) that is the skewed-window shape q_topk_agg's scaladoc warns
+    // about (VERDICT r16 #6). graft_topk holds ≤2k entries per partial
+    // and combines MAP-SIDE, so a mega-source costs O(k) state per task
+    // instead of a full per-key sort. Selection order is the same
+    // (md5 ASC, doc_id ASC): graft_topk keeps the k smallest items under
+    // (score DESC, item ASC) with a constant score, and the item string
+    // `md5hex#lpad(doc_id,20)#n_chars` makes lexicographic ASC = the
+    // md5-rank convention (fixed-width hex, zero-padded numeric id).
+    // n_docs/total_chars are plain map-side-combining aggregates in the
+    // SAME hash agg — one shuffle of ≤|sources| combined partials.
     "q_contrib_cap" -> ((s, d) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      graft.functions.TopKSketch.register(s)
       load(s, d, "documents")
-        .select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("rk", row_number().over(w))
+        .select(col("source"),
+          concat(md5(col("doc_id").cast("string").cast("binary")), lit("#"),
+            lpad(col("doc_id").cast("string"), 20, "0"), lit("#"),
+            coalesce(col("n_chars").cast("string"), lit(""))).as("item"),
+          col("n_chars"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          expr("count_if(rk <= 5)").as("n_kept"),
-          coalesce(sum(when(col("rk") <= 5, col("n_chars"))), lit(0L)).as("kept_chars"),
+          expr("graft_topk(item, CAST(0 AS BIGINT), 5)").as("kept"),
           sum(col("n_chars")).as("total_chars"))
+        .select(col("source"), col("n_docs"),
+          size(col("kept")).cast("long").as("n_kept"),
+          expr("aggregate(kept, CAST(0 AS BIGINT), (acc, x) -> " +
+            "acc + coalesce(CAST(element_at(split(x.item, '#'), 3) AS BIGINT), CAST(0 AS BIGINT)))")
+            .as("kept_chars"),
+          col("total_chars"))
         .orderBy("source")
     }),
 

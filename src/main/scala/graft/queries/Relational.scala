@@ -384,11 +384,19 @@ object Relational {
         .intersect(load(s, d, "supplier").select(col("s_nationkey").cast("long")))
         .orderBy("nk")),
 
-    // customers-without-orders via EXCEPT (non-empty: ~4% of customers
-    // never ordered in the synthetic data, matching q_join_anti)
+    // customers with no order before 1996 via EXCEPT. The subtrahend is
+    // a RESTRICTED orders projection (o_orderdate < 1996-01-01), not all
+    // orders: at the driver's SFs every customer has at least one order,
+    // so the unrestricted form proved only that both engines produce
+    // empty sets (VERDICT r16 #4 "vacuous oracle"). The date cut keeps
+    // the difference non-empty at every SF (34 / 326 / 3305 rows at
+    // sf0.001/0.01/0.1), so the subtraction semantics are actually
+    // exercised by the hash check.
     "q_except" -> ((s, d) =>
       load(s, d, "customer").select(col("c_custkey").as("k"))
-        .except(load(s, d, "orders").select(col("o_custkey")))
+        .except(load(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .select(col("o_custkey")))
         .orderBy("k")),
 
     // Skew-resistant salted join from operators/JoinStrategies — row-
@@ -666,7 +674,8 @@ object Relational {
     "q_except" ->
       """SELECT k FROM (
         |  SELECT c_custkey AS k FROM customer
-        |  EXCEPT SELECT o_custkey FROM orders)
+        |  EXCEPT SELECT o_custkey FROM orders
+        |    WHERE o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY k""".stripMargin,
     "q_join_salted" ->
       """SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS l_linenumber,

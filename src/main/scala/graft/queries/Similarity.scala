@@ -652,21 +652,42 @@ object Similarity {
     // similarity family (set-based: minhash/jaccard; bit-based:
     // simhash/dHash; vector: cosine; now sequence-based Levenshtein).
     // Blocked-verify shape: candidates share an exact 8-char prefix
-    // block (sorted-neighborhood blocking — measured 450 candidates →
-    // 30 near pairs at sf0.01, never all-pairs), then the exact edit
-    // distance on the 32-char prefix verifies each candidate.
-    // `levenshtein` is a built-in in BOTH engines with identical
-    // classic semantics, so the whole query oracles end-to-end; the
-    // prefix caps the O(n·m) DP cost per pair. At 100 TB the block key
-    // generalizes to (block, length-bucket) multi-blocking — same
-    // bucket-join shape as every other family member.
+    // block AND a length band (sorted-neighborhood multi-blocking),
+    // then the exact edit distance on the 32-char prefix verifies each
+    // candidate. The secondary key is EXACTNESS-PRESERVING by the
+    // length bound lev(a, b) >= |len(a) - len(b)|: dist <= 12 forces
+    // |Δlen| <= 12, so with width-13 bands the band indices differ by
+    // at most 1 — the probe side emits bands {b-1, b, b+1}, the anchor
+    // side its own band, and every qualifying pair meets on exactly
+    // one key (VERDICT r16 #5: a boilerplate-heavy corpus puts every
+    // "The …" doc in one prefix bucket; the length band splits that
+    // hot bucket whenever suffixes vary in length — EditSimSkewSpec
+    // pins candidates sub-block-quadratic on a planted hot-prefix
+    // corpus). The residual hot (prefix, band) key — identical prefix
+    // AND identical length band — is a per-KEY skew that AQE's
+    // skew-join split distributes across tasks; no equality key can
+    // prune it further at threshold 12 on 32-char strings (the
+    // threshold is 37% of the string, beyond q-gram/segment filter
+    // selectivity). The cheap |Δlen| filter runs BEFORE the
+    // levenshtein verify, capping the O(n·m) DP to true candidates.
+    // ORACLE SEMANTICS: Spark's levenshtein counts Unicode code
+    // points, DuckDB's counts BYTES — identical only on ASCII. The
+    // corpus prefixes are ASCII (pinned by SimilaritySpec's ASCII
+    // canary at both test SFs); non-ASCII text would need a
+    // byte-level projection before the oracle could compare.
     "q_editsim" -> ((s, d) => {
       val t = load(s, d, "documents")
         .select(col("doc_id"), expr("substring(text, 1, 32)").as("sx"),
-          expr("substring(text, 1, 8)").as("blk"))
-      t.select(col("doc_id").as("a_id"), col("sx").as("sa"), col("blk"))
-        .join(t.select(col("doc_id").as("b_id"), col("sx").as("sb"), col("blk")), "blk")
-        .filter(col("a_id") < col("b_id"))
+          expr("substring(text, 1, 8)").as("blk"),
+          expr("CAST(length(substring(text, 1, 32)) AS INT)").as("ln"))
+      val probe = t.select(col("doc_id").as("a_id"), col("sx").as("sa"),
+        col("blk"), col("ln").as("la"),
+        explode(expr("array(ln DIV 13 - 1, ln DIV 13, ln DIV 13 + 1)")).as("band"))
+      val anchor = t.select(col("doc_id").as("b_id"), col("sx").as("sb"),
+        col("blk"), col("ln").as("lb"), (col("ln") / 13).cast("int").as("band"))
+      probe.join(anchor, Seq("blk", "band"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("la") - col("lb")) <= 12)
         .select(col("a_id"), col("b_id"),
           levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
         .filter(col("dist") <= 12)

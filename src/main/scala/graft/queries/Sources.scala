@@ -25,8 +25,29 @@ object Sources {
     * their own path. */
   private def scratchDir(s: SparkSession, fmt: String, d: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_source_${fmt}_${d.replaceAll("[^A-Za-z0-9]", "_")}_$app"
+    val dir = s"/tmp/graft_source_${fmt}_${d.replaceAll("[^A-Za-z0-9]", "_")}_$app"
+    registerScratchCleanup(dir)
+    dir
   }
+
+  /** JVM-exit cleanup of this process's OWN scratch dirs (ADVICE r16:
+    * applicationId-keyed paths accumulated unboundedly across bench /
+    * verify runs). One shutdown hook per distinct path, registered
+    * idempotently; only paths THIS JVM minted are deleted — a startup
+    * sweep of stale `graft_source_*` dirs would race the multi-JVM
+    * verify sweep, whose sibling processes' dirs are live. */
+  private val registeredScratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerScratchCleanup(dir: String): Unit =
+    if (registeredScratch.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
 
   /** A tiny pages-articles export, materialized once to the JVM temp dir
     * so the text source has a real file to stream — the same fixture

@@ -47,13 +47,24 @@ class OracleSqlSpec extends SparkTestBase {
   }
 
   test("every rounded-double oracle output column is signed-zero normalized (+ 0)") {
+    // A ROUND(...) span is a DIRECT (unnormalized) output column when
+    // its trailing text starts with an alias (`AS x`) — or, ADVICE r16,
+    // when it is UNALIASED: followed by the next select item (`,`), the
+    // end of the select list (`FROM` / `ORDER`), or end-of-string. A
+    // span followed by an operator (`+ 0` normalization, arithmetic) or
+    // a closing paren (function-argument position) is not an output
+    // column itself.
+    def directOutput(trailing: String): Boolean =
+      trailing.startsWith("AS ") || trailing.isEmpty ||
+        trailing.startsWith(",") || trailing.startsWith("FROM") ||
+        trailing.startsWith("ORDER")
     val offenders = for {
       (name, sql) <- SparkEntry.oracleSql.toSeq
       (args, trailing) <- roundSites(sql.toUpperCase)
       if !args.contains("DECIMAL")               // decimal money staging
       if !trailing.startsWith("AS BIGINT")       // integer staging CAST
       if !trailing.startsWith("AS INT")
-      if trailing.startsWith("AS ")              // a direct output column
+      if directOutput(trailing)
     } yield s"$name: ROUND(...) ${trailing.takeWhile(_ != '\n').take(40)}"
     assert(offenders.isEmpty,
       "unnormalized ROUND-double output (add `+ 0` before the alias; " +

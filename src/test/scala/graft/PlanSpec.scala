@@ -241,6 +241,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("contribution cap is one hash agg — no Window over the raw doc stream") {
+    // VERDICT r16 #6: the row_number form buffered and sorted each
+    // source's FULL doc list; the graft_topk form must show a hash
+    // aggregate with a partial_graft_topk map-side combine and no
+    // Window/Sort over the documents scan.
+    val p = plan(graft.queries.Pipeline.queries("q_contrib_cap")(spark, sfDir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_graft_topk"), p)
+  }
+
   test("substring strip: anti-join on (doc,pos), md5-keyed share marking, no cartesian") {
     val p = plan(graft.queries.Pipeline.queries("q_substring_strip")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
