@@ -11,8 +11,14 @@ package graft
   *    single real regression, so dividing it out preserves per-query
   *    detection power while forgiving uniform slowness only;
   *  - thresholds warn >1.5× / fail >2× on the NORMALIZED ratio,
-  *    loosened to >2× / >3× for pins flagged unstable, and skipped
-  *    entirely for pins under the 0.3 s noise floor;
+  *    loosened to >2× / >3× for pins flagged unstable;
+  *  - the 0.3 s noise floor applies to the MEASURED seconds (ratio ×
+  *    pin, i.e. normalized measured time for the normalized lists),
+  *    NOT the pin (VERDICT r16 #1: 81 of 194 pins sat under a pin-side
+  *    floor, so a sub-0.3 s-pin query could regress 10× — to 1-2
+  *    MEASURED seconds — with zero warns; gating on measured seconds
+  *    keeps scheduler noise ungated while catching any regression big
+  *    enough to clear the floor);
   *  - gate = "fail" if any normalized fail; else "warn_era" when
   *    eraDrift > 1.75 (a uniform whole-engine slowdown is
   *    indistinguishable from era drift by this method — escalate to a
@@ -59,11 +65,15 @@ object BaselineGate {
     val norm = ratios.map { case (k, r) => k -> r / eraDrift }
     // defensive get: adjudicate() is a public API — a ratio key without
     // a pin must not throw at gate time (Bench pre-filters, but the
-    // pure function shouldn't rely on it), matching totalRaw below
+    // pure function shouldn't rely on it), matching totalRaw below.
+    // Floor check is MEASURED-side (r × pin ≥ 0.3 s): for the
+    // normalized lists r×pin is the era-normalized measured seconds,
+    // for the raw lists the raw measured seconds — each list gates on
+    // the evidence it adjudicates.
     def gatedOn(rs: Seq[(String, Double)])(
         pred: Double => Boolean, loosePred: Double => Boolean): Seq[String] =
       rs.collect {
-        case (k, r) if baseline.get(k).exists(_ >= NoiseFloorSec) &&
+        case (k, r) if baseline.get(k).exists(p => p > 0 && r * p >= NoiseFloorSec) &&
           (if (unstable(k)) loosePred(r) else pred(r)) => k
       }
     def warnsIn(rs: Seq[(String, Double)]) =
@@ -73,8 +83,10 @@ object BaselineGate {
     val failRaw = failsIn(ratios)
     // Correlated-regression escalation (see scaladoc): raw evidence the
     // median cannot be trusted to normalize away.
+    // eligibility matches the raw lists: raw measured seconds ≥ floor
     val gatedPins =
-      ratios.count { case (k, _) => baseline.get(k).exists(_ >= NoiseFloorSec) }
+      ratios.count { case (k, r) =>
+        baseline.get(k).exists(p => p > 0 && r * p >= NoiseFloorSec) }
     val totalRaw = {
       val pinned = ratios.collect { case (k, r) if baseline.contains(k) =>
         (r * baseline(k), baseline(k)) }

@@ -194,6 +194,16 @@ object Bench {
       val r = Runtime.getRuntime
       (r.totalMemory - r.freeMemory) / (1024 * 1024)
     }
+    // 1-minute system load average, captured per rep (VERDICT r16 #3:
+    // the r16 battery's 8-14x q_topk/q_sample readings were driver-box
+    // turbulence, but nothing in the artifact recorded machine load, so
+    // raw total_vs_baseline read as a regression until a human re-timed
+    // them; with `load` next to gc_ms, turbulence is attributable from
+    // the artifact alone — BASELINE.md documents the adjudication rule).
+    // -1.0 when the platform cannot report it.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     // Warm the session (codegen, parquet footers, shuffle machinery)
     // so the first query doesn't absorb JVM startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -207,7 +217,7 @@ object Bench {
     // the timed window; stop the clock BEFORE cleanup — the teardown
     // (clearCache + unpersist sweep) keeps state bounded between runs
     // but is not part of the query's cost.
-    def timedRun(name: String): (Double, Long, Long, Long, Long) = {
+    def timedRun(name: String): (Double, Long, Long, Long, Long, Double) = {
       System.gc()
       // drain BEFORE the baseline read too: the untimed warmup's task
       // events are still on the async bus here, and without this they
@@ -219,7 +229,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // metrics drain happens AFTER the clock stops — not query cost
       val (sw1, sp1) = drainedSnapshot()
-      val rep = (dt, gcMillis() - g0, heapMb(), sw1 - sw0, sp1 - sp0)
+      val rep = (dt, gcMillis() - g0, heapMb(), sw1 - sw0, sp1 - sp0, loadAvg())
       cleanup()
       rep
     }
@@ -227,16 +237,16 @@ object Bench {
     // concurrent load — three r3 "regressions" were pure noise. The min
     // is the least-noise estimator of a query's true cost (noise is
     // strictly additive); raw runs go to the JSON file for audit.
-    val raw0: Seq[(String, Seq[(Double, Long, Long, Long, Long)])] =
+    val raw0: Seq[(String, Seq[(Double, Long, Long, Long, Long, Double)])] =
       if (order == "interleaved") {
         // Warmup round: one untimed pass JIT-compiles every query's
         // generated code; per-run cleanup bounds its residual state.
         if (warmupMode != "none") names.foreach(run)
         val acc = scala.collection.mutable.LinkedHashMap(
-          names.map(n => n -> Vector.empty[(Double, Long, Long, Long, Long)]): _*)
+          names.map(n => n -> Vector.empty[(Double, Long, Long, Long, Long, Double)]): _*)
         for (_ <- 1 to reps; name <- names)
           acc(name) = acc(name) :+ timedRun(name)
-        names.map(n => n -> (acc(n): Seq[(Double, Long, Long, Long, Long)]))
+        names.map(n => n -> (acc(n): Seq[(Double, Long, Long, Long, Long, Double)]))
       } else names.map { name =>
         if (warmupMode == "perquery") run(name)
         name -> (1 to reps).map(_ => timedRun(name))
@@ -258,9 +268,9 @@ object Bench {
         }
         (qsB, unstable)
       } catch { case _: Throwable => (Map.empty[String, Double], Set.empty[String]) }
-    def minsOf(rs: Seq[(String, Seq[(Double, Long, Long, Long, Long)])]) =
+    def minsOf(rs: Seq[(String, Seq[(Double, Long, Long, Long, Long, Double)])]) =
       rs.collect { case (k, xs) if !failed.contains(k) => k -> xs.map(_._1).min }
-    def gateOf(rs: Seq[(String, Seq[(Double, Long, Long, Long, Long)])]) =
+    def gateOf(rs: Seq[(String, Seq[(Double, Long, Long, Long, Long, Double)])]) =
       BaselineGate.adjudicate(
         minsOf(rs).collect {
           case (k, v) if baseline.get(k).exists(_ > 0) => k -> v / baseline(k)
@@ -340,6 +350,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val heapJson = raw.map { case (k, rs) =>
       s"\"" + k + "\":" + rs.map(_._3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // per-rep 1-min loadavg — turbulence adjudication from the artifact
+    val loadJson = raw.map { case (k, rs) =>
+      s"\"" + k + "\":" + rs.map(r => BigDecimal(r._6)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // max across reps: shuffle bytes are plan-determined (reps agree up
     // to AQE wobble); spill is worst-case-relevant
@@ -421,7 +436,7 @@ object Bench {
       s"\"" + k + "\":" + o
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(retriedNames)},"retry_offset":$retryOffsetJson,"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup":"$warmupMode","order":"$order","failed":$failedJson,"retried":${strArr(retriedNames)},"retry_offset":$retryOffsetJson,"runs":$runsJson,"gc_ms":$gcJson,"heap_mb":$heapJson,"load":$loadJson,"shuffle_bytes":$shufJson,"spill_bytes":$spillJson,"warnings":$warnJson,$baselineJson}"""
     val stdoutLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(stdoutLine)

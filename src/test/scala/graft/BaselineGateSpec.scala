@@ -48,11 +48,38 @@ class BaselineGateSpec extends AnyFunSuite {
     assert(r.fail.isEmpty) // noisy needs > 2.0 to even warn
   }
 
-  test("pins under the noise floor are never gated") {
-    val rs = Seq("q_tiny" -> 5.0, "q_big" -> 1.0)
-    val base = Map("q_tiny" -> 0.1, "q_big" -> 1.0)
+  test("measurements under the noise floor are never gated, even at a huge ratio") {
+    // 0.05 s pin measured at 0.25 s (5x) — still inside scheduler
+    // noise; the MEASURED-side floor keeps it silent
+    val rs = (1 to 20).map(i => s"q$i" -> 1.0) :+ ("q_tiny" -> 5.0)
+    val base = ((1 to 20).map(i => s"q$i" -> 1.0) :+ ("q_tiny" -> 0.05)).toMap
     val r = BaselineGate.adjudicate(rs, base, Set.empty)
     assert(r.fail.isEmpty && r.warn.isEmpty)
+    assert(r.gate == "pass")
+  }
+
+  test("a 10x regression on a sub-0.3s pin trips the gate (r16 blind spot)") {
+    // The VERDICT r16 #1 scenario: q_topk_agg pinned at 0.15 s read
+    // ~1.5 s in the driver battery — 10x — and the pin-side floor kept
+    // the gate silent. Measured-side floor: 1.5 s clears 0.3 s, the
+    // normalized ratio ~10 > 2 → fail.
+    val rs = (1 to 20).map(i => s"q$i" -> 1.0) :+ ("q_small_bad" -> 10.0)
+    val base = ((1 to 20).map(i => s"q$i" -> 1.0) :+ ("q_small_bad" -> 0.15)).toMap
+    val r = BaselineGate.adjudicate(rs, base, Set.empty)
+    assert(r.fail == Seq("q_small_bad"))
+    assert(r.gate == "fail")
+  }
+
+  test("sub-0.3s pin at a warn-zone ratio gates only when measured clears the floor") {
+    // 0.15 s pin at 1.9x = 0.285 s measured: under the floor, silent.
+    // 0.25 s pin at 1.9x = 0.475 s measured: over the floor, warns.
+    val rs = (1 to 20).map(i => s"q$i" -> 1.0) ++
+      Seq("q_under" -> 1.9, "q_over" -> 1.9)
+    val base = ((1 to 20).map(i => s"q$i" -> 1.0) ++
+      Seq("q_under" -> 0.15, "q_over" -> 0.25)).toMap
+    val r = BaselineGate.adjudicate(rs, base, Set.empty)
+    assert(r.warn == Seq("q_over"))
+    assert(r.fail.isEmpty)
   }
 
   test("extreme uniform drift escalates to warn_era, not silent pass") {
