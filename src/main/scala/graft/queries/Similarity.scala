@@ -796,6 +796,124 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // MULTI-HOP label propagation to a bounded fixpoint (VERDICT r16
+    // next-round #7; single-hop q_label_prop stays the oracled base).
+    // The seed set is SPARSE — vec_id % 20 == 1, 5% — so propagation
+    // genuinely takes multiple hops (at the driver SFs hops 1/2/3
+    // label 164/274/37 of 475 unlabeled nodes; the %5 rule labels
+    // everything in one hop). Per hop, each still-unlabeled node with
+    // at least one labeled banded neighbor adopts the majority label
+    // of its top-5 labeled candidates by exact cosine (votes DESC,
+    // label ASC tie-break) — and the ADOPTED labels propagate: a
+    // hop-2 node votes with its hop-1 neighbors' adopted labels, not
+    // ground truth. `hop` records when each node was labeled;
+    // `correct` compares against the held-out truth.
+    //
+    // Scale shape: the corpus-wide banded adjacency (payload-free
+    // pair dedup) and the per-edge exact cosines are computed ONCE
+    // and checkpointed — the CC kernel's checkpointed driver-loop
+    // pattern — so each hop is two cheap equi-joins against the edge
+    // table plus a bounded window, never a repeated band join. The
+    // loop is capped at 3 hops and exits early at the fixpoint (a
+    // hop that adopts nothing implies every later hop adopts
+    // nothing, so the early exit is result-invariant — which is what
+    // lets the DuckDB oracle unroll exactly 3 hops as CTEs, the
+    // q_bpe_train pattern).
+    "q_label_prop_multi" -> ((s, d) => {
+      val q = quantized(s, d)
+      val bl = lshBandRows32(q)
+      val adj = bl.as("a").join(bl.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val va = q.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+        col("nq").as("na"))
+      val vb = q.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+        col("nq").as("nb"))
+      val adjc = Checkpoints.ckpt(adj.join(va, "a_id").join(vb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine")))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      val wv = Window.partitionBy(col("a_id"))
+        .orderBy(col("votes").desc, col("lbl").asc)
+      var labeled = Checkpoints.ckpt(q.filter(col("vec_id") % 20 === 1)
+        .select(col("vec_id"), col("label").as("lbl")))
+      var out: Option[DataFrame] = None
+      var done = false
+      for (hop <- 1 to 3 if !done) {
+        val adopted = Checkpoints.ckpt(adjc
+          .join(labeled.withColumnRenamed("vec_id", "b_id"), "b_id")
+          .join(labeled.select(col("vec_id").as("a_id")), Seq("a_id"), "left_anti")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .groupBy(col("a_id"), col("lbl")).agg(count(lit(1)).as("votes"))
+          .withColumn("pr", row_number().over(wv)).filter(col("pr") === 1)
+          .select(col("a_id"), col("lbl"), col("votes"),
+            lit(hop).cast("long").as("hop")))
+        if (adopted.isEmpty) done = true
+        else {
+          labeled = Checkpoints.ckpt(labeled.unionByName(
+            adopted.select(col("a_id").as("vec_id"), col("lbl"))))
+          out = Some(out.map(_.unionByName(adopted)).getOrElse(adopted))
+        }
+      }
+      val truth = q.select(col("vec_id").as("t_id"), col("label"))
+      out.getOrElse(s.range(0).select(col("id").as("a_id"),
+          col("id").cast("int").as("lbl"), col("id").as("votes"),
+          col("id").as("hop")))
+        .join(truth, col("a_id") === col("t_id"))
+        .select(col("a_id").as("vec_id"),
+          col("lbl").cast("long").as("pred_label"), col("votes"), col("hop"),
+          (col("lbl") === col("label")).as("correct"))
+        .orderBy("vec_id")
+    }),
+
+    // Corpus-wide HARD-NEGATIVE mining (VERDICT r16 next-round #8;
+    // q_contrastive_pairs stays the bounded-anchor oracled base):
+    // EVERY vector is an anchor, candidates come from the SAME
+    // lshBandRows32 banding as q_knn_graph/q_label_prop (shared
+    // definition — the three oracled queries cannot drift on the
+    // candidate rule), the hardest positive is the highest-cosine
+    // SAME-label candidate and the hardest negative the
+    // highest-cosine DIFFERENT-label candidate. Anchors whose
+    // buckets lack either side emit no row — identically in both
+    // engines. Scale posture is q_knn_graph's: band bucket-join
+    // (never all-pairs, never a broadcast of the corpus), candidate
+    // pairs deduped PAYLOAD-FREE (16-byte id pairs, not 0.5 KB
+    // vectors), vectors re-attached per side by keyed equi-join, ONE
+    // window over (anchor, is-positive) ranks both sides in a single
+    // pass, and the conditional aggregate pivots the two rank-1 rows
+    // per anchor into one output row.
+    "q_hard_negatives" -> ((s, d) => {
+      val q = quantized(s, d)
+      val bl = lshBandRows32(q)
+      val cands = bl.as("a").join(bl.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val va = q.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+        col("nq").as("na"), col("label").as("a_label"))
+      val vb = q.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+        col("nq").as("nb"), col("label").as("b_label"))
+      val w = Window.partitionBy(col("a_id"), col("is_pos"))
+        .orderBy(col("cosine").desc, col("b_id").asc)
+      cands.join(va, "a_id").join(vb, "b_id")
+        .select(col("a_id"),
+          (col("a_label") === col("b_label")).as("is_pos"), col("b_id"),
+          cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("a_id"))
+        .agg(max(when(col("is_pos"), col("b_id"))).as("pos_id"),
+          max(when(col("is_pos"), col("cosine"))).as("pos_cos"),
+          max(when(!col("is_pos"), col("b_id"))).as("neg_id"),
+          max(when(!col("is_pos"), col("cosine"))).as("neg_cos"))
+        .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+        .orderBy("a_id")
+    }),
+
     // Near-dup CLUSTERS from minhash LSH: the step after
     // q_minhash_pairs that a real dedup pipeline needs — candidate
     // buckets → connected components → one canonical doc per cluster.
@@ -1033,7 +1151,82 @@ object Similarity {
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Shared oracle CTE block: quantized vectors, md5-parity 32-plane
+    * signature, 4×8-bit bands, the corpus-wide banded adjacency (both
+    * directions, a ≠ b), and per-edge exact cosine — the SQL twin of
+    * lshBandRows32 + the keyed cosine re-attach, shared by the
+    * q_label_prop_multi and q_hard_negatives oracles exactly like the
+    * Scala side shares lshBandRows32. */
+  private val lshAdjCtes: String =
+    """WITH q AS (SELECT vec_id, label,
+      |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+      |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+      |contrib AS (SELECT vec_id, j,
+      |    SUM(v * ((STRPOS('0123456789abcdef', SUBSTR(MD5(j || '|' || i), 1, 1)) - 1) % 2 * 2 - 1)) AS s
+      |  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+      |  GROUP BY vec_id, j),
+      |sig AS (SELECT vec_id,
+      |    CAST(SUM(CASE WHEN s >= 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM contrib GROUP BY vec_id),
+      |bd AS (SELECT vec_id, band, (sig // CAST(POW(2, band * 8) AS BIGINT)) % 256 AS bv
+      |       FROM sig CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band)),
+      |adj AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |        FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+      |          AND a.vec_id <> b.vec_id),
+      |pd AS (SELECT c.a_id, c.b_id, CAST(SUM(ea.v * eb.v) AS BIGINT) AS dq
+      |       FROM adj c JOIN e ea ON ea.vec_id = c.a_id
+      |       JOIN e eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+      |       GROUP BY c.a_id, c.b_id),
+      |pc AS (SELECT a_id, b_id,
+      |  ROUND(CAST(dq AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))), 4) + 0 AS cosine
+      |  FROM pd JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id)""".stripMargin
+
+  /** One unrolled propagation hop against the label table `labPrev` —
+    * identical text per hop, so the three unrolled hops cannot drift
+    * from each other (the q_bpe_train unrolled-CTE pattern). */
+  private def labelPropHopSql(labPrev: String): String =
+    s"""(SELECT a_id, lbl, votes FROM (
+       |    SELECT a_id, lbl, votes,
+       |      ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY votes DESC, lbl ASC) AS pr
+       |    FROM (SELECT t.a_id, l.lbl, COUNT(*) AS votes
+       |          FROM (SELECT a_id, b_id FROM (
+       |              SELECT c.a_id, c.b_id,
+       |                ROW_NUMBER() OVER (PARTITION BY c.a_id ORDER BY c.cosine DESC, c.b_id ASC) AS rn
+       |              FROM pc c JOIN $labPrev l0 ON l0.vec_id = c.b_id
+       |              WHERE c.a_id NOT IN (SELECT vec_id FROM $labPrev)) WHERE rn <= 5) t
+       |          JOIN $labPrev l ON l.vec_id = t.b_id GROUP BY 1, 2)) WHERE pr = 1)""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
+    "q_label_prop_multi" ->
+      (lshAdjCtes + s""",
+        |lab0 AS (SELECT vec_id, label AS lbl FROM q WHERE vec_id % 20 = 1),
+        |pred1 AS ${labelPropHopSql("lab0")},
+        |lab1 AS (SELECT vec_id, lbl FROM lab0 UNION ALL SELECT a_id, lbl FROM pred1),
+        |pred2 AS ${labelPropHopSql("lab1")},
+        |lab2 AS (SELECT vec_id, lbl FROM lab1 UNION ALL SELECT a_id, lbl FROM pred2),
+        |pred3 AS ${labelPropHopSql("lab2")}
+        |SELECT p.a_id AS vec_id, CAST(p.lbl AS BIGINT) AS pred_label, p.votes, p.hop,
+        |  p.lbl = qa.label AS correct
+        |FROM (SELECT a_id, lbl, votes, CAST(1 AS BIGINT) AS hop FROM pred1
+        |      UNION ALL SELECT a_id, lbl, votes, CAST(2 AS BIGINT) FROM pred2
+        |      UNION ALL SELECT a_id, lbl, votes, CAST(3 AS BIGINT) FROM pred3) p
+        |JOIN q qa ON qa.vec_id = p.a_id ORDER BY vec_id""".stripMargin),
+    "q_hard_negatives" ->
+      (lshAdjCtes + """,
+        |pcl AS (SELECT pc.a_id, pc.b_id, pc.cosine,
+        |    qa.label AS a_label, qb.label AS b_label
+        |  FROM pc JOIN q qa ON qa.vec_id = pc.a_id
+        |  JOIN q qb ON qb.vec_id = pc.b_id),
+        |pos AS (SELECT a_id, b_id AS pos_id, cosine AS pos_cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pcl WHERE a_label = b_label) WHERE rn = 1),
+        |neg AS (SELECT a_id, b_id AS neg_id, cosine AS neg_cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
+        |  FROM pcl WHERE a_label <> b_label) WHERE rn = 1)
+        |SELECT pos.a_id, pos_id, pos_cos, neg_id, neg_cos
+        |FROM pos JOIN neg ON neg.a_id = pos.a_id ORDER BY pos.a_id""".stripMargin),
     "q_contrastive_pairs" ->
       """WITH q AS (SELECT vec_id, label,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv

@@ -57,7 +57,11 @@ class DeterminismSpec extends SparkTestBase {
     // (majority vote tie-broken (votes DESC, label ASC)), md5-rank
     // contribution cap, two-level bigram vocabulary rollup
     "q_contrastive_pairs", "q_label_prop", "q_contrib_cap",
-    "q_lexical_stats")
+    "q_lexical_stats",
+    // round-17 additions: multi-hop propagation (adopted labels feed
+    // later hops — hop order must not depend on partitioning),
+    // corpus-wide hard-negative mining over the banded adjacency
+    "q_label_prop_multi", "q_hard_negatives")
 
   test("results are bit-identical across shuffle-partition counts") {
     val qs = SparkEntry.queries

@@ -51,6 +51,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("multi-hop label propagation: band bucket-joins only, no cartesian at any hop") {
+    val p = plan(Similarity.queries("q_label_prop_multi")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hard-negative mining: payload-free banded candidates, no cartesian, no corpus broadcast-nested-loop") {
+    val p = plan(Similarity.queries("q_hard_negatives")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("contrastive mining broadcasts the bounded anchor side") {
     val p = plan(Similarity.queries("q_contrastive_pairs")(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin"),
