@@ -94,9 +94,12 @@ object Plans {
       "posexplode inside one projection) — zero exchanges before the " +
       "presentation sort; corpus-linear with a per-row cost cap."),
     "q_editsim" -> ("Edit-distance near-dup: candidates equi-join on " +
-      "the 8-char prefix block (bucket join, never a cartesian); the " +
-      "O(n·m) levenshtein verify runs only on block-collision pairs " +
-      "after the join."),
+      "the (8-char prefix block, width-13 length band) multi-blocking " +
+      "key (bucket join, never a cartesian; the band is " +
+      "exactness-preserving via lev >= |len diff| and splits a hot " +
+      "boilerplate prefix); the O(n·m) levenshtein verify runs only " +
+      "on band-collision pairs that also pass the cheap |len diff| " +
+      "<= 12 filter."),
     "q_contrastive_pairs" -> ("Contrastive pair mining: the bounded " +
       "anchor set broadcasts (BroadcastNestedLoopJoin over the 50-row " +
       "side — linear in the corpus, never corpus²); ONE window over " +
@@ -106,7 +109,32 @@ object Plans {
       "(band, byte) bucket equi-join of the shared 32-plane LSH " +
       "banding — no cartesian anywhere in the plan; vectors re-attach " +
       "to the deduped candidate pairs by keyed equi-join, so the " +
-      "candidate shuffle moves 16-byte id pairs, not vectors."))
+      "candidate shuffle moves 16-byte id pairs, not vectors."),
+    "q_simhash_pairs" -> ("Multi-probe Hamming banding (r17): the " +
+      "probe side explodes each 16-bit band value into 17 keys (exact " +
+      "+ 16 one-bit flips), the anchor side keeps the exact value, " +
+      "and candidates are a (band, key) bucket EQUI-join — never a " +
+      "cartesian, never an all-pairs bit_count; the exact 64-bit " +
+      "Hamming verify runs only on some-band-within-1 collisions " +
+      "(~n^2/964 envelope vs the old 8x8 form's ~n^2/256)."),
+    "q_contrib_cap" -> ("Contribution capping without a window (r17): " +
+      "ONE hash aggregate computes the md5-rank kept set via " +
+      "partial_graft_topk (O(k) state, map-side combine) alongside " +
+      "the plain count/sum partials — no Window, no per-source sort " +
+      "of the raw doc stream; a hot source costs O(k) state per task " +
+      "instead of a full per-key sort buffer."),
+    "q_label_prop_multi" -> ("Multi-hop propagation: the banded " +
+      "adjacency and per-edge cosines materialize ONCE (checkpointed " +
+      "— lineage stays flat across hops); each hop is two equi-joins " +
+      "against that edge table (labeled side + left_anti on labeled) " +
+      "plus per-anchor windows — no band join re-runs, no cartesian " +
+      "at any hop."),
+    "q_hard_negatives" -> ("Corpus-wide hard-negative mining: " +
+      "candidates from the shared 32-plane (band, byte) bucket " +
+      "equi-join with payload-free pair dedup (16-byte id pairs " +
+      "shuffle, vectors re-attach by key); ONE window over " +
+      "(anchor, is-positive) ranks both sides in a single pass — " +
+      "no broadcast of the corpus, no cartesian."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
