@@ -36,7 +36,15 @@ SPREAD_LIMIT = 0.30
 # closing re-pin over b4/b5 extends the surface by the four new
 # operators — fresh-pinned automatically by absence — with no
 # implementation change to any pinned query.)
-FRESH_ONLY = set()
+# r17: the multi-probe 4x16 banding rewrite (q_simhash_pairs/cluster,
+# q_image_neardup(_det)), the non-vacuous q_except (now does real
+# subtraction work), the graft_topk q_contrib_cap, and the
+# length-band-multi-blocked q_editsim all changed plan shape — their
+# old pins measured different implementations. q_label_prop_multi and
+# q_hard_negatives fresh-pin automatically by absence.
+FRESH_ONLY = {"q_simhash_pairs", "q_simhash_cluster", "q_image_neardup",
+              "q_image_neardup_det", "q_except", "q_contrib_cap",
+              "q_editsim"}
 
 
 def battery_mins(path):
