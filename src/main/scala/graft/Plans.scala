@@ -134,7 +134,24 @@ object Plans {
       "equi-join with payload-free pair dedup (16-byte id pairs " +
       "shuffle, vectors re-attach by key); ONE window over " +
       "(anchor, is-positive) ranks both sides in a single pass — " +
-      "no broadcast of the corpus, no cartesian."))
+      "no broadcast of the corpus, no cartesian."),
+    "q_pagerank_multi" -> ("Bounded-fixpoint PageRank: the final hop " +
+      "reads the hop-2 rank state and the once-materialized " +
+      "(src, dst, outdeg) emit table as checkpointed RDD scans " +
+      "(lineage flattened per hop); the hop itself is ONE equi-join " +
+      "hashed on src + one combining inflow aggregate — the rank " +
+      "vector is node-sized state that never broadcasts."),
+    "q_kmeans_multi" -> ("Multi-iteration Lloyd: the iter-2 " +
+      "assignment is BroadcastNestedLoopJoin against the <=16-row " +
+      "UPDATED centroid table (regrouped distributed-side from the " +
+      "checkpointed iter-1 means — never collected), so each pass stays " +
+      "linear in the corpus; the centroid update is one " +
+      "map-side-combining (cell, pos) hash aggregate."),
+    "q_dup_ngrams" -> ("Corpus-level duplicated-ngram fraction: gram " +
+      "doc-frequency from a (doc,gram)-distinct + combining count; " +
+      "the duplicated-gram set returns via a payload-free LeftSemi " +
+      "equi-join on the gram key — the corpus never self-joins and " +
+      "per-doc totals are combining aggregates."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

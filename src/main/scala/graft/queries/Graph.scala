@@ -27,6 +27,62 @@ object Graph {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Full damped PageRank to a BOUNDED FIXPOINT (3 power iterations,
+    // r17 — `q_pagerank_step` below stays the oracled single step):
+    // the undirected order↔supplier co-occurrence graph (each lineitem
+    // pair as two directed edges; even/odd id spaces keep orders and
+    // suppliers disjoint), uniform 10000-bp start, per-hop update
+    // `1500 + 85% of inflow` in exact integer arithmetic. The oracle
+    // unrolls the three identical hop CTEs (the q_bpe_train /
+    // q_label_prop_multi convention for driver-loop operators).
+    //
+    // Scale shape per hop: ONE equi-join of the node-sized rank state
+    // against the pre-materialized (src, dst, outdeg) emit table
+    // (hashed on src), then one map-side-combining aggregate of
+    // contributions by dst — the minimal two-shuffle power-iteration
+    // kernel. Rank is never broadcast, and each hop is checkpointed so
+    // lineage stays flat at any iteration count (the CC-kernel
+    // pattern); the emit table is checkpointed once and reused by all
+    // hops.
+    //
+    // At 100 TB the emit table would be written once as a parquet
+    // table BUCKETED BY src: every hop's join then co-locates against
+    // the bucket layout and only the node-sized rank vector moves per
+    // hop (the GraphX partitioning strategy expressed in storage).
+    // local[32] has no bucket-pruning benefit worth the write, so the
+    // checkpointed in-memory form is used here; the per-hop plan is
+    // identical either way.
+    "q_pagerank_multi" -> ((s, d) => {
+      val pairs = load(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("o"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("sp").as("dst"))
+        .union(pairs.select(col("sp").as("src"), col("o").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // (src, dst, outdeg) materialized ONCE — every hop joins only the
+      // node-sized rank state against this checkpointed emit table
+      val emit = graft.Checkpoints.ckpt(edges.join(deg, "src"))
+      // undirected graph: every node is a src (outdeg >= 1) AND has at
+      // least one in-edge, so the src side of emit IS the node set and
+      // the per-hop inflow aggregate already covers every node — no
+      // left join back to a node list is needed (the oracle keeps one,
+      // defensively; the results are identical on this graph). rank0
+      // derives from the CHECKPOINTED emit, not from deg, whose
+      // lineage would re-run the whole edge build a second time.
+      var rank = emit.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(10000L).as("r"))
+      for (_ <- 1 to 3) {
+        rank = graft.Checkpoints.ckpt(
+          emit.join(rank.select(col("id").as("src"), col("r")), "src")
+            .select(col("dst"), expr("r div outdeg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+            .select(col("dst").as("id"),
+              expr("1500 + (85 * in_c) div 100").as("r")))
+      }
+      rank.select(col("id"), col("r").as("rank_bp")).orderBy("id")
+    }),
+
     // One damped power-iteration step from a uniform rank vector over
     // the order→supplier bipartite edge set. Nodes with no incoming
     // edge have rank 1500 (the teleport floor) and are left implicit;
@@ -81,6 +137,33 @@ object Graph {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pagerank_multi" ->
+      """WITH pr AS (SELECT DISTINCT l_orderkey * 2 AS o,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS sp FROM lineitem),
+        |edges AS (SELECT o AS src, sp AS dst FROM pr
+        |          UNION ALL SELECT sp, o FROM pr),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |r0 AS (SELECT id, CAST(10000 AS BIGINT) AS r FROM nodes),
+        |i1 AS (SELECT e.dst, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_c
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |         JOIN r0 r ON r.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id,
+        |    1500 + (85 * CAST(COALESCE(i.in_c, 0) AS BIGINT)) // 100 AS r
+        |    FROM nodes n LEFT JOIN i1 i ON i.dst = n.id),
+        |i2 AS (SELECT e.dst, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_c
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |         JOIN r1 r ON r.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id,
+        |    1500 + (85 * CAST(COALESCE(i.in_c, 0) AS BIGINT)) // 100 AS r
+        |    FROM nodes n LEFT JOIN i2 i ON i.dst = n.id),
+        |i3 AS (SELECT e.dst, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS in_c
+        |       FROM edges e JOIN deg d ON d.src = e.src
+        |         JOIN r2 r ON r.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.id,
+        |    1500 + (85 * CAST(COALESCE(i.in_c, 0) AS BIGINT)) // 100 AS r
+        |    FROM nodes n LEFT JOIN i3 i ON i.dst = n.id)
+        |SELECT id, r AS rank_bp FROM r3 ORDER BY id""".stripMargin,
     "q_triangles" ->
       """WITH w AS (SELECT DISTINCT doc_id, word FROM
         |  (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word

@@ -265,6 +265,43 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     }),
 
+    // Corpus-level DUPLICATED-NGRAM FRACTION per document (r17 — the
+    // Gopher/Dolma "fraction of n-grams appearing elsewhere in the
+    // corpus" signal; `q_rep_bigram` measures WITHIN-doc repetition,
+    // this measures cross-doc boilerplate): a trigram occurrence is
+    // "duplicated" when its gram appears in >= 2 distinct documents;
+    // per doc we report total trigram occurrences, duplicated
+    // occurrences, and the integer-ppm fraction. Docs with < 3 tokens
+    // have no trigrams and are excluded (no zero denominators).
+    //
+    // Scale shape: gram doc-frequency comes from a (doc_id, gram)
+    // DISTINCT then a map-side-combining count by gram; the duplicated
+    // set flows back via a LEFT SEMI join on the gram key (hashed both
+    // sides, no payload); per-doc totals are two combining aggregates
+    // joined on doc_id. Never a self-join of the corpus, no driver
+    // state; a Zipf-heavy hot gram skews only the df aggregate, which
+    // partial aggregation absorbs.
+    "q_dup_ngrams" -> ((s, d) => {
+      val occ = load(s, d, "documents")
+        .withColumn("toks", expr(tokens))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+            " k -> array_join(slice(toks, k, 3), ' '))" +
+            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+      val dup = occ.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("g"))
+      val tot = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val dc = occ.join(dup, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
+      tot.join(dc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+        .withColumn("dup_ppm", expr("dup_grams * 1000000 div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide top-20 word bigrams WITH multiplicity (collocation
     // counts) — explode + one hash agg + TakeOrderedAndProject.
     "q_ngram_top" -> ((s, d) =>
@@ -1419,6 +1456,21 @@ object Pipeline {
          |SELECT doc_id, lang, n_toks, CAST(cum - n_toks AS BIGINT) AS start_off,
          |  CAST((cum - n_toks) // 256 AS BIGINT) AS shard
          |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |occ AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+         |    k -> toks[k] || ' ' || toks[k + 1] || ' ' || toks[k + 2])) AS g
+         |  FROM t WHERE LEN(toks) >= 3),
+         |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+         |        GROUP BY g HAVING COUNT(*) >= 2),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM occ GROUP BY doc_id),
+         |dc AS (SELECT o.doc_id, COUNT(*) AS dup_grams
+         |       FROM occ o JOIN dup USING (g) GROUP BY o.doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(COALESCE(dc.dup_grams, 0) AS BIGINT) AS dup_grams,
+         |  CAST(COALESCE(dc.dup_grams, 0) AS BIGINT) * 1000000 // t.n_grams AS dup_ppm
+         |FROM tot t LEFT JOIN dc ON dc.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q_ngram_top" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |bg AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),

@@ -533,6 +533,61 @@ object Similarity {
         .orderBy("cell", "pos")
     }),
 
+    // MULTI-ITERATION Lloyd k-means to a bounded fixpoint (r17 —
+    // `q_kmeans_step` above stays the oracled single step; this is the
+    // SemDeDup-style clustering pass run to convergence): iteration 1
+    // assigns every vector to its nearest of the 16 seed centroids
+    // (vec_id < 16) by raw cosine and takes exact per-(cell, dim)
+    // integer means; iteration 2 re-assigns against those UPDATED
+    // centroids (cells whose mean collapsed to the zero vector drop
+    // out — no NaN cosines in either engine) and reports the final
+    // per-(cell, dim) member counts / sums / integer means. The oracle
+    // unrolls both iterations (the q_label_prop_multi convention).
+    //
+    // Scale shape per iteration: centroids are a <=16-row broadcast, so
+    // assignment is broadcast × corpus (linear, one pass, codegen'd
+    // graft_ldot dots); the centroid update is a posexplode + ONE
+    // map-side-combining aggregate on (cell, pos). The iter-1 means are
+    // checkpointed before being regrouped into the iter-2 centroid
+    // arrays (k·dims rows — driver never collects them).
+    "q_kmeans_multi" -> ((s, d) => {
+      val q = quantized(s, d)
+      val wCell = Window.partitionBy(col("v_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      // raw-cosine assignment key + integer mean: same conventions as
+      // q_kmeans_step (see the comments there)
+      def assign(cents: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id").as("v_id"), col("c_id"), col("qv"),
+            (dotQ("qv", "qc").cast("double") /
+              (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+              .as("ccos"))
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") === 1)
+          .select(col("c_id").as("cell"), col("qv"))
+      def means(assigned: DataFrame): DataFrame =
+        assigned.select(col("cell"), posexplode(col("qv")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n_members"), sum(col("col")).as("dim_sum"))
+          .withColumn("mean_q",
+            expr("CASE WHEN dim_sum >= 0 THEN dim_sum DIV n_members" +
+              " ELSE -((-dim_sum) DIV n_members) END"))
+      val cents0 = q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+      val m1 = Checkpoints.ckpt(means(assign(cents0)))
+      val cents1 = m1
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean_q)))," +
+          " x -> x.mean_q)").as("qc"))
+        .withColumn("nc", expr("graft_ldot(qc, qc)"))
+        .filter(col("nc") > 0)
+        .select(col("cell").as("c_id"), col("qc"), col("nc"))
+      means(assign(cents1))
+        .select(col("cell"), col("pos").cast("long").as("pos"),
+          col("n_members"), col("dim_sum"), col("mean_q"))
+        .orderBy("cell", "pos")
+    }),
+
     // MinHash + LSH banding over unigram shingles: 8 min-of-md5-string
     // hashes, 4 bands of 2, bucket summary for buckets holding >1 doc.
     // The hash family is computed inline per (doc_id, word) row (see
@@ -1421,6 +1476,45 @@ object Similarity {
         |  CAST(CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
         |       ELSE -((-SUM(v)) // COUNT(*)) END AS BIGINT) AS mean_q
         |FROM m GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
+    "q_kmeans_multi" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |cd1 AS (SELECT a.vec_id AS v_id, b.vec_id AS c_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |        FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |        GROUP BY a.vec_id, b.vec_id),
+        |cc1 AS (SELECT v_id, c_id,
+        |  CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))) AS ccos
+        |  FROM cd1 JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
+        |assign1 AS (SELECT v_id, c_id AS cell FROM (
+        |    SELECT v_id, c_id, ROW_NUMBER() OVER (PARTITION BY v_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn FROM cc1) WHERE crn = 1),
+        |m1 AS (SELECT a.cell, e.i, COUNT(*) AS n_members,
+        |    CAST(SUM(e.v) AS BIGINT) AS dim_sum,
+        |    CAST(CASE WHEN SUM(e.v) >= 0 THEN SUM(e.v) // COUNT(*)
+        |         ELSE -((-SUM(e.v)) // COUNT(*)) END AS BIGINT) AS mean_q
+        |    FROM assign1 a JOIN e ON e.vec_id = a.v_id GROUP BY a.cell, e.i),
+        |nc1 AS (SELECT cell, CAST(SUM(mean_q * mean_q) AS BIGINT) AS nc
+        |        FROM m1 GROUP BY cell HAVING SUM(mean_q * mean_q) > 0),
+        |cd2 AS (SELECT e.vec_id AS v_id, m.cell AS c_id,
+        |    CAST(SUM(e.v * m.mean_q) AS BIGINT) AS dq
+        |    FROM e JOIN m1 m ON m.i = e.i
+        |    JOIN nc1 ON nc1.cell = m.cell
+        |    GROUP BY e.vec_id, m.cell),
+        |cc2 AS (SELECT v_id, c_id,
+        |  CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc1.nc AS DOUBLE))) AS ccos
+        |  FROM cd2 JOIN n nv ON nv.vec_id = v_id JOIN nc1 ON nc1.cell = c_id),
+        |assign2 AS (SELECT v_id, c_id AS cell FROM (
+        |    SELECT v_id, c_id, ROW_NUMBER() OVER (PARTITION BY v_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn FROM cc2) WHERE crn = 1)
+        |SELECT a.cell, CAST(e.i - 1 AS BIGINT) AS pos, COUNT(*) AS n_members,
+        |  CAST(SUM(e.v) AS BIGINT) AS dim_sum,
+        |  CAST(CASE WHEN SUM(e.v) >= 0 THEN SUM(e.v) // COUNT(*)
+        |       ELSE -((-SUM(e.v)) // COUNT(*)) END AS BIGINT) AS mean_q
+        |FROM assign2 a JOIN e ON e.vec_id = a.v_id
+        |GROUP BY a.cell, e.i ORDER BY cell, pos""".stripMargin,
     "q_minhash_dedup" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),

@@ -241,6 +241,24 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 4, p)
   }
 
+  test("multi-hop pagerank: equi-join hops only, no cartesian, no broadcast rank vector") {
+    val p = plan(graft.queries.Graph.queries("q_pagerank_multi")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("multi-iteration kmeans: the <=16-centroid side broadcasts for both assignment passes") {
+    val p = plan(Similarity.queries("q_kmeans_multi")(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast — assignment is linear in the corpus")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("duplicated-ngram fraction: gram-keyed semi join, never a corpus self-cartesian") {
+    val p = plan(graft.queries.Pipeline.queries("q_dup_ngrams")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("skyline sweep window is brand-stratified — no single-partition exchange") {
     val p = plan(Relational.queries("q_skyline")(spark, sfDir))
     assert(!p.contains("SinglePartition"), p)
