@@ -89,6 +89,81 @@ object Pipeline {
       .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
 
   val queries: Map[String, Q] = Map(
+    // RECIPROCAL RANK FUSION (hybrid retrieval, Cormack et al.'s RRF):
+    // two independent retrieval signals — lexical term frequency for a
+    // fixed query ('join hash scan') and vocabulary richness (distinct
+    // token count) — each rank a top-20 head, and the fused score is
+    // Σ 1e6/(60+rank) over the systems that retrieved the doc, integer
+    // ppm throughout (k=60 is the canonical RRF constant). Scale shape:
+    // each system's head is a TakeOrderedAndProject (never a global
+    // window over the corpus); ranks attach via a broadcast theta
+    // self-join of the BOUNDED 20-row head against itself (rank = 1 +
+    // rows strictly ahead — windowless, 400 comparisons); fusion is a
+    // full outer join of two 20-row sets. At 100 TB the heads come
+    // from index probes (q_bm25 / q_ann_index_probe) and fusion stays
+    // O(heads) — RRF is exactly the op that merges a lexical and a
+    // dense retriever.
+    "q_rrf" -> ((s, d) => {
+      val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
+      def rankedHead(scored: DataFrame, rank: String): DataFrame = {
+        val h = scored.orderBy(col("s").desc, col("doc_id").asc).limit(20)
+        h.as("a").join(broadcast(h.as("b")),
+            col("b.s") > col("a.s") ||
+              (col("b.s") === col("a.s") && col("b.doc_id") < col("a.doc_id")),
+            "left")
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg((count(col("b.doc_id")) + 1).as(rank))
+          .select(col("doc_id"), col(rank))
+      }
+      val lex = rankedHead(docs.select(col("doc_id"),
+        expr("CAST(size(filter(toks, x -> x IN ('join','hash','scan'))) AS BIGINT)")
+          .as("s")), "rank_lex")
+      val voc = rankedHead(docs.select(col("doc_id"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("s")), "rank_voc")
+      lex.join(voc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_voc"),
+          (coalesce(expr("1000000 DIV (60 + rank_lex)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + rank_voc)"), lit(0L))).as("rrf_ppm"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // Deterministic BALANCED SHARD ASSIGNMENT — the write-side op that
+    // spreads token mass evenly over N output shards: docs ranked
+    // globally by (n_toks DESC, doc_id) are dealt to 8 shards in a
+    // SNAKE (boustrophedon) pattern — pass p assigns ascending on even
+    // p, descending on odd — which bounds the token-mass gap between
+    // any two shards by one doc per pass (the classic LPT-style
+    // greedy without iterative state). The global rank is computed
+    // WITHOUT a corpus-wide single-partition window: rank = (offset of
+    // the doc's n_toks value from a values-level running sum, bounded
+    // |distinct n_toks| rows, broadcast back) + (row_number within the
+    // value, PARTITIONED window) — the same two-level ranking that
+    // survives 100 TB, where a bare partition-less window would serialize the
+    // corpus through one task.
+    "q_shard_assign" -> ((s, d) => {
+      val dl = load(s, d, "documents")
+        .select(col("doc_id"), expr(s"CAST(size($tokens) AS BIGINT)").as("n_toks"))
+      // values-level frame: one row per distinct token count (bounded —
+      // token counts, not docs). The descending-rank offset of each
+      // value is an O(nv²) self-join over this metadata-scale frame
+      // (the q_compact_bins prefix-sum convention — NOT a partition-less
+      // running-sum window), broadcast back onto the docs.
+      val vals = dl.groupBy(col("n_toks")).agg(count(lit(1)).as("c"))
+      val offsets = vals.as("a")
+        .join(vals.as("b"), col("b.n_toks") > col("a.n_toks"), "left")
+        .groupBy(col("a.n_toks").as("n_toks"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val wv = Window.partitionBy(col("n_toks")).orderBy(col("doc_id"))
+      dl.join(broadcast(offsets), "n_toks")
+        .withColumn("rn0", col("off") + row_number().over(wv) - 1)
+        .withColumn("shard", expr(
+          "CASE WHEN (rn0 DIV 8) % 2 = 0 THEN rn0 % 8 ELSE 7 - rn0 % 8 END"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+        .orderBy("shard")
+    }),
+
     // Deterministic 2/16 sample, stratified by the md5 of the key (not
     // rand() — reproducible across retries/executors; the same doc ids
     // survive in any engine). First hex digit < '2' keeps 2/16.
@@ -1319,6 +1394,28 @@ object Pipeline {
        |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank_lex
+         |       FROM (SELECT doc_id,
+         |         CAST(LEN(LIST_FILTER(toks, x -> x IN ('join','hash','scan'))) AS BIGINT) AS s FROM t)
+         |       ORDER BY s DESC, doc_id LIMIT 20),
+         |rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank_voc
+         |       FROM (SELECT doc_id,
+         |         CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS s FROM t)
+         |       ORDER BY s DESC, doc_id LIMIT 20)
+         |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_lex, rank_voc,
+         |  COALESCE(1000000 // (60 + rank_lex), 0)
+         |    + COALESCE(1000000 // (60 + rank_voc), 0) AS rrf_ppm
+         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+         |ORDER BY rrf_ppm DESC, doc_id LIMIT 10""".stripMargin,
+    "q_shard_assign" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(LEN($duckToks) AS BIGINT) AS n_toks FROM documents),
+         |r AS (SELECT doc_id, n_toks,
+         |        ROW_NUMBER() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rn0 FROM dl)
+         |SELECT CASE WHEN (rn0 // 8) % 2 = 0 THEN rn0 % 8 ELSE 7 - rn0 % 8 END AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_toks
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_contrib_cap" ->
       """WITH r AS (SELECT source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY source

@@ -381,6 +381,35 @@ object Similarity {
         .orderBy("a_id", "rn")
     }),
 
+    // INT8 SCALAR QUANTIZATION of the embedding corpus — the
+    // storage/serving compression step of an embedding pipeline
+    // (codebook-free counterpart of AnnIndexStore's IVF-PQ): global
+    // [gmin, gmax] over all dimensions from ONE 2-scalar aggregate
+    // (broadcast back), each dimension mapped to its 0..255 code, then
+    // dequantized, and the per-vector squared reconstruction error
+    // reported EXACTLY in the 1e8-quantized integer domain (integer
+    // codes and integer error — no float rounding to diverge between
+    // engines). Row-local map + scalar broadcast — corpus-linear, zero
+    // data-scaled shuffles. int64 envelope: per-dim |err| ≤
+    // span/255 ≲ 2e6 at unit-scale embeddings ⇒ Σerr² ≲ 64·4e12 ≈
+    // 2.6e14 ≪ 2⁶³.
+    "q_quantize_embed" -> ((s, d) => {
+      val q = quantized(s, d)
+      val scal = q.agg(min(expr("array_min(qv)")).as("gmin"),
+        max(expr("array_max(qv)")).as("gmax"))
+      q.crossJoin(broadcast(scal))
+        .withColumn("span", expr("greatest(gmax - gmin, 1L)"))
+        .withColumn("q8", expr("transform(qv, x -> ((x - gmin) * 255) DIV span)"))
+        .withColumn("sse", expr(
+          "aggregate(zip_with(qv, q8, (x, c) -> x - (gmin + (c * span) DIV 255))," +
+            " 0L, (a, e) -> a + e * e)"))
+        .select(col("vec_id"),
+          md5(expr("array_join(transform(q8, x -> CAST(x AS STRING)), ',')")
+            .cast("binary")).as("q8_md5"),
+          col("sse"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup, blocked by label (block-local pairs
     // instead of all-pairs — the blocked-dedup shape that scales).
     "q_embed_neardup" -> ((s, d) => {
@@ -1363,6 +1392,20 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM cos) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_quantize_embed" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT MIN(LIST_MIN(qv)) AS gmin, MAX(LIST_MAX(qv)) AS gmax FROM q),
+        |m AS (SELECT vec_id, qv, gmin, GREATEST(gmax - gmin, 1) AS span FROM q CROSS JOIN s),
+        |c AS (SELECT vec_id, qv, gmin, span,
+        |    LIST_TRANSFORM(qv, x -> ((x - gmin) * 255) // span) AS q8 FROM m)
+        |SELECT vec_id, MD5(ARRAY_TO_STRING(q8, ',')) AS q8_md5,
+        |  CAST(LIST_SUM(LIST_TRANSFORM(
+        |    LIST_TRANSFORM(RANGE(1, LEN(qv) + 1),
+        |      i -> qv[CAST(i AS INT)] - (gmin + (q8[CAST(i AS INT)] * span) // 255)),
+        |    e -> e * e)) AS BIGINT) AS sse
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH q AS (SELECT vec_id, label,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv

@@ -226,6 +226,29 @@ object Text {
         .limit(30)
     }),
 
+    // Character-level GINI–SIMPSON DIVERSITY (a repetition/quality
+    // signal next to q_rep_bigram): with c_l = occurrences of letter l
+    // and n = Σc_l, the probability two randomly drawn letters differ
+    // is (n² − Σc_l²)/n². Unlike Shannon entropy this is exactly
+    // RATIONAL, so the score is integer ppm with no float log to
+    // diverge between engines (the same reason q_sample_weighted uses
+    // a linear priority instead of u^(1/w)). Letter counts are
+    // row-local — 26 codegen'd replace-length diffs, no explode — so
+    // there are ZERO shuffles before the presentation sort. int64
+    // envelope: n²·1e6 < 2⁶³ ⇔ n ≲ 3·10⁶ letters per doc — beyond
+    // that, score fixed-size chunks (q_chunk_docs) instead.
+    "q_char_diversity" -> ((s, d) =>
+      load(s, d, "documents")
+        .withColumn("cnts", expr("transform(sequence(97, 122)," +
+          " c -> CAST(length(text) - length(replace(text, char(c), '')) AS BIGINT))"))
+        .withColumn("n_letters", expr("aggregate(cnts, 0L, (a, x) -> a + x)"))
+        .withColumn("ssq", expr("aggregate(cnts, 0L, (a, x) -> a + x * x)"))
+        .select(col("doc_id"), col("n_letters"),
+          expr("CAST(size(filter(cnts, x -> x > 0)) AS BIGINT)").as("distinct_letters"),
+          expr("(n_letters * n_letters - ssq) * 1000000" +
+            " DIV greatest(n_letters * n_letters, 1)").as("simpson_ppm"))
+        .orderBy("doc_id")),
+
     // UDTF shape (one row → many with ordinal): split each document into
     // sentence-ish chunks on the word 'table', keep the ordinal.
     "q_udtf_sentences" -> ((s, d) =>
@@ -444,6 +467,19 @@ object Text {
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_char_diversity" ->
+      """WITH c AS (SELECT doc_id, LIST_TRANSFORM(RANGE(97, 123), c ->
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, CHR(CAST(c AS INT)), '')) AS BIGINT)) AS cnts
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    CAST(LIST_SUM(cnts) AS BIGINT) AS n_letters,
+        |    CAST(LEN(LIST_FILTER(cnts, x -> x > 0)) AS BIGINT) AS distinct_letters,
+        |    CAST(LIST_SUM(LIST_TRANSFORM(cnts, x -> x * x)) AS BIGINT) AS ssq
+        |  FROM c)
+        |SELECT doc_id, n_letters, distinct_letters,
+        |  (n_letters * n_letters - ssq) * 1000000
+        |    // GREATEST(n_letters * n_letters, 1) AS simpson_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_skipgram" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |p AS (SELECT toks[CAST(i AS INT)] AS w, toks[CAST(i + k AS INT)] AS c,
