@@ -26,6 +26,33 @@ import org.apache.spark.sql.functions._
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Oriented (a < b) minhash band-bucket candidate edges over the
+    * doc_id < 100 block — ONE definition shared by q_triangles and
+    * q_kcore so the structural-analytics queries run on the same
+    * near-dup graph (the shared-definition discipline of
+    * Similarity.lshBandRows32). 8 min-of-md5 hashes, 4 bands of 2;
+    * an edge is a shared band signature. */
+  private def minhashBlockEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val words = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .distinct()
+    val sigs = words
+      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("word"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("word"))
+        .cast("binary"))).as("mh"))
+    val bands = sigs.groupBy(col("doc_id"), expr("i div 2").as("band"))
+      .agg(md5(concat(min(col("mh")), max(col("mh"))).cast("binary")).as("sig"))
+    bands.select(col("doc_id").as("a"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // Full damped PageRank to a BOUNDED FIXPOINT (3 power iterations,
     // r17 — `q_pagerank_step` below stays the oracled single step):
@@ -108,31 +135,48 @@ object Graph {
     // caps the wedge join at low-degree fan-out. Two equi-joins over
     // the checkpointed compact edge list (read 3×), no cartesian.
     "q_triangles" -> ((s, d) => {
-      val docs = load(s, d, "documents").filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("text"))
-      val words = docs
-        .select(col("doc_id"),
-          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
-        .distinct()
-      val sigs = words
-        .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("i"), col("word"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("word"))
-          .cast("binary"))).as("mh"))
-      val bands = sigs.groupBy(col("doc_id"), expr("i div 2").as("band"))
-        .agg(md5(concat(min(col("mh")), max(col("mh"))).cast("binary")).as("sig"))
-      val edges = bands.select(col("doc_id").as("a"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("b"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      val e = graft.Checkpoints.ckpt(edges)
+      val e = graft.Checkpoints.ckpt(minhashBlockEdges(s, d))
       e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
         .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
         .agg(count(lit(1)).as("n_triangles"),
           countDistinct(col("x")).as("n_apex"))
+    }),
+
+    // K-CORE PEELING to a bounded fixpoint — the fourth graph kernel
+    // (CC labels clusters, PageRank ranks, triangles count cohesion;
+    // the k-core is the standard "dense-cluster skeleton" a dedup QA
+    // pass inspects): 3 peel rounds of "drop every node with degree
+    // < 40, then every edge touching a dropped node" over the shared
+    // minhash near-dup edge set, reporting the survivors with their
+    // post-peel degree. Removing a node can drop its neighbors below
+    // the threshold — the cascade is why peeling iterates (measured:
+    // round 2 genuinely removes a node at sf0.01); 3 rounds is the
+    // bounded-fixpoint convention (q_pagerank_multi / q_label_prop_
+    // multi), so the oracle unrolls 3 identical round CTEs.
+    //
+    // Scale shape per round: ONE map-side-combining degree aggregate
+    // over the (checkpointed) edge list + two LEFT SEMI joins of the
+    // edges against the node-sized keep set, both hashed on the edge
+    // endpoint — no broadcast of anything node-sized, no all-pairs.
+    // Each round's edge set is checkpointed (CC-kernel lineage
+    // discipline), so the loop extends to any k / round count.
+    "q_kcore" -> ((s, d) => {
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+      var e = graft.Checkpoints.ckpt(minhashBlockEdges(s, d))
+      for (_ <- 1 to 3) {
+        val keep = degrees(e).filter(col("deg") >= 40).select(col("id"))
+        e = graft.Checkpoints.ckpt(
+          e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+      }
+      degrees(e)
+        .select(col("id").as("doc_id"), col("deg").as("core_deg"))
+        .orderBy("doc_id")
     })
   )
 
@@ -179,6 +223,36 @@ object Graph {
         |SELECT COUNT(*) AS n_triangles, COUNT(DISTINCT e1.a) AS n_apex
         |FROM e e1 JOIN e e2 ON e1.b = e2.a
         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "q_kcore" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM
+        |  (SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |   FROM documents WHERE doc_id < 100)),
+        |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+        |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+        |      GROUP BY doc_id, i),
+        |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+        |      FROM h GROUP BY doc_id, i // 2),
+        |e0 AS (SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+        |       FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
+        |         AND a.doc_id < b2.doc_id),
+        |d1 AS (SELECT id, COUNT(*) AS deg FROM
+        |       (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY id),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a IN (SELECT id FROM d1 WHERE deg >= 40)
+        |         AND b IN (SELECT id FROM d1 WHERE deg >= 40)),
+        |d2 AS (SELECT id, COUNT(*) AS deg FROM
+        |       (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY id),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT id FROM d2 WHERE deg >= 40)
+        |         AND b IN (SELECT id FROM d2 WHERE deg >= 40)),
+        |d3 AS (SELECT id, COUNT(*) AS deg FROM
+        |       (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY id),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a IN (SELECT id FROM d3 WHERE deg >= 40)
+        |         AND b IN (SELECT id FROM d3 WHERE deg >= 40))
+        |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+        |  (SELECT a AS id FROM e3 UNION ALL SELECT b FROM e3)
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_pagerank_step" ->
       """WITH edges AS (
         |  SELECT DISTINCT l_orderkey AS src, l_suppkey AS dst FROM lineitem),

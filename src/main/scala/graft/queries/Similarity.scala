@@ -617,6 +617,37 @@ object Similarity {
         .orderBy("cell", "pos")
     }),
 
+    // CENTROID-DISTANCE OUTLIERS — the embedding-QA pruning step that
+    // pairs with the SemDeDup clustering family: every vector is
+    // assigned to its nearest of the 16 seed centroids (the exact
+    // q_kmeans_step assignment conventions — raw-cosine ordering key,
+    // (ccos DESC, c_id ASC) tie-break) and the 20 vectors FARTHEST
+    // from their own centroid (lowest assigned cosine) are reported —
+    // these are the off-manifold / junk-embedding candidates a
+    // training pipeline reviews or drops. Scale shape: the ≤16-row
+    // centroid table broadcasts, assignment is one linear
+    // broadcast × corpus pass (codegen'd graft_ldot), and the result
+    // is a 20-row TakeOrdered — no corpus-wide shuffle beyond the
+    // per-vector window over the 16 broadcast candidates.
+    "q_centroid_outlier" -> ((s, d) => {
+      val q = quantized(s, d)
+      val cents = q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"), col("nq").as("nc"))
+      val wCell = Window.partitionBy(col("v_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id").as("v_id"), col("c_id"),
+          (dotQ("qv", "qc").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+            .as("ccos"))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") === 1)
+        .select(col("v_id").as("vec_id"), col("c_id").as("cell"),
+          (round(col("ccos"), 4) + lit(0d)).as("cos_r"))
+        .orderBy(col("cos_r").asc, col("vec_id").asc)
+        .limit(20)
+    }),
+
     // MinHash + LSH banding over unigram shingles: 8 min-of-md5-string
     // hashes, 4 bands of 2, bucket summary for buckets holding >1 doc.
     // The hash family is computed inline per (doc_id, word) row (see
@@ -1392,6 +1423,23 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM cos) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_centroid_outlier" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, GENERATE_SUBSCRIPTS(qv, 1) AS i, UNNEST(qv) AS v FROM q),
+        |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nq FROM e GROUP BY vec_id),
+        |cd AS (SELECT a.vec_id AS v_id, b.vec_id AS c_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dq
+        |       FROM e a JOIN e b ON a.i = b.i AND b.vec_id < 16
+        |       GROUP BY a.vec_id, b.vec_id),
+        |cc AS (SELECT v_id, c_id,
+        |  CAST(dq AS DOUBLE) / (SQRT(CAST(nv.nq AS DOUBLE)) * SQRT(CAST(nc.nq AS DOUBLE))) AS ccos
+        |  FROM cd JOIN n nv ON nv.vec_id = v_id JOIN n nc ON nc.vec_id = c_id),
+        |assign AS (SELECT v_id, c_id, ccos FROM (
+        |    SELECT v_id, c_id, ccos, ROW_NUMBER() OVER (PARTITION BY v_id
+        |      ORDER BY ccos DESC, c_id ASC) AS crn FROM cc) WHERE crn = 1)
+        |SELECT v_id AS vec_id, c_id AS cell, ROUND(ccos, 4) + 0 AS cos_r
+        |FROM assign ORDER BY cos_r ASC, vec_id ASC LIMIT 20""".stripMargin,
     "q_quantize_embed" ->
       """WITH q AS (SELECT vec_id,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv

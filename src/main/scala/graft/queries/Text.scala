@@ -315,7 +315,64 @@ object Text {
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // INVERTED-INDEX BUILD — the index-construction counterpart of
+    // q_bm25's query side: per term, document frequency, total term
+    // frequency, and the top-3 posting entries by (tf DESC, doc_id ASC)
+    // as "docid:tf" strings. The postings head uses the O(k)-state
+    // `graft_topk` aggregate (map-side combining, ≤ 2k entries per
+    // partial) — NEVER collect_list of the full posting list, which is
+    // corpus-sized for stopword terms; df/total_tf ride the SAME hash
+    // agg. Two-level rollup: (word, doc) tf first (map-side combining),
+    // then the word-level agg — both shuffles on term-sized keys. At
+    // 100 TB the full (uncapped) index would stream to a term-bucketed
+    // sink instead of capping; the plan shape is identical.
+    "q_inverted_index" -> ((s, d) => {
+      graft.functions.TopKSketch.register(s)
+      val tf = load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+        .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("word"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          expr("graft_topk(concat(lpad(CAST(doc_id AS STRING), 12, '0')," +
+            " ':', CAST(tf AS STRING)), tf, 3)").as("post"))
+        .filter(col("df") >= 10)
+        .select(col("word"), col("df"), col("total_tf"),
+          expr("array_join(transform(post, x -> x.item), ' ')").as("postings"))
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(50)
+    }),
+
+    // TOKENIZER FERTILITY — the vocab-quality diagnostic every
+    // tokenizer report carries: BPE tokens per word (fertility, the
+    // lower the better-adapted the merges) and characters per BPE token
+    // (compression), both integer ppm, per doc, under the same 8-merge
+    // vocabulary as q_bpe_train/apply. The per-doc word/char counts are
+    // row-local; the BPE side falls out of the training loop's final
+    // checkpointed corpus (shared frame — at 100 TB this adds one
+    // doc-keyed equi-join to a pass that already ran, not a new corpus
+    // pass). Only letter-only words count (the BPE alphabet), matching
+    // bpeEncode's filter, so n_words >= 1 ⟺ the doc is in the encoded
+    // corpus and both DIVs have nonzero denominators.
+    "q_tok_fertility" -> ((s, d) => {
+      val bpe = bpeDispatch(s, d, 8)._2
+        .select(col("doc_id"), expr(
+          "CAST(size(regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)) AS BIGINT)")
+          .as("n_bpe"))
+      val words = load(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')").as("ws"))
+        .select(col("doc_id"),
+          expr("CAST(size(ws) AS BIGINT)").as("n_words"),
+          expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"))
+        .filter(col("n_words") > 0)
+      words.join(bpe, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe"),
+          expr("n_bpe * 1000000 DIV n_words").as("fertility_ppm"),
+          expr("n_chars * 1000000 DIV n_bpe").as("chars_per_tok_ppm"))
+        .orderBy("doc_id")
+    })
   )
 
   /** The trainer the registered queries run: strict greedy by default
@@ -464,6 +521,21 @@ object Text {
          |FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1) AS toks FROM e$n)
          |ORDER BY doc_id""".stripMargin
 
+  private def tokFertilityOracle(n: Int): String =
+    bpeChain(n, withFinalE = true) +
+      s""", b AS (SELECT doc_id,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1)) AS BIGINT) AS n_bpe
+         |  FROM e$n),
+         |w AS (SELECT doc_id,
+         |    CAST(LEN(ws) AS BIGINT) AS n_words,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))), 0) AS BIGINT) AS n_chars
+         |  FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
+         |          x -> regexp_full_match(x, '[a-z]+')) AS ws FROM documents))
+         |SELECT doc_id, n_words, n_bpe,
+         |  n_bpe * 1000000 // n_words AS fertility_ppm,
+         |  n_chars * 1000000 // n_bpe AS chars_per_tok_ppm
+         |FROM w JOIN b USING (doc_id) WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
@@ -492,6 +564,19 @@ object Text {
          |GROUP BY w, c, dist ORDER BY cnt DESC, w, c, dist LIMIT 30""".stripMargin,
     "q_bpe_train" -> bpeTrainOracle(8),
     "q_bpe_apply" -> bpeApplyOracle(8),
+    "q_tok_fertility" -> tokFertilityOracle(8),
+    "q_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
+         |tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM t GROUP BY word, doc_id),
+         |a AS (SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+         |      FROM tf GROUP BY word),
+         |p AS (SELECT word, ARRAY_TO_STRING(
+         |        (LIST(LPAD(CAST(doc_id AS VARCHAR), 12, '0') || ':' || CAST(tf AS VARCHAR)
+         |          ORDER BY tf DESC, LPAD(CAST(doc_id AS VARCHAR), 12, '0') ASC))[1:3],
+         |        ' ') AS postings
+         |      FROM tf GROUP BY word)
+         |SELECT word, df, total_tf, postings FROM a JOIN p USING (word)
+         |WHERE df >= 10 ORDER BY df DESC, word LIMIT 50""".stripMargin,
     "q_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |inst AS (SELECT doc_id, toks[k] AS w1, toks[k + 1] AS w2

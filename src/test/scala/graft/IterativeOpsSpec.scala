@@ -108,4 +108,44 @@ class IterativeOpsSpec extends SparkTestBase {
     assert(expected.exists(_._3 > 0))
     assert(expected.exists(t => t._3 < t._2))
   }
+
+  test("q_kcore equals a 3-round driver peel, and the peel removes nodes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent dHash-free recomputation of the shared minhash band
+    // edges: per doc, min md5(i|word) per hash i, bands of 2
+    val bands = docs.flatMap { case (id, text) =>
+      val words = text.split(" ", -1).filter(_.nonEmpty).distinct
+      (0 to 7).map { i =>
+        val mh = words.map(w => md5hex(s"$i|$w")).min
+        (i / 2, id, mh)
+      }
+    }.groupBy { case (band, id, _) => (band, id) }
+      .map { case ((band, id), v) =>
+        val hs = v.map(_._3)
+        (id, band, md5hex(hs.min + hs.max))
+      }
+    var edges = bands.groupBy { case (_, band, sig) => (band, sig) }.values
+      .flatMap(g => for (a <- g; b <- g if a._1 < b._1) yield (a._1, b._1))
+      .toSet
+    for (_ <- 1 to 3) {
+      val deg = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      val keep = deg.collect { case (id, d) if d >= 40 => id }.toSet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val expected = (edges.toSeq.map(_._1) ++ edges.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = graft.queries.Graph.queries("q_kcore")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === expected)
+    // non-vacuous: the peel genuinely removed nodes but not everything
+    assert(expected.nonEmpty && expected.size < docs.length)
+  }
 }
