@@ -1049,6 +1049,36 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // DEDUP SURVIVORSHIP + SOFT-DEDUP WEIGHTS — the policy step AFTER
+    // clustering (q_dedup_cluster stops at labels): per near-dup
+    // cluster, the kept canonical is the highest-QUALITY member
+    // (max n_chars, doc_id tie-break) rather than the arbitrary
+    // min-id, and every member also gets the SoftDeDup-style sampling
+    // weight 1e6/cluster_size for pipelines that downweight duplicates
+    // instead of dropping them. The quality pick is two combining
+    // aggregates + hashed joins on the cluster key (max-quality, then
+    // min-id among the maximal) — never a per-cluster window sort, so
+    // a degenerate corpus-sized cluster costs O(members) not
+    // O(members·log) through one task.
+    "q_dedup_survivor" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val mem = hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+        .join(docs.select(col("doc_id"),
+          coalesce(col("n_chars").cast("long"), lit(0L)).as("nc")), "doc_id")
+        .select(col("doc_id"), col("lbl").as("cluster"), col("nc"))
+      val grp = mem.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("nc")).as("maxc"))
+      val surv = mem.join(grp, "cluster")
+        .filter(col("nc") === col("maxc"))
+        .groupBy(col("cluster")).agg(min(col("doc_id")).as("survivor_id"))
+      mem.join(grp, "cluster").join(surv, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("keep"),
+          expr("1000000 DIV cluster_size").as("weight_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // SEMANTIC dedup clusters (SemDeDup shape): the embedding-cosine
     // candidate pairs of q_embed_neardup fed into the SAME hash-min CC
     // kernel that clusters the minhash candidates — completing
@@ -1745,6 +1775,34 @@ object Similarity {
         |  d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_canon
         |FROM documents d LEFT JOIN c ON c.n = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_survivor" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[k : k + 3], ' ') AS word
+        |      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+        |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+        |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+        |      GROUP BY doc_id, i),
+        |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+        |      FROM h GROUP BY doc_id, i // 2),
+        |e AS (SELECT DISTINCT a.doc_id AS a, b2.doc_id AS b
+        |      FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig),
+        |r AS (SELECT a AS n, a AS lbl FROM (SELECT DISTINCT a FROM e)
+        |      UNION SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.n),
+        |c AS (SELECT n, MIN(lbl) AS cluster FROM r GROUP BY n),
+        |m AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+        |        CAST(COALESCE(d.n_chars, 0) AS BIGINT) AS nc
+        |      FROM documents d LEFT JOIN c ON c.n = d.doc_id),
+        |g AS (SELECT cluster, COUNT(*) AS cluster_size, MAX(nc) AS maxc
+        |      FROM m GROUP BY cluster),
+        |sv AS (SELECT m.cluster, MIN(m.doc_id) AS survivor_id
+        |       FROM m JOIN g ON g.cluster = m.cluster AND m.nc = g.maxc
+        |       GROUP BY m.cluster)
+        |SELECT m.doc_id, m.cluster, g.cluster_size, sv.survivor_id,
+        |  m.doc_id = sv.survivor_id AS keep,
+        |  1000000 // g.cluster_size AS weight_ppm
+        |FROM m JOIN g USING (cluster) JOIN sv USING (cluster)
+        |ORDER BY m.doc_id""".stripMargin,
     "q_semdedup_cluster" ->
       """WITH RECURSIVE q AS (SELECT vec_id, label,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (driver-mandated extension
@@ -22,6 +23,23 @@ object Text {
   type Q = (SparkSession, String) => DataFrame
 
   private val tokens = "filter(split(text, ' '), x -> x <> '')"
+
+  /** Integer-bp quality components + combined score — the ONE scoring
+    * definition shared by q_quality_score and q_ppl_bucket (so the
+    * bucketing cannot drift from the reported score). Row-local. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .withColumn("toks", expr(tokens))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_words"),
+        expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
+        regexp_count(col("text"), lit("[^a-z0-9 \\t\\n\\r]")).cast("long").as("n_punct"))
+      .withColumn("stop_bp", expr("n_stop * 10000 DIV n_words"))
+      .withColumn("punct_bp", expr("n_punct * 10000 DIV len"))
+      .withColumn("len_bp", least(lit(10000L), col("len") * 20))
+      .withColumn("score_bp",
+        expr("(4 * stop_bp + 3 * (10000 - punct_bp) + 3 * len_bp) DIV 10"))
 
   val queries: Map[String, Q] = Map(
     // Word count: tokenize → explode → hash-agg; top-50 is a
@@ -131,21 +149,39 @@ object Text {
     }),
 
     // Quality score: stopword ratio, punctuation ratio, length factor —
-    // combined in integer basis points.
+    // combined in integer basis points (frame shared with q_ppl_bucket).
     "q_quality_score" -> ((s, d) =>
-      load(s, d, "documents")
-        .withColumn("toks", expr(tokens))
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("len"),
-          expr("CAST(size(toks) AS BIGINT)").as("n_words"),
-          expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
-          regexp_count(col("text"), lit("[^a-z0-9 \\t\\n\\r]")).cast("long").as("n_punct"))
-        .withColumn("stop_bp", expr("n_stop * 10000 DIV n_words"))
-        .withColumn("punct_bp", expr("n_punct * 10000 DIV len"))
-        .withColumn("len_bp", least(lit(10000L), col("len") * 20))
-        .withColumn("score_bp",
-          expr("(4 * stop_bp + 3 * (10000 - punct_bp) + 3 * len_bp) DIV 10"))
+      qualityScored(s, d)
+        .drop("lang")
         .orderBy("doc_id")),
+
+    // CCNET-STYLE QUALITY BUCKETING — the head/middle/tail split CCNet
+    // applies per language before keeping only the better tail: docs
+    // rank per lang by (score_bp DESC, doc_id), bucket = rank·3/n_lang,
+    // keep = head+middle. The per-lang rank uses the two-level
+    // values-offset kernel (the q_shard_assign / q_compact_bins
+    // convention): offsets per (lang, score) from a self-join over the
+    // bounded values frame (score_bp ∈ [0, 10⁴] × #langs — metadata-
+    // scale, broadcast back), row_number only within (lang, score) —
+    // never a per-lang global sort through one task.
+    "q_ppl_bucket" -> ((s, d) => {
+      val sc = qualityScored(s, d).select(col("doc_id"), col("lang"), col("score_bp"))
+      val vals = sc.groupBy(col("lang"), col("score_bp")).agg(count(lit(1)).as("c"))
+      val offs = vals.as("a")
+        .join(vals.as("b"), col("a.lang") === col("b.lang") &&
+          col("b.score_bp") > col("a.score_bp"), "left")
+        .groupBy(col("a.lang").as("lang"), col("a.score_bp").as("score_bp"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      val tot = sc.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val wv = Window.partitionBy(col("lang"), col("score_bp")).orderBy(col("doc_id"))
+      sc.join(broadcast(offs), Seq("lang", "score_bp"))
+        .join(broadcast(tot), Seq("lang"))
+        .withColumn("rn0", col("off") + row_number().over(wv) - 1)
+        .withColumn("bucket", expr("(rn0 * 3) DIV n_lang"))
+        .select(col("doc_id"), col("lang"), col("score_bp"), col("bucket"),
+          (col("bucket") < 2).as("keep"))
+        .orderBy("doc_id")
+    }),
 
     // Bigram language-model quality scoring (the CCNet-style LM filter,
     // integer-exact): corpus-wide unigram and bigram counts give an
@@ -673,6 +709,22 @@ object Text {
          |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
          |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 \t\n\r]')) AS BIGINT) AS n_punct
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_ppl_bucket" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  (4 * (n_stop * 10000 // n_words) + 3 * (10000 - n_punct * 10000 // len)
+         |    + 3 * LEAST(10000, len * 20)) // 10 AS score_bp
+         |FROM (SELECT doc_id, lang,
+         |  CAST(LENGTH(text) AS BIGINT) AS len,
+         |  CAST(LEN($duckToks) AS BIGINT) AS n_words,
+         |  CAST(LEN(LIST_FILTER($duckToks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9 \t\n\r]')) AS BIGINT) AS n_punct
+         |  FROM documents)),
+         |r AS (SELECT doc_id, lang, score_bp,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_bp DESC, doc_id) - 1 AS rn0,
+         |        COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM sc)
+         |SELECT doc_id, lang, score_bp, (rn0 * 3) // n_lang AS bucket,
+         |  (rn0 * 3) // n_lang < 2 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_udtf_sentences" ->
       """SELECT doc_id,
         |  CAST(GENERATE_SUBSCRIPTS(parts, 1) - 1 AS BIGINT) AS sent_no,
