@@ -151,7 +151,29 @@ object Plans {
       "doc-frequency from a (doc,gram)-distinct + combining count; " +
       "the duplicated-gram set returns via a payload-free LeftSemi " +
       "equi-join on the gram key — the corpus never self-joins and " +
-      "per-doc totals are combining aggregates."))
+      "per-doc totals are combining aggregates."),
+    "q_shard_assign" -> ("Balanced shard deal (r17 session 3): the " +
+      "global (n_toks DESC, doc_id) rank is the two-level form — " +
+      "value offsets from a self-join over the bounded distinct-" +
+      "token-count frame (broadcast back), row_number only within " +
+      "each value (PARTITIONED window) — no partition-less window, " +
+      "no corpus through one task; the snake deal is row-local " +
+      "arithmetic and the shard rollup one combining aggregate."),
+    "q_kcore" -> ("Bounded-fixpoint k-core peel: each round is ONE " +
+      "map-side-combining degree aggregate over the checkpointed " +
+      "edge list + two LeftSemi joins of the edges against the " +
+      "node-sized keep set, hashed on the endpoint — nothing " +
+      "node-sized broadcasts, lineage stays flat per round."),
+    "q_inverted_index" -> ("Index build without posting blowup: the " +
+      "top-3 postings come from partial_graft_topk (O(k) state, " +
+      "map-side combine) riding the SAME hash aggregate as df/tf — " +
+      "no collect_list of a stopword term's corpus-sized posting " +
+      "list, shuffles only on term-sized keys."),
+    "q_rrf" -> ("Rank fusion over bounded heads: each retrieval " +
+      "signal ends in a 20-row TakeOrderedAndProject (never a global " +
+      "rank window over the corpus); head ranks come from a " +
+      "broadcast theta self-join of the head against itself and " +
+      "fusion is a full outer join of two 20-row sets."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -32,7 +32,7 @@ object Graph {
     * near-dup graph (the shared-definition discipline of
     * Similarity.lshBandRows32). 8 min-of-md5 hashes, 4 bands of 2;
     * an edge is a shared band signature. */
-  private def minhashBlockEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashBlockEdges(s: SparkSession, d: String): DataFrame = {
     val docs = load(s, d, "documents").filter(col("doc_id") < 100)
       .select(col("doc_id"), col("text"))
     val words = docs
@@ -51,6 +51,24 @@ object Graph {
         Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Undirected degrees of an (a, b) edge list — the k-core state. */
+  private[graft] def kcoreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  /** ONE k-core peel round (k = 40): drop nodes under the degree
+    * threshold, then every edge touching a dropped node. One
+    * map-side-combining degree aggregate + two LEFT SEMI joins hashed
+    * on the edge endpoint — package-visible so PlanSpec asserts the
+    * round's physical shape (the loop checkpoints between rounds, so
+    * the full query's final plan only shows the last aggregate). */
+  private[graft] def kcorePeelRound(e: DataFrame): DataFrame = {
+    val keep = kcoreDegrees(e).filter(col("deg") >= 40).select(col("id"))
+    e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -163,18 +181,9 @@ object Graph {
     // Each round's edge set is checkpointed (CC-kernel lineage
     // discipline), so the loop extends to any k / round count.
     "q_kcore" -> ((s, d) => {
-      def degrees(e: DataFrame): DataFrame =
-        e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("deg"))
       var e = graft.Checkpoints.ckpt(minhashBlockEdges(s, d))
-      for (_ <- 1 to 3) {
-        val keep = degrees(e).filter(col("deg") >= 40).select(col("id"))
-        e = graft.Checkpoints.ckpt(
-          e.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
-            .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
-            .select(col("a"), col("b")))
-      }
-      degrees(e)
+      for (_ <- 1 to 3) e = graft.Checkpoints.ckpt(kcorePeelRound(e))
+      kcoreDegrees(e)
         .select(col("id").as("doc_id"), col("deg").as("core_deg"))
         .orderBy("doc_id")
     })

@@ -471,4 +471,39 @@ class PlanSpec extends SparkTestBase {
     // the rank window is cell-partitioned, never partition-less
     assert(!p.matches("(?s).*Window.*partitionBy: \\[\\].*"), p)
   }
+
+  test("shard assignment: global rank via value-partitioned window + broadcast offsets") {
+    val p = plan(graft.queries.Pipeline.queries("q_shard_assign")(spark, sfDir))
+    // the only window is partitioned by the token-count value — the
+    // corpus never serializes through a partition-less global rank
+    assert(!p.contains("Window [") || p.contains("hashpartitioning(n_toks"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("inverted index: postings via partial graft_topk, never a full posting collect") {
+    val p = plan(graft.queries.Text.queries("q_inverted_index")(spark, sfDir))
+    assert(p.contains("partial_graft_topk"), p)
+    assert(!p.toLowerCase.contains("collect_list"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("k-core peel round: left-semi joins against the keep set, nothing cartesian") {
+    // the loop checkpoints between rounds, so the full query's final
+    // plan only shows the last aggregate — assert the round itself
+    val e = graft.queries.Graph.minhashBlockEdges(spark, sfDir)
+    val p = plan(graft.queries.Graph.kcorePeelRound(e))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window ["), p)
+  }
+
+  test("RRF: retrieval heads end in TakeOrdered, no global rank window") {
+    val p = plan(graft.queries.Pipeline.queries("q_rrf")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // ranks come from the bounded head self-join, never a corpus window
+    // (the 20x20 fusion join itself may plan as a tiny SortMergeJoin)
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
