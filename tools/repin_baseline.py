@@ -42,9 +42,12 @@ SPREAD_LIMIT = 0.30
 # length-band-multi-blocked q_editsim all changed plan shape — their
 # old pins measured different implementations. q_label_prop_multi and
 # q_hard_negatives fresh-pin automatically by absence.
-FRESH_ONLY = {"q_simhash_pairs", "q_simhash_cluster", "q_image_neardup",
-              "q_image_neardup_det", "q_except", "q_contrib_cap",
-              "q_editsim"}
+# (r17 session 2's re-pin absorbed the session-1 rewrite set
+# {q_simhash_pairs, q_simhash_cluster, q_image_neardup,
+# q_image_neardup_det, q_except, q_contrib_cap, q_editsim}; the
+# session-3 re-pin has NO implementation-changed pinned queries — the
+# 13 new/unpinned ids fresh-pin automatically by absence.)
+FRESH_ONLY = set()
 
 
 def battery_mins(path):
