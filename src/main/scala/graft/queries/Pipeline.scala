@@ -26,6 +26,21 @@ object Pipeline {
   type Q = (SparkSession, String) => DataFrame
 
   private val tokens = "filter(split(text, ' '), x -> x <> '')"
+
+  /** (doc_id, chunk) rows of the fixed-stride 4-token chunking — ONE
+    * definition shared by q_chunk_dedup and q_dup_histogram.
+    * Size-0 guard: sequence(0, floor(-1/4.0)) = sequence(0, -1) runs
+    * DESCENDING in Spark ([0, -1] → two phantom "" chunks); DuckDB's
+    * RANGE is just empty — an empty/whitespace-only doc must emit no
+    * chunks in both engines. */
+  private def chunked(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .withColumn("toks", expr(tokens))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 1 THEN" +
+          " transform(sequence(0, CAST(floor((size(toks) - 1) / 4.0) AS INT))," +
+          " c -> array_join(slice(toks, c * 4 + 1, 4), ' '))" +
+          " ELSE CAST(array() AS ARRAY<STRING>) END")).as("chunk"))
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** Reassembly segment width (tokens) for `q_substring_strip` — caps the
@@ -721,23 +736,32 @@ object Pipeline {
     // boilerplate-paragraph detector of a real pipeline (shared
     // headers/footers collapse into hot hashes).
     "q_chunk_dedup" -> ((s, d) =>
-      load(s, d, "documents")
-        .withColumn("toks", expr(tokens))
-        // size-0 guard: sequence(0, floor(-1/4.0)) = sequence(0, -1)
-        // runs DESCENDING in Spark ([0, -1] → two phantom "" chunks);
-        // DuckDB's RANGE is just empty — an empty/whitespace-only doc
-        // must emit no chunks in both engines
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 1 THEN" +
-            " transform(sequence(0, CAST(floor((size(toks) - 1) / 4.0) AS INT))," +
-            " c -> array_join(slice(toks, c * 4 + 1, 4), ' '))" +
-            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("chunk"))
+      chunked(s, d)
         .groupBy(md5(col("chunk").cast("binary")).as("h"))
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .filter(col("n_occ") > 1)
         .orderBy("h")),
+
+    // DUPLICATION HISTOGRAM — the dedup-report table every corpus
+    // card carries ("X% of the corpus is duplicated N times"): at
+    // chunk granularity (the SAME 4-token chunking as q_chunk_dedup —
+    // exact doc dups don't exist in this corpus, chunk dups do at
+    // every SF), the distribution of duplicate-group sizes: for each
+    // dup_count, how many distinct chunks occur exactly that often
+    // and how many occurrences they account for. Two map-side-
+    // combining hash aggregates (chunk-keyed then count-keyed) — the
+    // canonical two-level rollup; the second agg's key domain is
+    // O(max dup count), metadata-scale at any corpus size.
+    "q_dup_histogram" -> ((s, d) =>
+      chunked(s, d)
+        .groupBy(md5(col("chunk").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("dup_count"))
+        .groupBy(col("dup_count"))
+        .agg(count(lit(1)).as("n_groups"),
+          (col("dup_count") * count(lit(1))).as("n_occurrences"))
+        .orderBy("dup_count")),
 
     // CONTENT-DEFINED chunking (the FastCDC/rsync shape): chunk
     // boundaries are set by the CONTENT — position i starts a new chunk
@@ -1898,6 +1922,15 @@ object Pipeline {
          |  COALESCE(kept.n_kept, 0) AS n_kept,
          |  MD5(COALESCE(kept.clean, '')) AS clean_md5
          |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dup_histogram" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |ch AS (SELECT doc_id,
+         |    ARRAY_TO_STRING(toks[c * 4 + 1 : c * 4 + 4], ' ') AS chunk
+         |  FROM t, UNNEST(RANGE(0, CAST(FLOOR((LEN(toks) - 1) / 4.0) AS INT) + 1)) AS u(c)),
+         |g AS (SELECT MD5(chunk) AS h, COUNT(*) AS dup_count FROM ch GROUP BY 1)
+         |SELECT dup_count, COUNT(*) AS n_groups,
+         |  dup_count * COUNT(*) AS n_occurrences
+         |FROM g GROUP BY dup_count ORDER BY dup_count""".stripMargin,
     "q_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |ch AS (SELECT doc_id,

@@ -236,6 +236,40 @@ object Text {
         .orderBy("doc_id")
     }),
 
+    // WINNOWING PAIR DETECTION — the MOSS copy-detection step built on
+    // q_winnow's fingerprint sets: candidate document pairs share >= 3
+    // DISCRIMINATIVE fingerprints, where discriminative means document
+    // frequency in [2, 10] — df = 1 cannot pair, df > 10 is corpus
+    // boilerplate whose posting lists go quadratic (the standard
+    // stop-fingerprint filter; the guarantee that any >= 11-char shared
+    // substring contributes a shared fingerprint still holds for
+    // substrings rare enough to matter). Shapes: the fingerprint set is
+    // one codegen'd row-local graft_winnow pass, the df filter one
+    // combining agg + a payload-free LEFT SEMI, the pair count an
+    // equi-join on the fingerprint key — never all-pairs; overlap is
+    // reported in ppm of the smaller fingerprint set (containment).
+    "q_winnow_pairs" -> ((s, d) => {
+      graft.functions.TextExprs.register(s)
+      val fps = load(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), expr("graft_winnow(text, 8, 4)").as("fps"))
+        .filter(col("fps").isNotNull)
+      val nf = fps.select(col("doc_id"), expr("CAST(size(fps) AS BIGINT)").as("n_fp"))
+      val post = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val keep = post.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 10).select(col("fp"))
+      val p = post.join(keep, Seq("fp"), "left_semi")
+      p.as("x").join(p.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .join(nf.select(col("doc_id").as("a"), col("n_fp").as("n_fp_a")), "a")
+        .join(nf.select(col("doc_id").as("b"), col("n_fp").as("n_fp_b")), "b")
+        .select(col("a"), col("b"), col("n_shared"),
+          expr("n_shared * 1000000 DIV least(n_fp_a, n_fp_b)").as("overlap_ppm"))
+        .orderBy("a", "b")
+    }),
+
     // SKIPGRAM pair generation (word2vec/GloVe training input): every
     // (center, context) token pair within window ±2, distance kept, both
     // directions counted — the op that turns a corpus into
@@ -637,6 +671,27 @@ object Text {
         |SELECT doc_id, COUNT(*) AS n_fp,
         |  MD5(ARRAY_TO_STRING(LIST(wmin ORDER BY wmin), '')) AS fp_md5
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH g AS (SELECT doc_id, k AS pos, MD5(SUBSTR(text, k, 8)) AS h
+        |           FROM documents, UNNEST(RANGE(1, LENGTH(text) - 6)) AS u(k)
+        |           WHERE doc_id < 100),
+        |wm AS (SELECT doc_id, pos,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |         MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |       FROM g),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM wm WHERE pos <= maxpos - 3),
+        |nf AS (SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id),
+        |keep AS (SELECT wmin FROM sel GROUP BY wmin
+        |         HAVING COUNT(*) BETWEEN 2 AND 10),
+        |p AS (SELECT s.doc_id, s.wmin FROM sel s JOIN keep USING (wmin)),
+        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        |       FROM p x JOIN p y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT a, b, n_shared,
+        |  n_shared * 1000000 // LEAST(na.n_fp, nb.n_fp) AS overlap_ppm
+        |FROM pr JOIN nf na ON na.doc_id = a JOIN nf nb ON nb.doc_id = b
+        |ORDER BY a, b""".stripMargin,
     "q_bpe_step" ->
       s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
          |pairs AS (SELECT toks[k] || ' ' || toks[k + 1] AS pair
