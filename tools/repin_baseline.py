@@ -80,9 +80,18 @@ def main(paths):
             unstable.append(q)
             spread_pct[q] = round(100 * sp)
 
-    # queries pinned before but absent from the fresh batteries were
-    # deregistered; drop them so the gate's intersection stays honest
-    dropped = sorted(set(old_pins) - set(names))
+    # Queries pinned before but absent from the fresh batteries KEEP
+    # their old pins (r17 session 3: a SUBSET battery re-pin must not
+    # silently drop the other ~200 pins — that happened once and had to
+    # be restored from git). Dropping a deregistered query is an
+    # explicit act: pass --drop-absent when the registry truly shrank.
+    absent = sorted(set(old_pins) - set(names))
+    if "--drop-absent" in sys.argv:
+        dropped = absent
+    else:
+        dropped = []
+        for q in absent:
+            pins[q] = old_pins[q]
 
     total = round(sum(pins.values()), 3)
     meta = {
@@ -126,4 +135,4 @@ def main(paths):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    main([a for a in sys.argv[1:] if not a.startswith("--")])
