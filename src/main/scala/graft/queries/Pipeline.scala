@@ -338,6 +338,56 @@ object Pipeline {
         .limit(10)
     }),
 
+    // RETRIEVAL EVALUATION (MRR / P@10 / recall@10) — the eval harness
+    // every retrieval stack reports, entirely in exact rationals (MRR's
+    // 1/rank is rational; nDCG's log2 is not, so it is deliberately
+    // out): 5 queries = the corpus's highest-df terms, ranking = tf
+    // ordering, pseudo-qrels = the md5-hex-digit deterministic sample
+    // (first digit < '3' ≈ 19% — independent of the tf ranking, so the
+    // first-relevant rank genuinely varies). Per query: total
+    // relevant, hits@10, first relevant rank, reciprocal rank /
+    // precision / recall in ppm. Scale shape: the per-term top-10
+    // comes from the O(k)-state `graft_topk` aggregate (score
+    // tf·10¹² − doc_id encodes the (tf DESC, doc_id ASC) order; tf ≲
+    // 10⁶ keeps it in int64) — NEVER a per-term window sort of a
+    // stopword term's corpus-sized posting list; relevance counts are
+    // map-side-combining aggregates on the same tf frame.
+    "q_eval_mrr" -> ((s, d) => {
+      graft.functions.TopKSketch.register(s)
+      val tf = load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(tokens)).as("word"))
+        .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val qterms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("word").asc).limit(5).select(col("word"))
+      val cand = tf.join(broadcast(qterms), "word")
+        .withColumn("rel",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "3")
+      val nrel = cand.filter(col("rel"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_rel"))
+      val top = cand.groupBy(col("word"))
+        .agg(expr("graft_topk(lpad(CAST(doc_id AS STRING), 12, '0')," +
+          " tf * 1000000000000 - doc_id, 10)").as("tk"))
+        .select(col("word"), posexplode(col("tk")))
+        .select(col("word"), (col("pos") + 1).cast("long").as("rn"),
+          expr("CAST(col.item AS BIGINT)").as("doc_id"))
+        .withColumn("rel",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "3")
+      val hits = top.groupBy(col("word"))
+        .agg(sum(when(col("rel"), lit(1L)).otherwise(lit(0L))).as("hits"),
+          min(when(col("rel"), col("rn"))).as("first_rel"))
+      qterms.join(nrel, Seq("word"), "left").join(hits, Seq("word"), "left")
+        .select(col("word"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("hits"), lit(0L)).as("hits_at10"),
+          coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"))
+        .withColumn("rr_ppm", expr(
+          "CASE WHEN first_rel_rank > 0 THEN 1000000 DIV first_rel_rank ELSE 0L END"))
+        .withColumn("p_at10_ppm", col("hits_at10") * lit(100000L))
+        .withColumn("recall_at10_ppm",
+          expr("hits_at10 * 1000000 DIV greatest(n_rel, 1L)"))
+        .orderBy("word")
+    }),
+
     // Sequence packing: fill 256-token shards in deterministic doc_id
     // order WITHIN each lang stratum (running token count → the shard
     // where each doc starts). Partitioned window — no global sort
@@ -1550,6 +1600,30 @@ object Pipeline {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |    ORDER BY weight DESC, word ASC) AS rn FROM w)
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_eval_mrr" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
+         |tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |qt AS (SELECT word FROM (SELECT word, COUNT(*) AS df FROM tf GROUP BY word)
+         |       ORDER BY df DESC, word LIMIT 5),
+         |cand AS (SELECT t.word, t.doc_id, t.tf,
+         |           SUBSTR(MD5(CAST(t.doc_id AS VARCHAR)), 1, 1) < '3' AS rel
+         |         FROM tf t JOIN qt USING (word)),
+         |top AS (SELECT word, doc_id, rel,
+         |          ROW_NUMBER() OVER (PARTITION BY word ORDER BY tf DESC, doc_id) AS rn
+         |        FROM cand QUALIFY rn <= 10),
+         |nr AS (SELECT word, COUNT(*) AS n_rel FROM cand WHERE rel GROUP BY word),
+         |h AS (SELECT word, COUNT(*) FILTER (WHERE rel) AS hits,
+         |        MIN(CASE WHEN rel THEN rn END) AS first_rel FROM top GROUP BY word)
+         |SELECT q.word, CAST(COALESCE(nr.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at10,
+         |  CAST(COALESCE(h.first_rel, 0) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN COALESCE(h.first_rel, 0) > 0
+         |       THEN 1000000 // h.first_rel ELSE 0 END AS BIGINT) AS rr_ppm,
+         |  CAST(COALESCE(h.hits, 0) * 100000 AS BIGINT) AS p_at10_ppm,
+         |  CAST(COALESCE(h.hits, 0) * 1000000
+         |    // GREATEST(COALESCE(nr.n_rel, 0), 1) AS BIGINT) AS recall_at10_ppm
+         |FROM qt q LEFT JOIN nr USING (word) LEFT JOIN h USING (word)
+         |ORDER BY q.word""".stripMargin,
     "q_bm25" ->
       s"""WITH toks AS (SELECT doc_id, UNNEST($duckToks) AS word FROM documents),
          |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),

@@ -617,6 +617,38 @@ object Similarity {
         .orderBy("cell", "pos")
     }),
 
+    // LATE-INTERACTION MAXSIM — the ColBERT scoring shape: each
+    // 64-dim vector is treated as 8 token-level sub-vectors of 8 dims,
+    // and score(q, d) = Σ_i max_j dot(q_i, d_j) — the sum over query
+    // tokens of the best-matching doc token. Scored on the EXACT
+    // integer quantized dots (unnormalized late interaction), so both
+    // engines agree bit-for-bit with no float sqrt/rounding; int64
+    // envelope: 8-dim dot ≤ 8·(2e8)² ≈ 3.2e17, Σ of 8 maxes ≤ 2.6e18
+    // < 2⁶³. Scale shape: the 5-query side broadcasts, scoring is one
+    // linear corpus pass (row-local 64 sub-dot fold), top-3 per query
+    // via a query-partitioned window over the scored stream — the
+    // q_cosine_topk plan with a richer row-local score.
+    "q_maxsim" -> ((s, d) => {
+      val q = quantized(s, d)
+      val left = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("a_id"), col("qv").as("qa"))
+      val right = q.select(col("vec_id").as("b_id"), col("qv").as("qb"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("maxsim").desc, col("b_id").asc)
+      right.crossJoin(broadcast(left))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), expr(
+          "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + array_max(" +
+            "transform(sequence(0, 7), j -> aggregate(" +
+            "zip_with(slice(qa, i * 8 + 1, 8), slice(qb, j * 8 + 1, 8)," +
+            " (x, y) -> x * y), 0L, (s2, v) -> s2 + v))))").as("maxsim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"), col("maxsim"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("a_id", "rn")
+    }),
+
     // CENTROID-DISTANCE OUTLIERS — the embedding-QA pruning step that
     // pairs with the SemDeDup clustering family: every vector is
     // assigned to its nearest of the 16 seed centroids (the exact
@@ -1453,6 +1485,22 @@ object Similarity {
         |SELECT a_id, b_id, cosine, rn FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id ASC) AS rn
         |  FROM cos) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
+    "q_maxsim" ->
+      """WITH q AS (SELECT vec_id,
+        |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.qv AS qa, b.qv AS qb
+        |      FROM q a JOIN q b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+        |s AS (SELECT a_id, b_id, i, MAX(dot) AS md FROM (
+        |   SELECT a_id, b_id, i, j,
+        |     CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), k ->
+        |       qa[CAST(i * 8 + k AS INT)] * qb[CAST(j * 8 + k AS INT)])) AS BIGINT) AS dot
+        |   FROM p, UNNEST(RANGE(0, 8)) AS u(i), UNNEST(RANGE(0, 8)) AS v(j))
+        |   GROUP BY a_id, b_id, i),
+        |m AS (SELECT a_id, b_id, CAST(SUM(md) AS BIGINT) AS maxsim FROM s GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, maxsim, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY maxsim DESC, b_id ASC) AS rn
+        |  FROM m) WHERE rn <= 3 ORDER BY a_id, rn""".stripMargin,
     "q_centroid_outlier" ->
       """WITH q AS (SELECT vec_id,
         |  LIST_TRANSFORM(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS qv

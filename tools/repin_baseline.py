@@ -90,8 +90,15 @@ def main(paths):
         dropped = absent
     else:
         dropped = []
+        old_unstable = set(old.get("_meta", {}).get("unstable", []))
+        old_spread = old.get("_meta", {}).get("spread_pct", {})
         for q in absent:
             pins[q] = old_pins[q]
+            # instability was derived from the batteries that pinned q;
+            # a subset re-pin that never ran q must not erase it
+            if q in old_unstable:
+                unstable.append(q)
+                spread_pct[q] = old_spread.get(q, 0)
 
     total = round(sum(pins.values()), 3)
     meta = {
