@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_quantize", "scale"))))
     e.injectFunction((
+      FunctionIdentifier("graft_maxsim"),
+      new ExpressionInfo(classOf[MaxSim].getName, "graft_maxsim"),
+      (exprs: Seq[Expression]) => MaxSim(exprs.head, exprs(1),
+        VectorExprs.literalLong(exprs(2), "graft_maxsim", "subDim").toInt)))
+    e.injectFunction((
       FunctionIdentifier("graft_lshsig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),
       (exprs: Seq[Expression]) => LshSig(exprs.head)))

@@ -57,6 +57,87 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_maxsim(qa, qb, subDim)` — ColBERT late-interaction score on
+  * quantized vectors: both arrays are read as consecutive sub-vectors
+  * of `subDim` elements, and the result is Σ over left sub-vectors of
+  * the max dot product against any right sub-vector — exact int64.
+  *
+  * Exists because the declarative form (aggregate over sequence +
+  * array_max ∘ transform ∘ zip_with ∘ slice) is a nested higher-order
+  * chain Spark never compiles; at 64 dims it evaluates 64 sub-dots
+  * through interpreted lambda dispatch per pair (measured 1.9 s at
+  * sf0.1 for 5×5000 pairs). This compiles to three primitive loops
+  * inside whole-stage codegen. An empty right side contributes 0
+  * (the HOF twin returns NULL there; both sides are fixed-width
+  * non-empty at every call site, and VectorExprsSpec pins equality on
+  * the real corpus). */
+case class MaxSim(left: Expression, right: Expression, subDim: Int)
+    extends BinaryExpression {
+  require(subDim > 0, "subDim must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_maxsim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    val nq = xs.length / subDim
+    val nd = ys.length / subDim
+    var total = 0L
+    var i = 0
+    while (i < nq) {
+      var best = Long.MinValue
+      var j = 0
+      while (j < nd) {
+        var s = 0L
+        var k = 0
+        while (k < subDim) { s += xs(i * subDim + k) * ys(j * subDim + k); k += 1 }
+        if (s > best) best = s
+        j += 1
+      }
+      if (nd > 0) total += best
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val nq = ctx.freshName("nq")
+      val nd = ctx.freshName("nd")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val total = ctx.freshName("total")
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $ys = $b.toLongArray();
+         |int $nq = $xs.length / $subDim;
+         |int $nd = $ys.length / $subDim;
+         |long $total = 0L;
+         |for (int $i = 0; $i < $nq; $i++) {
+         |  long $best = java.lang.Long.MIN_VALUE;
+         |  for (int $j = 0; $j < $nd; $j++) {
+         |    long $s = 0L;
+         |    for (int $k = 0; $k < $subDim; $k++) {
+         |      $s += $xs[$i * $subDim + $k] * $ys[$j * $subDim + $k];
+         |    }
+         |    if ($s > $best) $best = $s;
+         |  }
+         |  if ($nd > 0) $total += $best;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_quantize(vec, scale)` — FLOAT/DOUBLE vector → BIGINT vector,
   * `CAST(ROUND(CAST(x AS DOUBLE) * scale, 0) AS BIGINT)` per element.
   *
@@ -340,6 +421,11 @@ object VectorExprs {
       new ExpressionInfo(classOf[QuantizeVec].getName, "graft_quantize"),
       (exprs: Seq[Expression]) => QuantizeVec(exprs.head,
         literalLong(exprs(1), "graft_quantize", "scale")))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_maxsim"),
+      new ExpressionInfo(classOf[MaxSim].getName, "graft_maxsim"),
+      (exprs: Seq[Expression]) => MaxSim(exprs.head, exprs(1),
+        literalLong(exprs(2), "graft_maxsim", "subDim").toInt))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_lshsig"),
       new ExpressionInfo(classOf[LshSig].getName, "graft_lshsig"),

@@ -625,9 +625,13 @@ object Similarity {
     // engines agree bit-for-bit with no float sqrt/rounding; int64
     // envelope: 8-dim dot ≤ 8·(2e8)² ≈ 3.2e17, Σ of 8 maxes ≤ 2.6e18
     // < 2⁶³. Scale shape: the 5-query side broadcasts, scoring is one
-    // linear corpus pass (row-local 64 sub-dot fold), top-3 per query
-    // via a query-partitioned window over the scored stream — the
-    // q_cosine_topk plan with a richer row-local score.
+    // linear corpus pass — the codegen'd `graft_maxsim` expression
+    // (functions.MaxSim; the declarative aggregate∘array_max∘
+    // zip_with∘slice chain is a nested HOF Spark never compiles —
+    // 1.9 s → sub-second at sf0.1, VectorExprsSpec pins bit-equality
+    // with the HOF twin) — then top-3 per query via a
+    // query-partitioned window, the q_cosine_topk plan with a richer
+    // row-local score.
     "q_maxsim" -> ((s, d) => {
       val q = quantized(s, d)
       val left = q.filter(col("vec_id") < 5)
@@ -637,11 +641,8 @@ object Similarity {
         .orderBy(col("maxsim").desc, col("b_id").asc)
       right.crossJoin(broadcast(left))
         .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"), expr(
-          "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + array_max(" +
-            "transform(sequence(0, 7), j -> aggregate(" +
-            "zip_with(slice(qa, i * 8 + 1, 8), slice(qb, j * 8 + 1, 8)," +
-            " (x, y) -> x * y), 0L, (s2, v) -> s2 + v))))").as("maxsim"))
+        .select(col("a_id"), col("b_id"),
+          expr("graft_maxsim(qa, qb, 8)").as("maxsim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("a_id"), col("b_id"), col("maxsim"),

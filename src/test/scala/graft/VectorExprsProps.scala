@@ -54,4 +54,33 @@ object VectorExprsProps extends Properties("VectorExprs") {
         qv == r.getSeq[Long](2) && r.getLong(3) == refSig(qv)
       }
     }
+
+  private val longVec: Gen[Seq[Long]] =
+    Gen.listOfN(64, Gen.chooseNum(-200000000L, 200000000L)).map(_.toSeq)
+
+  private def refMaxSim(xs: Seq[Long], ys: Seq[Long], sub: Int): Long =
+    (0 until xs.length / sub).map { i =>
+      (0 until ys.length / sub).map { j =>
+        (0 until sub).map(k => xs(i * sub + k) * ys(j * sub + k)).sum
+      }.max
+    }.sum
+
+  property("graft_maxsim == the HOF sub-vector fold and a Scala reference, 64-dim") =
+    Prop.forAll(Gen.listOfN(6, Gen.zip(longVec, longVec))) { pairs =>
+      import spark.implicits._
+      val rows = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "qa", "qb")
+        .selectExpr("id", "qa", "qb",
+          "graft_maxsim(qa, qb, 8) AS ms",
+          "aggregate(sequence(0, 7), 0L, (acc, i) -> acc + array_max(" +
+            "transform(sequence(0, 7), j -> aggregate(" +
+            "zip_with(slice(qa, i * 8 + 1, 8), slice(qb, j * 8 + 1, 8)," +
+            " (x, y) -> x * y), 0L, (s2, v) -> s2 + v)))) AS ms_hof")
+        .collect()
+      rows.forall { r =>
+        val (qa, qb) = (r.getSeq[Long](1), r.getSeq[Long](2))
+        r.getLong(3) == r.getLong(4) && r.getLong(3) == refMaxSim(qa, qb, 8)
+      }
+    }
 }
