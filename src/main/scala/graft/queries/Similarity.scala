@@ -74,6 +74,33 @@ object Similarity {
           "'band', b, 'bv', shiftright(sig, b * 8) % 256))")).as("bn"))
       .select(col("vec_id"), col("bn.band").as("band"), col("bn.bv").as("bv"))
 
+  /** (a_id, b_id, est_bp, jac_bp) over the doc_id < 100 banded
+    * candidate set — the 8-hash minhash ESTIMATE next to the exact
+    * Jaccard, ONE definition shared by q_minhash_est and
+    * q_dedup_audit (the audit must score exactly the frame the
+    * estimate query reports). */
+  private def minhashEstFrame(s: SparkSession, d: String): DataFrame = {
+    val dw = docWords(s, d).filter(col("doc_id") < 100)
+    val sigs = minhashSigs(dw)
+    val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sa = sigs.select((col("doc_id").as("a_id") +:
+      (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
+    val sb = sigs.select((col("doc_id").as("b_id") +:
+      (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
+    val est = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("est_bp", expr(s"CAST(10000 * (${(0 until 8)
+        .map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")}) DIV 8 AS BIGINT)"))
+      .select(col("a_id"), col("b_id"), col("est_bp"))
+    exactJaccardBp(est, dw)
+      .select(col("a_id"), col("b_id"), col("est_bp"), col("jac_bp"))
+  }
+
   /** distinct (doc_id, word) pairs of the corpus. Dedup is row-local
     * (`array_distinct` before the explode) — no corpus-wide shuffle. */
   private def docWords(s: SparkSession, d: String): DataFrame =
@@ -721,29 +748,36 @@ object Similarity {
     // production dedup threshold decision needs. Exact verification is
     // the row-local array_intersect on collected token arrays
     // (candidates only), same shape as q_simjoin.
-    "q_minhash_est" -> ((s, d) => {
-      val dw = docWords(s, d).filter(col("doc_id") < 100)
-      val sigs = minhashSigs(dw)
-      val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      val sa = sigs.select((col("doc_id").as("a_id") +:
-        (0 until 8).map(i => col(s"m$i").as(s"a$i"))): _*)
-      val sb = sigs.select((col("doc_id").as("b_id") +:
-        (0 until 8).map(i => col(s"m$i").as(s"b$i"))): _*)
-      val est = cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("est_bp", expr(s"CAST(10000 * (${(0 until 8)
-          .map(i => s"IF(a$i = b$i, 1, 0)").mkString(" + ")}) DIV 8 AS BIGINT)"))
-        .select(col("a_id"), col("b_id"), col("est_bp"))
-      exactJaccardBp(est, dw)
-        .select(col("a_id"), col("b_id"), col("est_bp"), col("jac_bp"))
+    "q_minhash_est" -> ((s, d) =>
+      minhashEstFrame(s, d)
         .withColumn("err_bp", abs(col("est_bp") - col("jac_bp")))
-        .orderBy("a_id", "b_id")
-    }),
+        .orderBy("a_id", "b_id")),
+
+    // DEDUP AUDIT — the measure-your-dedup QA table (the counterpart
+    // of q_ann_recall for the minhash family): over the banded
+    // candidate set, the confusion matrix of the 8-hash minhash
+    // ESTIMATE against the exact Jaccard at the 0.30 dedup threshold,
+    // plus precision / recall / accuracy in ppm (recall here is
+    // within-candidate — the banding's own recall is covered by
+    // q_minhash_pairs' guarantees). Entirely integer (both scores are
+    // already integer bp); ONE combining aggregate over the shared
+    // est-vs-exact frame — the audit costs nothing beyond the
+    // estimate query it audits.
+    "q_dedup_audit" -> ((s, d) =>
+      minhashEstFrame(s, d)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("est_bp") >= 3000 && col("jac_bp") >= 3000, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("est_bp") >= 3000 && col("jac_bp") < 3000, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("est_bp") < 3000 && col("jac_bp") >= 3000, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("est_bp") < 3000 && col("jac_bp") < 3000, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("n_pairs"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000 DIV greatest(tp + fp, 1L)").as("precision_ppm"),
+          expr("tp * 1000000 DIV greatest(tp + fn, 1L)").as("recall_ppm"),
+          expr("(tp + tn) * 1000000 DIV greatest(n_pairs, 1L)").as("accuracy_ppm"))),
 
     // SimHash: 16-bit signature from md5 hex digits, majority vote per
     // bit. Like minhash, the per-(word, j) contribution is a pure
@@ -1735,6 +1769,42 @@ object Similarity {
          |JOIN (SELECT doc_id AS a_id, n AS na FROM sz) USING (a_id)
          |JOIN (SELECT doc_id AS b_id, n AS nb FROM sz) USING (b_id)
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_audit" ->
+      s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
+         |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents WHERE doc_id < 100)),
+         |h AS (SELECT doc_id, i, MIN(MD5(CAST(i AS VARCHAR) || '|' || word)) AS mh
+         |      FROM w CROSS JOIN (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS i)
+         |      GROUP BY doc_id, i),
+         |b AS (SELECT doc_id, i // 2 AS band, MD5(MIN(mh) || MAX(mh)) AS sig
+         |      FROM h GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+         |         FROM b a JOIN b b2 ON a.band = b2.band AND a.sig = b2.sig
+         |           AND a.doc_id < b2.doc_id),
+         |est AS (SELECT c.a_id, c.b_id,
+         |          CAST(10000 * COUNT(CASE WHEN ha.mh = hb.mh THEN 1 END) // 8 AS BIGINT) AS est_bp
+         |        FROM cand c JOIN h ha ON ha.doc_id = c.a_id
+         |        JOIN h hb ON hb.doc_id = c.b_id AND hb.i = ha.i
+         |        GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS i FROM cand c
+         |          JOIN w wa ON wa.doc_id = c.a_id
+         |          JOIN w wb ON wb.doc_id = c.b_id AND wb.word = wa.word
+         |          GROUP BY 1, 2),
+         |f AS (SELECT e.est_bp, i * 10000 // (na + nb - i) AS jac_bp
+         |      FROM est e JOIN inter USING (a_id, b_id)
+         |      JOIN (SELECT doc_id AS a_id, n AS na FROM sz) USING (a_id)
+         |      JOIN (SELECT doc_id AS b_id, n AS nb FROM sz) USING (b_id)),
+         |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(*) FILTER (WHERE est_bp >= 3000 AND jac_bp >= 3000) AS BIGINT) AS tp,
+         |  CAST(COUNT(*) FILTER (WHERE est_bp >= 3000 AND jac_bp < 3000) AS BIGINT) AS fp,
+         |  CAST(COUNT(*) FILTER (WHERE est_bp < 3000 AND jac_bp >= 3000) AS BIGINT) AS fn,
+         |  CAST(COUNT(*) FILTER (WHERE est_bp < 3000 AND jac_bp < 3000) AS BIGINT) AS tn
+         |  FROM f)
+         |SELECT n_pairs, tp, fp, fn, tn,
+         |  tp * 1000000 // GREATEST(tp + fp, 1) AS precision_ppm,
+         |  tp * 1000000 // GREATEST(tp + fn, 1) AS recall_ppm,
+         |  (tp + tn) * 1000000 // GREATEST(n_pairs, 1) AS accuracy_ppm
+         |FROM cm""".stripMargin,
     "q_simhash" ->
       s"""WITH w AS (SELECT DISTINCT doc_id, word FROM
          |  (SELECT doc_id, UNNEST($duckToks) AS word FROM documents)),
