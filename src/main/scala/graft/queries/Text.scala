@@ -446,13 +446,22 @@ object Text {
   )
 
   /** The trainer the registered queries run: strict greedy by default
-    * (oracle-exact), batched when `spark.graft.bpe.batchK` > 1. */
+    * (oracle-exact), batched when `spark.graft.bpe.batchK` > 1, and a
+    * realistic merge budget behind `spark.graft.bpe.merges` (default is
+    * the caller's budget — 8 for the oracled queries, so setting the
+    * conf is the explicit opt-in that diverges from the unrolled-CTE
+    * oracle). A real tokenizer trains tens of thousands of merges; the
+    * loop early-exits when the corpus runs out of pairs, so any budget
+    * is safe, and the pass count stays ≈ merges / batchK. */
   private def bpeDispatch(s: SparkSession, d: String, nMerges: Int)
-  : (Seq[(Int, String, String, String, Long)], DataFrame) =
+  : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val budget = s.conf.getOption("spark.graft.bpe.merges").map(_.toInt)
+      .filter(_ >= 1).getOrElse(nMerges)
     s.conf.getOption("spark.graft.bpe.batchK").map(_.toInt).filter(_ > 1) match {
-      case Some(k) => val (m, e, _) = bpeLoopBatched(s, d, nMerges, k); (m, e)
-      case None    => bpeLoop(s, d, nMerges)
+      case Some(k) => val (m, e, _) = bpeLoopBatched(s, d, budget, k); (m, e)
+      case None    => bpeLoop(s, d, budget)
     }
+  }
 
   /** The paren-encoded corpus the BPE fixpoint iterates over. */
   private[graft] def bpeEncode(s: SparkSession, d: String): DataFrame =

@@ -61,6 +61,112 @@ class BatchedBpeSpec extends SparkTestBase {
       s"expected fewer rounds, got ${sizes4.length} vs ${sizes1.length}")
   }
 
+  // ---- driver-side reference trainer --------------------------------
+  // A pure-Scala re-implementation of the SAME training semantics
+  // (snapshot pair counts, (cnt DESC, l, r) argmax, token-disjoint
+  // batch, chained left-to-right non-overlapping replace, early exit on
+  // pair exhaustion) over the collected corpus. Java's
+  // String.replace(CharSequence, ...) is left-to-right non-overlapping —
+  // identical to Spark's `replace` — so merge tables AND final corpora
+  // must be bit-equal at any merge budget. This is the realistic-scale
+  // anchor: 256 merges, far beyond the 8-merge oracled prefix.
+  private def driverBpe(corpus0: Map[Long, String], nMerges: Int, batchK: Int)
+  : (Seq[(Int, String, String, String, Long)], Map[Long, String], Seq[Int]) = {
+    val tokRe = "\\(([a-z]+)\\)".r
+    var corpus = corpus0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    val sizes = Seq.newBuilder[Int]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.valuesIterator.foreach { enc =>
+        val toks = tokRe.findAllMatchIn(enc).map(_.group(1)).toArray
+        var i = 0
+        while (i + 1 < toks.length) {
+          val k = (toks(i), toks(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val top = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }
+          .take(math.max(1, batchK * 4))
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = top.iterator
+          .map { case ((l, r), c) => (l, r, c) }
+          .filter { case (l, r, _) =>
+            val toks = Set(l, r, l + r)
+            if (toks.exists(used)) false else { used ++= toks; true }
+          }
+          .take(math.min(batchK, nMerges - step + 1)).toSeq
+        sel.foreach { case (l, r, c) =>
+          merges += ((step, l, r, l + r, c)); step += 1
+        }
+        sizes += sel.length
+        corpus = corpus.map { case (id, enc) =>
+          id -> sel.foldLeft(enc) { case (e, (l, r, _)) =>
+            e.replace(s"($l)($r)", s"(${l + r})")
+          }
+        }
+      }
+    }
+    (merges.result(), corpus, sizes.result())
+  }
+
+  private def collectCorpus(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("256 merges, batchK=16: Spark trainer == driver-side reference " +
+    "(merge table, round sizes, final corpus all bit-equal)") {
+    val budget = 256
+    val (sparkMerges, sparkEnc, sparkSizes) =
+      Text.bpeLoopBatched(spark, sfDir, budget, 16)
+    val corpus0 = collectCorpus(Text.bpeEncode(spark, sfDir))
+    val (refMerges, refCorpus, refSizes) = driverBpe(corpus0, budget, 16)
+    assert(sparkMerges.length >= 200,
+      s"corpus exhausted too early for a meaningful test: ${sparkMerges.length}")
+    assert(sparkMerges == refMerges)
+    assert(sparkSizes == refSizes)
+    assert(collectCorpus(sparkEnc.select(col("doc_id"), col("enc"))) == refCorpus)
+    // the whole point of batching: far fewer corpus passes than merges.
+    // The disjoint filter can't always fill 16 from a 64-pair snapshot,
+    // so allow headroom — measured: 22 rounds for 256 merges (11.6×
+    // fewer passes than strict greedy).
+    assert(sparkSizes.length <= budget / 8,
+      s"expected <= ${budget / 8} rounds, got ${sparkSizes.length}")
+  }
+
+  test("strict greedy (batchK=1) == driver-side strict greedy at 24 merges") {
+    val budget = 24
+    val (sparkMerges, sparkEnc, _) = Text.bpeLoopBatched(spark, sfDir, budget, 1)
+    val corpus0 = collectCorpus(Text.bpeEncode(spark, sfDir))
+    val (refMerges, refCorpus, _) = driverBpe(corpus0, budget, 1)
+    assert(sparkMerges == refMerges)
+    assert(collectCorpus(sparkEnc.select(col("doc_id"), col("enc"))) == refCorpus)
+  }
+
+  test("spark.graft.bpe.merges raises the registered queries' budget; " +
+    "unset keeps the oracled 8-merge prefix") {
+    val base = SparkEntry.queries("q_bpe_train")(spark, sfDir).collect()
+    assert(base.length <= 8)
+    try {
+      spark.conf.set("spark.graft.bpe.merges", "40")
+      spark.conf.set("spark.graft.bpe.batchK", "8")
+      val wide = SparkEntry.queries("q_bpe_train")(spark, sfDir).collect()
+      assert(wide.length == 40)
+      // the widened run extends the strict prefix's head pick (same
+      // snapshot → same argmax)
+      assert(wide.head.getString(1) == base.head.getString(1) &&
+        wide.head.getString(2) == base.head.getString(2))
+    } finally {
+      spark.conf.unset("spark.graft.bpe.merges")
+      spark.conf.unset("spark.graft.bpe.batchK")
+    }
+  }
+
   test("strict greedy (batchK=1) drives the oracled queries: table shape sane") {
     val df = SparkEntry.queries("q_bpe_train")(spark, sfDir)
     val rows = df.collect()
