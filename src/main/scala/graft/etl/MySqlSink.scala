@@ -129,8 +129,8 @@ object MySqlSink {
        |  body CLOB,
        |  graft_seq BIGINT GENERATED ALWAYS AS IDENTITY)""".stripMargin)
 
-  private def dropBestEffort(url: String, user: String, password: String,
-                             table: String): Unit =
+  private[graft] def dropBestEffort(url: String, user: String, password: String,
+                                    table: String): Unit =
     try bootstrap(url, user, password, Seq(s"DROP TABLE $table"))
     catch { case _: java.sql.SQLException => () }
 
@@ -143,13 +143,6 @@ object MySqlSink {
   def promoteStage(url: String, user: String, password: String,
                    target: String, stage: String,
                    cols: Seq[String], pk: Seq[String]): Long = {
-    require(pk.nonEmpty && cols.nonEmpty)
-    val pkEq = (alias: String) => pk.map(c => s"$alias.$c = s.$c").mkString(" AND ")
-    val sql =
-      s"""INSERT INTO $target (${cols.mkString(", ")})
-         |SELECT ${cols.map("s." + _).mkString(", ")} FROM $stage s
-         |WHERE s.graft_seq = (SELECT MIN(s2.graft_seq) FROM $stage s2 WHERE ${pkEq("s2")})
-         |  AND NOT EXISTS (SELECT 1 FROM $target t WHERE ${pkEq("t")})""".stripMargin
     val props = new java.util.Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
@@ -157,9 +150,63 @@ object MySqlSink {
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      val n = try st.executeUpdate(sql) finally st.close()
+      val n = try st.executeUpdate(promoteSql(target, stage, cols, pk)) finally st.close()
       conn.commit()
       n.toLong
+    } catch {
+      case e: Throwable => try conn.rollback() finally (); throw e
+    } finally conn.close()
+  }
+
+  private def promoteSql(target: String, stage: String,
+                         cols: Seq[String], pk: Seq[String]): String = {
+    require(pk.nonEmpty && cols.nonEmpty)
+    val pkEq = (alias: String) => pk.map(c => s"$alias.$c = s.$c").mkString(" AND ")
+    s"""INSERT INTO $target (${cols.mkString(", ")})
+       |SELECT ${cols.map("s." + _).mkString(", ")} FROM $stage s
+       |WHERE s.graft_seq = (SELECT MIN(s2.graft_seq) FROM $stage s2 WHERE ${pkEq("s2")})
+       |  AND NOT EXISTS (SELECT 1 FROM $target t WHERE ${pkEq("t")})""".stripMargin
+  }
+
+  /** [[promoteStage]] plus a commit LEDGER row, in the SAME transaction —
+    * the streaming-sink primitive (`streaming/StreamingJdbc`): a
+    * micro-batch's promotion and its "(target, batch_id) is done" record
+    * become visible atomically, so a restarted stream that replays the
+    * batch sees the ledger row and skips (returns None) instead of
+    * double-promoting. Crash before commit rolls BOTH back — the replay
+    * then promotes cleanly. The ledger PK (target, batch_id) makes even
+    * a two-writer race safe: the loser's ledger INSERT violates the PK
+    * and the whole transaction (promotion included) rolls back. */
+  def promoteStageLedgered(url: String, user: String, password: String,
+                           target: String, stage: String,
+                           cols: Seq[String], pk: Seq[String],
+                           ledger: String, batchId: Long): Option[Long] = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val check = conn.prepareStatement(
+        s"SELECT 1 FROM $ledger WHERE target = ? AND batch_id = ?")
+      val already = try {
+        check.setString(1, target); check.setLong(2, batchId)
+        val rs = check.executeQuery()
+        try rs.next() finally rs.close()
+      } finally check.close()
+      if (already) { conn.rollback(); None }
+      else {
+        val st = conn.createStatement()
+        val n = try st.executeUpdate(promoteSql(target, stage, cols, pk)) finally st.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $ledger (target, batch_id, n_rows) VALUES (?, ?, ?)")
+        try {
+          ins.setString(1, target); ins.setLong(2, batchId); ins.setLong(3, n.toLong)
+          ins.executeUpdate()
+        } finally ins.close()
+        conn.commit()
+        Some(n.toLong)
+      }
     } catch {
       case e: Throwable => try conn.rollback() finally (); throw e
     } finally conn.close()
