@@ -29,7 +29,38 @@ class SimilaritySpec extends SparkTestBase {
     // and with 16 random hyperplanes it should still find the true top-1
     // for a non-trivial fraction of queries
     val hits = ann.count { case (a, (b, _)) => bf(a)._1 == b }
-    assert(hits >= ann.size / 5, s"recall@1 too low: $hits/${ann.size}")
+    // multi-probe (r18) lifted measured recall@1 well past the old /5
+    // single-probe floor — hold the stronger line
+    assert(hits >= ann.size / 2, s"recall@1 too low: $hits/${ann.size}")
+  }
+
+  test("multi-probe vs single-probe (q_ann_lsh_probes): recall strictly " +
+    "improves, candidate budget bounded, per-candidate efficiency holds") {
+    val rows = Similarity.queries("q_ann_lsh_probes")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val single = rows.filter(_._1 == "single")
+    val multi = rows.filter(_._1 == "multi")
+    assert(single.length == 10 && multi.length == 10)
+    // superset monotonicity, per probe: multi explores at least single's
+    // candidates (i = 0 IS the single probe)
+    val sc = single.map(r => r._2 -> r._3).toMap
+    val sh = single.map(r => r._2 -> r._4).toMap
+    multi.foreach { case (_, a, c, h) =>
+      assert(c >= sc(a), s"probe $a: multi candidates $c < single ${sc(a)}")
+      assert(h >= sh(a), s"probe $a: multi hits $h < single ${sh(a)}")
+      // probe-count budget: ≤ 5 bucket lookups per band vs 1
+      assert(c <= 5 * math.max(sc(a), 1),
+        s"probe $a: multi candidates $c blow the 5× budget over ${sc(a)}")
+    }
+    // strict overall improvement at the same corpus index
+    val (sCand, sHits) = (single.map(_._3).sum, single.map(_._4).sum)
+    val (mCand, mHits) = (multi.map(_._3).sum, multi.map(_._4).sum)
+    assert(mHits > sHits, s"recall did not improve: $mHits vs $sHits")
+    // equal-budget efficiency: the extra candidates pull their weight —
+    // hits per candidate inspected stays within 2× of single-probe
+    // (measured 0.68× at sf0.001, 1.0× at sf0.01)
+    assert(mHits.toDouble / mCand >= 0.5 * (sHits.toDouble / math.max(sCand, 1)),
+      s"multi probes wasted their budget: $mHits/$mCand vs $sHits/$sCand")
   }
 
   test("minhash/simhash plans carry no broadcast and no join (inline hash family)") {
