@@ -27,12 +27,23 @@ object WikiText {
       text: String,
       removeHtml: Boolean = true,
       valid: Seq[(Int, Int)] = Nil,
+      invalid: Seq[(Int, Int)] = Nil): String =
+    collapseWhitespace(cleanWikiBodyPreCollapse(text, removeHtml, valid, invalid))
+
+  /** Stages 1–4 only (everything before the A5e collapse) — exposed so
+    * `q_wiki_clean` can run the collapse as the codegen'd
+    * `graft_collapse_ws` expression instead of inside the interpreted
+    * UDF (VERDICT r17 #5); `cleanWikiBody == collapseWhitespace ∘ this`
+    * by construction. */
+  def cleanWikiBodyPreCollapse(
+      text: String,
+      removeHtml: Boolean = true,
+      valid: Seq[(Int, Int)] = Nil,
       invalid: Seq[(Int, Int)] = Nil): String = {
     val t0 = if (text == null) "" else text
     val t1 = if (removeHtml) decodeHtmlEntities(t0) else t0
     val t2 = removeMarkup(t1)
-    val t3 = filterChars(filterChars(t2, valid, keepInside = true), invalid, keepInside = false)
-    collapseWhitespace(t3)
+    filterChars(filterChars(t2, valid, keepInside = true), invalid, keepInside = false)
   }
 
   /** `#REDIRECT [[target]]` — anchored at the start and case-sensitive,
@@ -245,8 +256,31 @@ object WikiText {
   /** Whitespace-run collapse where the FIRST whitespace char wins:
     * `re.sub(r"(\s)\s*", r"\g<1>", text)` — so `"a\n  b"` → `"a\nb"` but
     * `"a \nb"` → `"a b"` (`/root/reference/filters.py:48-50,63`).
-    * `(?U)` makes Java's `\s` Unicode-aware like Python 3's — NBSP and
-    * friends collapse in the reference, so they must collapse here. */
-  def collapseWhitespace(text: String): String =
+    * Single primitive scan with the exact `(?U)\s` predicate
+    * (Unicode White_Space=Yes, so NBSP collapses like in Python 3) —
+    * bit-equal to [[collapseWhitespaceRegex]] on arbitrary input
+    * (WikiTextProps) and shared with the codegen'd `graft_collapse_ws`
+    * expression via [[graft.functions.TextExprs.isWsU]]. */
+  def collapseWhitespace(text: String): String = {
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var inRun = false
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (graft.functions.TextExprs.isWsU(cp)) {
+        if (!inRun) out.appendCodePoint(cp)
+        inRun = true
+      } else {
+        out.appendCodePoint(cp)
+        inRun = false
+      }
+      i += Character.charCount(cp)
+    }
+    out.toString
+  }
+
+  /** The reference regex form of [[collapseWhitespace]] — kept as the
+    * property-test twin pinning the scan's semantics. */
+  private[graft] def collapseWhitespaceRegex(text: String): String =
     text.replaceAll("(?U)(\\s)\\s*", "$1")
 }

@@ -76,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_cdc_starts", "gram").toInt)))
     e.injectFunction((
+      FunctionIdentifier("graft_collapse_ws"),
+      new ExpressionInfo(classOf[CollapseWs].getName, "graft_collapse_ws"),
+      (exprs: Seq[Expression]) => CollapseWs(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_filter"),
+      new ExpressionInfo(classOf[CharFilter].getName, "graft_char_filter"),
+      (exprs: Seq[Expression]) => CharFilter(
+        exprs.head,
+        VectorExprs.literalString(exprs(1), "graft_char_filter", "spec"),
+        VectorExprs.literalBool(exprs(2), "graft_char_filter", "keepInside"))))
+    e.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(

@@ -173,6 +173,60 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * hex digit '0') — bit-identical to the HOF form and its DuckDB
   * oracle (CdcSpec pins the equality on the corpus). NULL when the
   * text is shorter than one gram. */
+/** A5e whitespace-run collapse (`/root/reference/filters.py:48-50,63`:
+  * `re.sub(r"(\s)\s*", r"\g<1>", text)`) as one primitive scan per row —
+  * VERDICT r17 #5: the reference pipeline's collapse stage was a Java
+  * regex `replaceAll("(?U)(\\s)\\s*", "$1")` inside the interpreted
+  * cleanWikiBody UDF, the engine's last interpreted hot ETL path. The
+  * scan keeps the FIRST whitespace char of each run, with the EXACT
+  * `(?U)\s` predicate (Unicode White_Space=Yes — NBSP collapses, as in
+  * Python 3); WikiTextProps proves bit-equality against the regex form
+  * on arbitrary input AND the predicate exhaustively over the BMP. */
+case class CollapseWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_collapse_ws"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.collapseWs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.collapseWs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** A5d unicode range filter (`/root/reference/filters.py:25-46`) as one
+  * primitive codepoint scan per row — `graft_char_filter(s, '48-57,97-122',
+  * keep)`: keep = true whitelists (delete codepoints OUTSIDE the
+  * ranges), false blacklists (delete members). Empty spec is a no-op in
+  * BOTH modes, matching `WikiText.filterChars` (the reference skips the
+  * pass when no ranges are configured — an empty whitelist must not
+  * delete the document). Ranges are parsed once at plan time and
+  * embedded as reference objects, so the per-row loop is branch + array
+  * probe, fully inside whole-stage codegen. */
+case class CharFilter(child: Expression, spec: String, keepInside: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_char_filter"
+
+  private lazy val (los, his) = TextExprs.parseRanges(spec)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.charFilter(input.asInstanceOf[UTF8String], los, his, keepInside)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val losRef = ctx.addReferenceObj("los", los, "int[]")
+    val hisRef = ctx.addReferenceObj("his", his, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.charFilter($c, $losRef, $hisRef, $keepInside);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CdcStarts(child: Expression, gram: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -412,11 +466,85 @@ object TextExprs {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_collapse_ws"),
+      new ExpressionInfo(classOf[CollapseWs].getName, "graft_collapse_ws"),
+      (exprs: Seq[Expression]) => CollapseWs(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_char_filter"),
+      new ExpressionInfo(classOf[CharFilter].getName, "graft_char_filter"),
+      (exprs: Seq[Expression]) => CharFilter(
+        exprs.head,
+        VectorExprs.literalString(exprs(1), "graft_char_filter", "spec"),
+        VectorExprs.literalBool(exprs(2), "graft_char_filter", "keepInside")))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "graft_cdc_starts"),
       (exprs: Seq[Expression]) => CdcStarts(
         exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_cdc_starts", "gram").toInt))
+  }
+
+  /** Unicode White_Space=Yes — the exact predicate of `(?U)\s` (Java
+    * UNICODE_CHARACTER_CLASS mode), NOT `Character.isWhitespace` (which
+    * excludes NBSP/NNBSP) and NOT `isSpaceChar` (which excludes \t\n).
+    * Exhaustively checked against the regex over the whole BMP in
+    * WikiTextProps. */
+  def isWsU(cp: Int): Boolean =
+    (cp >= 0x9 && cp <= 0xd) || cp == 0x20 || cp == 0x85 || cp == 0xa0 ||
+      cp == 0x1680 || (cp >= 0x2000 && cp <= 0x200a) || cp == 0x2028 ||
+      cp == 0x2029 || cp == 0x202f || cp == 0x205f || cp == 0x3000
+
+  /** See [[CollapseWs]]: first whitespace char of each run wins. */
+  def collapseWs(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inRun = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isWsU(cp)) {
+        if (!inRun) out.appendCodePoint(cp)
+        inRun = true
+      } else {
+        out.appendCodePoint(cp)
+        inRun = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Parse a '48-57,97-122' range spec (empty → no ranges). */
+  def parseRanges(spec: String): (Array[Int], Array[Int]) = {
+    val parts = spec.split(',').map(_.trim).filter(_.nonEmpty)
+    val pairs = parts.map { p =>
+      val Array(lo, hi) = p.split('-').map(_.trim.toInt)
+      require(lo <= hi, s"graft_char_filter: bad range $p")
+      (lo, hi)
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** See [[CharFilter]]: empty ranges are a NO-OP in both modes
+    * (matching etl.WikiText.filterChars). */
+  def charFilter(text: UTF8String, los: Array[Int], his: Array[Int],
+                 keepInside: Boolean): UTF8String = {
+    if (los.length == 0) return text
+    val s = text.toString
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      var inside = false
+      var k = 0
+      while (!inside && k < los.length) {
+        inside = cp >= los(k) && cp <= his(k)
+        k += 1
+      }
+      if (inside == keepInside) out.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(out.toString)
   }
 
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {

@@ -409,6 +409,30 @@ object VectorExprs {
     }
   }
 
+  /** [[literalLong]]'s string twin. */
+  private[functions] def literalString(e: Expression, fn: String, arg: String): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal string, got non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal string, got $other")
+    }
+  }
+
+  /** [[literalLong]]'s boolean twin. */
+  private[functions] def literalBool(e: Expression, fn: String, arg: String): Boolean = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal boolean, got non-foldable expression ${e.sql}")
+    e.eval(null) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal boolean, got $other")
+    }
+  }
+
   /** Idempotently register the expressions on a session so `expr(...)` /
     * SQL can call them. Safe to call per query. */
   def register(spark: SparkSession): Unit = {

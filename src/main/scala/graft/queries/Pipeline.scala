@@ -338,6 +338,26 @@ object Pipeline {
         .limit(10)
     }),
 
+    // BM25 over the PERSISTED inverted index (VERDICT r17 #6 — the
+    // AnnIndexStore treatment for retrieval): the index store is built
+    // lazily on first call (one ingest batch, replay-idempotent via the
+    // stable batch id) under the per-SF tmp path, then the probe reads
+    // postings/doclens from the store — term-bucket-pruned parquet
+    // reads — instead of re-tokenizing the corpus. Output is
+    // bit-identical to q_bm25 by construction (same integer arithmetic,
+    // same tie-breaks), so it SHARES q_bm25's oracle: the store
+    // round-trip itself sits under hash-oracle coverage, exactly the
+    // q_ann_index_probe pattern.
+    "q_bm25_probe" -> ((s, d) => {
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_inv_index",
+        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+      graft.operators.InvertedIndexStore.appendBatch(s,
+        load(s, d, "documents").select(col("doc_id"), col("text")),
+        store, Some("full"))
+      graft.operators.InvertedIndexStore.bm25Probe(s, store)
+    }),
+
     // RETRIEVAL EVALUATION (MRR / P@10 / recall@10) — the eval harness
     // every retrieval stack reports, entirely in exact rationals (MRR's
     // 1/rank is rational; nDCG's log2 is not, so it is deliberately
@@ -1467,7 +1487,13 @@ object Pipeline {
        |SELECT doc_id, COUNT(DISTINCT gh) AS n_shared
        |FROM tr JOIN eg USING (gh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** q_bm25_probe is bit-identical to q_bm25 by construction (persisted
+    * index, same integer arithmetic/tie-breaks) — shared oracle, the
+    * q_ann_index_probe pattern. */
+  lazy val oracles: Map[String, String] =
+    oraclesBase + ("q_bm25_probe" -> oraclesBase("q_bm25"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_rrf" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |ra AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank_lex

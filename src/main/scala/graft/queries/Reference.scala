@@ -44,13 +44,35 @@ object Reference {
         .orderBy("src")
     }),
 
-    // A5 faithfully: the full fixpoint cleaning pipeline as a Scala UDF.
+    // A5 faithfully: the fixpoint cleaning stages (1–4) as a Scala UDF,
+    // the A5e whitespace collapse as the codegen'd `graft_collapse_ws`
+    // expression (VERDICT r17 #5 — the collapse was the regex-dominated
+    // tail of the last interpreted hot ETL path; the composition equals
+    // cleanWikiBody by construction, WikiTextSpec pins it on fixtures).
     // Not oracled (imperative fixpoint) — golden/property tests in
     // WikiTextSpec pin the semantics instead.
     "q_wiki_clean" -> ((s, d) => {
-      val clean = udf((t: String) => WikiText.cleanWikiBody(t))
+      graft.functions.TextExprs.register(s)
+      val clean = udf((t: String) => WikiText.cleanWikiBodyPreCollapse(t))
       wrapped(s, d)
-        .select(col("doc_id"), clean(col("wikitext")).as("cleaned"))
+        .select(col("doc_id"), clean(col("wikitext")).as("pre"))
+        .select(col("doc_id"),
+          expr("graft_collapse_ws(pre)").as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // A5d as a first-class oracled query: the reference's configurable
+    // unicode whitelist/blacklist (`/root/reference/filters.py:25-46`)
+    // via the codegen'd graft_char_filter expression — whitelist keeps
+    // printable-ASCII + newline, blacklist deletes angle brackets. Both
+    // modes are plain codepoint-class deletes, so DuckDB expresses them
+    // as regex classes and the outputs hash-match exactly.
+    "q_wiki_clean_ranged" -> ((s, d) => {
+      graft.functions.TextExprs.register(s)
+      wrapped(s, d)
+        .select(col("doc_id"),
+          expr("graft_char_filter(wikitext, '10-10,32-126', true)").as("kept"),
+          expr("graft_char_filter(wikitext, '60-62', false)").as("dropped"))
         .orderBy("doc_id")
     }),
 
@@ -119,6 +141,16 @@ object Reference {
         |    '\[\[([^\[\]|]*)\|([^\[\]|]*)\]\]', '\2', 'g'),
         |    '''{2,}', '', 'g'),
         |    '([ \t\n\r])[ \t\n\r]*', '\1', 'g') AS cleaned
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "q_wiki_clean_ranged" ->
+      """WITH w AS (SELECT doc_id,
+        |  '{{infobox|lang=' || lang || '}} ''''''' || substr(text, 1, 60)
+        |  || ''''' <ref>cite</ref> [[' || source
+        |  || '|src link]] &amp; &#65; <!--hidden--> tail' AS wikitext
+        |FROM documents)
+        |SELECT doc_id,
+        |  REGEXP_REPLACE(wikitext, '[^\x{0A}\x{20}-\x{7E}]', '', 'g') AS kept,
+        |  REGEXP_REPLACE(wikitext, '[\x{3C}-\x{3E}]', '', 'g') AS dropped
         |FROM w ORDER BY doc_id""".stripMargin,
     "q_redirect_detect" ->
       """WITH b AS (SELECT doc_id,

@@ -131,4 +131,40 @@ class TextExprsSpec extends SparkTestBase {
     // short text → NULL, like the explode form's absence of rows
     assert(spark.sql("SELECT graft_simhash('a b c') AS h").head().isNullAt(0))
   }
+
+  test("graft_collapse_ws through the SQL/codegen path == the Scala scan " +
+    "== the reference regex, on the real corpus") {
+    graft.functions.TextExprs.register(spark)
+    val got = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("graft_collapse_ws(text)").as("c"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        graft.etl.WikiText.collapseWhitespaceRegex(r.getString(1)))
+    assert(got.length == want.length && got.sameElements(want))
+    // NBSP is (?U)\s: the codegen path must collapse it too
+    assert(spark.sql("SELECT graft_collapse_ws('a   b') AS c")
+      .head().getString(0) == "a b")
+  }
+
+  test("graft_char_filter through the SQL/codegen path == WikiText.filterChars") {
+    graft.functions.TextExprs.register(spark)
+    val whitelist = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("graft_char_filter(text, '97-122,32-32', true)").as("c"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1))
+    val wantW = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> graft.etl.WikiText.filterChars(
+        r.getString(1), Seq((97, 122), (32, 32)), keepInside = true))
+    assert(whitelist.sameElements(wantW))
+    // blacklist mode via SQL, astral-safe
+    assert(spark.sql("SELECT graft_char_filter('a😀b', '128512-128512', false) AS c")
+      .head().getString(0) == "ab")
+    // non-literal spec must fail resolution, not NPE at execution
+    intercept[Exception] {
+      spark.sql("SELECT graft_char_filter('x', CAST(rand() AS STRING), true)").collect()
+    }
+  }
 }

@@ -100,4 +100,49 @@ object WikiTextProps extends Properties("WikiText") {
       !out.contains("}}") || !out.contains("{{") ||
         out.lastIndexOf("}}") < out.indexOf("{{")
     }
+
+  // ---- r18: the codegen'd A5e/A5d promotions (VERDICT r17 #5) must be
+  // bit-equal to the reference regex/Seq forms on arbitrary input.
+
+  /** arbitrary unicode-ish text heavy in whitespace variety, including
+    * the (?U)-only members (NBSP, NNBSP, ideographic space) and
+    * supplementary-plane codepoints */
+  private val wsHeavy: Gen[String] = Gen.listOf(Gen.frequency(
+    4 -> Gen.alphaNumChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\u000b", "\u0085", "\u00a0",
+      "\u2007", "\u202f", "\u205f", "\u3000", "\u2028", "\u2029", "\u1680"),
+    1 -> Gen.oneOf("é", "Ω", "中", "😀", "𝕏"))).map(_.mkString)
+
+  property("scan collapse == reference regex collapse on arbitrary input") =
+    Prop.forAll(wsHeavy) { s =>
+      WikiText.collapseWhitespace(s) == WikiText.collapseWhitespaceRegex(s)
+    }
+
+  property("isWsU == (?U)\\s exhaustively over the BMP") = Prop {
+    val p = java.util.regex.Pattern.compile("(?U)\\s")
+    (0 to 0xffff).filterNot(cp => cp >= 0xd800 && cp <= 0xdfff).forall { cp =>
+      graft.functions.TextExprs.isWsU(cp) ==
+        p.matcher(String.valueOf(cp.toChar)).matches()
+    }
+  }
+
+  property("charFilter static == WikiText.filterChars, both modes + empty") =
+    Prop.forAll(wsHeavy, Gen.oneOf(true, false)) { (s, keep) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val ranges = Seq((0x20, 0x7e), (0x2000, 0x206f))
+      val (los, his) = (ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+      val viaExpr = graft.functions.TextExprs
+        .charFilter(UTF8String.fromString(s), los, his, keep).toString
+      val viaEtl = WikiText.filterChars(s, ranges, keepInside = keep)
+      val emptyNoop = graft.functions.TextExprs
+        .charFilter(UTF8String.fromString(s), Array.empty, Array.empty, keep)
+        .toString == s
+      viaExpr == viaEtl && emptyNoop
+    }
+
+  property("cleanWikiBody == collapse ∘ preCollapse (the q_wiki_clean split)") =
+    Prop.forAll(markupText) { s =>
+      WikiText.cleanWikiBody(s) ==
+        WikiText.collapseWhitespace(WikiText.cleanWikiBodyPreCollapse(s))
+    }
 }
