@@ -27,6 +27,36 @@ object Pipeline {
 
   private val tokens = "filter(split(text, ' '), x -> x <> '')"
 
+  /** Cross-document repeated runs of >= `minShingles` consecutive
+    * shared 4-gram shingles — the exact-substring-dedup kernel behind
+    * q_substring_dedup (conf-thresholded) and q_substring_dedup50 (the
+    * published ~50-token threshold). Shapes: checkpointed positioned
+    * shingle pass, shared-gram semi-join, gaps-and-islands run grouping
+    * per doc. */
+  private def substringRuns(s: SparkSession, d: String,
+                            minShingles: Int): DataFrame = {
+    val grams0 = load(s, d, "documents")
+      .withColumn("toks", expr(tokens))
+      .select(col("doc_id"),
+        posexplode(expr(Shingles.fourGramSql(distinct = false))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("gh"))
+    val grams = Checkpoints.ckpt(grams0)
+    val shared = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(shared, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minShingles)
+      .select(col("doc_id"), col("start_pos"), col("n_shingles"),
+        (col("n_shingles") + 3).as("n_tokens"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   /** (doc_id, chunk) rows of the fixed-stride 4-token chunking — ONE
     * definition shared by q_chunk_dedup and q_dup_histogram.
     * Size-0 guard: sequence(0, floor(-1/4.0)) = sequence(0, -1) runs
@@ -951,28 +981,22 @@ object Pipeline {
     // shared-marking agg and the join-back, halving the dominant
     // tokenize/shingle CPU at 100 TB (same rationale as
     // q_decontaminate's shared pass).
-    "q_substring_dedup" -> ((s, d) => {
-      val grams0 = load(s, d, "documents")
-        .withColumn("toks", expr(tokens))
-        .select(col("doc_id"),
-          posexplode(expr(Shingles.fourGramSql(distinct = false))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          md5(col("col").cast("binary")).as("gh"))
-      val grams = Checkpoints.ckpt(grams0)
-      val shared = grams.groupBy(col("gh"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("gh"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      grams.join(shared, "gh")
-        .withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("start_pos"),
-          count(lit(1)).as("n_shingles"))
-        .filter(col("n_shingles") >= 4)
-        .select(col("doc_id"), col("start_pos"), col("n_shingles"),
-          (col("n_shingles") + 3).as("n_tokens"))
-        .orderBy("doc_id", "start_pos")
-    }),
+    // Default min-run: 4 consecutive shared shingles (>= 7 tokens),
+    // conf-overridable via spark.graft.substrdedup.minrun (VERDICT r17
+    // #7). The published exact-substring-dedup threshold (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better") is
+    // ~50 TOKENS = 47 shingles — registered as its own oracled row
+    // q_substring_dedup50 below; the FP-rate trade is documented in
+    // SURVEY §2.B.1 (short runs admit coincidental collisions, long
+    // runs only true duplication: 47 vs 21 runs at sf0.01).
+    "q_substring_dedup" -> ((s, d) =>
+      substringRuns(s, d,
+        s.conf.getOption("spark.graft.substrdedup.minrun")
+          .map(_.toInt).filter(_ >= 1).getOrElse(4))),
+
+    // The 50-token published threshold, fully oracled (47-shingle runs
+    // ⇒ n_tokens >= 50). Same plan; only the HAVING bound differs.
+    "q_substring_dedup50" -> ((s, d) => substringRuns(s, d, 47)),
 
     // The REMOVAL companion of q_substring_dedup — exact substring
     // deduplication in the "Deduplicating Training Data Makes Language
@@ -1933,6 +1957,21 @@ object Pipeline {
          |SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) AS n_shingles,
          |  COUNT(*) + 3 AS n_tokens
          |FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 4
+         |ORDER BY doc_id, start_pos""".stripMargin,
+    "q_substring_dedup50" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, k - 1 AS pos,
+         |    MD5(ARRAY_TO_STRING(toks[k : k + 3], ' ')) AS gh
+         |  FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) AS u(k)),
+         |shared AS (SELECT gh FROM g GROUP BY gh
+         |           HAVING COUNT(DISTINCT doc_id) >= 2),
+         |sp AS (SELECT doc_id, pos FROM g JOIN shared USING (gh)),
+         |runs AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM sp)
+         |SELECT doc_id, MIN(pos) AS start_pos, COUNT(*) AS n_shingles,
+         |  COUNT(*) + 3 AS n_tokens
+         |FROM runs GROUP BY doc_id, grp HAVING COUNT(*) >= 47
          |ORDER BY doc_id, start_pos""".stripMargin,
     "q_scd2" ->
       """WITH all_rows AS (

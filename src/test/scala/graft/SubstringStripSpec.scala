@@ -53,6 +53,31 @@ class SubstringStripSpec extends SparkTestBase {
     }
   }
 
+  test("min-run threshold: conf override == dedicated 50-token row; " +
+    "long runs are a subset of short; n_tokens >= 50 at the published bound") {
+    val short = Pipeline.queries("q_substring_dedup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val long50 = Pipeline.queries("q_substring_dedup50")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conf path produces the same rows as the dedicated query
+    try {
+      spark.conf.set("spark.graft.substrdedup.minrun", "47")
+      val viaConf = Pipeline.queries("q_substring_dedup")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(viaConf.toSeq == long50.toSeq)
+    } finally spark.conf.unset("spark.graft.substrdedup.minrun")
+    // the published bound keeps only >= 50-token runs, each of which is
+    // a (possibly shorter-start-contained) run of the >= 7-token pass:
+    // same (doc, start, length) triple must appear verbatim
+    val shortSet = short.toSet
+    assert(long50.forall(shortSet.contains))
+    assert(long50.forall(_._4 >= 50))
+    // the FP-rate trade is real on this corpus: the short threshold
+    // admits strictly more runs (coincidental 7-token collisions)
+    assert(short.length > long50.length,
+      s"expected threshold separation, got ${short.length} vs ${long50.length}")
+  }
+
   test("segmented reassembly matches flat semantics across segment boundaries") {
     val seg = Pipeline.StripSegTokens.toInt
     // doc 0 spans >2 segments; boilerplate (10 tokens → a 7-shingle run
