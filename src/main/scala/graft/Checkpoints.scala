@@ -37,3 +37,44 @@ object Checkpoints {
     }
   }
 }
+
+/** SESSION-SCOPED reuse of expensive shared artifacts (VERDICT r17 #8):
+  * the BPE training fixpoint's final corpus and the LSH dedup-cluster
+  * labels are deterministic functions of (input dir, params), yet the
+  * downstream QA queries (`q_tok_fertility`, `q_dedup_survivor`)
+  * recomputed them per query. With `spark.graft.reuse.checkpoints=true`
+  * the first computation is checkpointed and registered here; later
+  * queries in the SAME session get the materialized frame back — at
+  * 100 TB this is "the fertility report reads the trainer's final
+  * checkpoint" made literal, one equi-join instead of a repeated
+  * corpus fixpoint.
+  *
+  * OFF by default: reuse pins checkpoint blocks for the session
+  * lifetime, and harnesses that unpersist aggressively between queries
+  * (graft.Bench's cleanup) would invalidate cached blocks — the opt-in
+  * conf is the contract that the caller manages block lifetime. Keys
+  * embed the SparkContext identity, so a fresh session never reads a
+  * dead session's blocks; outputs are bit-equal by determinism of the
+  * cached computation (ArtifactReuseSpec asserts it on both consumers).
+  */
+object ArtifactCache {
+  val ConfKey = "spark.graft.reuse.checkpoints"
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true"))
+
+  /** Compute-once-per-session under `key` when reuse is on; transparent
+    * pass-through when off. `f` must be deterministic in `key`. */
+  def getOrCompute[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+                                key: String)(f: => T): T =
+    if (!enabled(spark)) f
+    else cache.getOrElseUpdate(
+      key + "|sc=" + System.identityHashCode(spark.sparkContext), f)
+      .asInstanceOf[T]
+
+  /** Test hook: forget everything (e.g. between conf A/B passes). */
+  private[graft] def clear(): Unit = cache.clear()
+}

@@ -212,6 +212,19 @@ object Similarity {
     * labels only ever DECREASE, so the exact-decimal label sum strictly
     * decreases until the fixpoint — convergence is one narrow aggregate
     * per hop, not a prev-vs-next join. */
+  /** The minhash-LSH dedup-cluster label frame (doc_id, lbl) — shared
+    * kernel of q_dedup_cluster and q_dedup_survivor. Under
+    * `spark.graft.reuse.checkpoints` (graft.ArtifactCache, VERDICT r17
+    * #8) one session computes it ONCE; the policy query then adds only
+    * its combining aggregates on top of the materialized labels. */
+  private def dedupLabels(s: SparkSession, d: String): DataFrame =
+    graft.ArtifactCache.getOrCompute(s, s"dedup_labels|$d") {
+      val docs = load(s, d, "documents")
+      val labels = hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+      if (graft.ArtifactCache.enabled(s)) graft.Checkpoints.ckpt(labels)
+      else labels
+    }
+
   def hashMinLabels(memb0: DataFrame, docIds: DataFrame): DataFrame = {
     // Measured and rejected (bench, sf0.1): (a) pre-filtering to the
     // collision subgraph (buckets with ≥2 docs) and (b) keeping two
@@ -1125,13 +1138,11 @@ object Similarity {
     // by the cluster diameter (tiny for near-dup graphs); each hop
     // checkpoints (Checkpoints.ckpt — reliable when
     // spark.graft.checkpointDir is set) so lineage stays flat.
-    "q_dedup_cluster" -> ((s, d) => {
-      val docs = load(s, d, "documents")
-      hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+    "q_dedup_cluster" -> ((s, d) =>
+      dedupLabels(s, d)
         .select(col("doc_id"), col("lbl").as("cluster"),
           (col("doc_id") === col("lbl")).as("is_canon"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // DEDUP SURVIVORSHIP + SOFT-DEDUP WEIGHTS — the policy step AFTER
     // clustering (q_dedup_cluster stops at labels): per near-dup
@@ -1146,7 +1157,7 @@ object Similarity {
     // O(members·log) through one task.
     "q_dedup_survivor" -> ((s, d) => {
       val docs = load(s, d, "documents")
-      val mem = hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+      val mem = dedupLabels(s, d)
         .join(docs.select(col("doc_id"),
           coalesce(col("n_chars").cast("long"), lit(0L)).as("nc")), "doc_id")
         .select(col("doc_id"), col("lbl").as("cluster"), col("nc"))

@@ -457,9 +457,18 @@ object Text {
   : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val budget = s.conf.getOption("spark.graft.bpe.merges").map(_.toInt)
       .filter(_ >= 1).getOrElse(nMerges)
-    s.conf.getOption("spark.graft.bpe.batchK").map(_.toInt).filter(_ > 1) match {
-      case Some(k) => val (m, e, _) = bpeLoopBatched(s, d, budget, k); (m, e)
-      case None    => bpeLoop(s, d, budget)
+    val batchK = s.conf.getOption("spark.graft.bpe.batchK")
+      .map(_.toInt).filter(_ > 1).getOrElse(1)
+    // shared-artifact reuse (VERDICT r17 #8): the trained corpus is a
+    // deterministic function of (dir, budget, batchK) — under
+    // spark.graft.reuse.checkpoints, q_bpe_train/q_bpe_apply/
+    // q_tok_fertility in one session run the fixpoint ONCE and the
+    // final frame is checkpointed for the consumers
+    graft.ArtifactCache.getOrCompute(s, s"bpe|$d|$budget|$batchK") {
+      val (m, e, _) = bpeLoopBatched(s, d, budget, batchK)
+      val eMat =
+        if (graft.ArtifactCache.enabled(s)) graft.Checkpoints.ckpt(e) else e
+      (m, eMat)
     }
   }
 
