@@ -6,17 +6,22 @@ min-of-reps). The previous pins are themselves mins over the r8/r9
 batteries (+ r10 firsts for queries added then), so the result is the
 least-noise estimate across five batteries of identical-or-current code.
 
-Stability is re-derived from the FRESH batteries only: a query is
-unstable when the spread of its three battery-mins exceeds 30% of the
-smallest (and that smallest clears the 0.3 s noise floor). Using
-battery-mins (each already min-of-3 reps) instead of raw reps separates
-environment drift across batteries from scheduler noise within one.
+Stability is re-derived from the FRESH batteries only — and only for
+queries observed in >= 2 of them (ADVICE r17: a single battery has zero
+spread by construction, so a 1-battery re-pin would silently mark
+previously-unstable queries stable). Queries with < 2 fresh
+observations carry their previous unstable/spread entry forward, same
+as absent queries carry their pins. A query is unstable when the spread
+of its fresh battery-mins exceeds 30% of the smallest (and that
+smallest clears the 0.3 s noise floor). Using battery-mins (each
+already min-of-3 reps) instead of raw reps separates environment drift
+across batteries from scheduler noise within one.
 
-Usage: python3 tools/repin_baseline.py bench_r11_b1.json bench_r11_b2.json ...
+Usage: python3 tools/repin_baseline.py [--drop-absent] bench_b1.json bench_b2.json ...
 Writes BASELINE_QUERIES.json in place; prints a summary.
 """
+import argparse
 import json
-import sys
 from datetime import date
 
 OLD = "BASELINE_QUERIES.json"
@@ -36,18 +41,14 @@ SPREAD_LIMIT = 0.30
 # closing re-pin over b4/b5 extends the surface by the four new
 # operators — fresh-pinned automatically by absence — with no
 # implementation change to any pinned query.)
-# r17: the multi-probe 4x16 banding rewrite (q_simhash_pairs/cluster,
-# q_image_neardup(_det)), the non-vacuous q_except (now does real
-# subtraction work), the graft_topk q_contrib_cap, and the
-# length-band-multi-blocked q_editsim all changed plan shape — their
-# old pins measured different implementations. q_label_prop_multi and
-# q_hard_negatives fresh-pin automatically by absence.
 # (r17 session 2's re-pin absorbed the session-1 rewrite set
 # {q_simhash_pairs, q_simhash_cluster, q_image_neardup,
 # q_image_neardup_det, q_except, q_contrib_cap, q_editsim}; the
-# session-3 re-pin has NO implementation-changed pinned queries — the
-# 13 new/unpinned ids fresh-pin automatically by absence.)
-FRESH_ONLY = set()
+# session-3 re-pin had NO implementation-changed pinned queries.)
+# r18: q_ann_lsh gained multi-probe banding + a keys-only candidate
+# stage, and q_wiki_clean moved its collapse stage into codegen — both
+# changed plan shape since their pins.
+FRESH_ONLY = {"q_ann_lsh", "q_wiki_clean"}
 
 
 def battery_mins(path):
@@ -56,15 +57,18 @@ def battery_mins(path):
     return {q: min(runs) for q, runs in j["runs"].items()}
 
 
-def main(paths):
+def main(paths, drop_absent=False):
     with open(OLD) as f:
         old = json.load(f)
     old_pins = {k: v for k, v in old.items() if k != "_meta"}
+    old_unstable = set(old.get("_meta", {}).get("unstable", []))
+    old_spread = old.get("_meta", {}).get("spread_pct", {})
 
     batteries = [battery_mins(p) for p in paths]
     names = sorted(set().union(*[set(b) for b in batteries]))
 
     pins, spread_pct, unstable, changed, fresh_only = {}, {}, [], 0, 0
+    carried_stability = []
     for q in names:
         fresh = [b[q] for b in batteries if q in b]
         fresh_min = min(fresh)
@@ -75,10 +79,20 @@ def main(paths):
         else:
             pins[q] = round(fresh_min, 3)
             fresh_only += 1
-        sp = (max(fresh) - fresh_min) / fresh_min if fresh_min > 0 else 0.0
-        if fresh_min > NOISE_FLOOR and sp > SPREAD_LIMIT:
-            unstable.append(q)
-            spread_pct[q] = round(100 * sp)
+        if len(fresh) >= 2:
+            # enough fresh observations to re-derive stability
+            sp = (max(fresh) - fresh_min) / fresh_min if fresh_min > 0 else 0.0
+            if fresh_min > NOISE_FLOOR and sp > SPREAD_LIMIT:
+                unstable.append(q)
+                spread_pct[q] = round(100 * sp)
+        else:
+            # ADVICE r17: one observation has zero spread by construction
+            # — carry the previous verdict forward instead of silently
+            # marking the query stable
+            if q in old_unstable:
+                unstable.append(q)
+                spread_pct[q] = old_spread.get(q, 0)
+                carried_stability.append(q)
 
     # Queries pinned before but absent from the fresh batteries KEEP
     # their old pins (r17 session 3: a SUBSET battery re-pin must not
@@ -86,12 +100,10 @@ def main(paths):
     # be restored from git). Dropping a deregistered query is an
     # explicit act: pass --drop-absent when the registry truly shrank.
     absent = sorted(set(old_pins) - set(names))
-    if "--drop-absent" in sys.argv:
+    if drop_absent:
         dropped = absent
     else:
         dropped = []
-        old_unstable = set(old.get("_meta", {}).get("unstable", []))
-        old_spread = old.get("_meta", {}).get("spread_pct", {})
         for q in absent:
             pins[q] = old_pins[q]
             # instability was derived from the batteries that pinned q;
@@ -99,6 +111,7 @@ def main(paths):
             if q in old_unstable:
                 unstable.append(q)
                 spread_pct[q] = old_spread.get(q, 0)
+                carried_stability.append(q)
 
     total = round(sum(pins.values()), 3)
     meta = {
@@ -110,6 +123,10 @@ def main(paths):
             "per battery)."
             + (" Fresh-only (implementation changed since last pin): "
                + ", ".join(sorted(FRESH_ONLY)) + "." if FRESH_ONLY else "")
+            + (" Stability carried forward (absent or < 2 fresh "
+               "observations this re-pin): "
+               + ", ".join(sorted(set(carried_stability))) + "."
+               if carried_stability else "")
         ),
         "date": date.today().isoformat(),
         "total_sec": total,
@@ -121,9 +138,11 @@ def main(paths):
             "above the smallest (>0.3 s floor). Spread is measured across "
             "batteries (fresh JVMs, minutes apart) — environment drift, "
             "not within-battery scheduler noise. Ratio gates apply looser "
-            "thresholds (warn >2x, fail >3x) to these."
+            "thresholds (warn >2x, fail >3x) to these. Entries with < 2 "
+            "fresh observations at the last re-pin carry forward "
+            "(see pinned_from)."
         ),
-        "unstable": sorted(unstable),
+        "unstable": sorted(set(unstable)),
         "spread_pct": dict(sorted(spread_pct.items())),
     }
 
@@ -138,8 +157,17 @@ def main(paths):
     print(f"pinned {len(pins)} queries, total {total}s "
           f"({changed} tightened, {fresh_only} newly pinned, "
           f"dropped {dropped})")
-    print(f"n_unstable: {len(unstable)} -> {sorted(unstable)}")
+    print(f"n_unstable: {len(unstable)} -> {sorted(set(unstable))}")
+    if carried_stability:
+        print(f"stability carried forward for: {sorted(set(carried_stability))}")
 
 
 if __name__ == "__main__":
-    main([a for a in sys.argv[1:] if not a.startswith("--")])
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("batteries", nargs="+",
+                    help="bench battery JSONs (with per-query 'runs')")
+    ap.add_argument("--drop-absent", action="store_true",
+                    help="drop old pins for queries absent from the fresh "
+                         "batteries (registry shrank)")
+    args = ap.parse_args()
+    main(args.batteries, drop_absent=args.drop_absent)
