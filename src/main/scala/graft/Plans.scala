@@ -173,7 +173,18 @@ object Plans {
       "signal ends in a 20-row TakeOrderedAndProject (never a global " +
       "rank window over the corpus); head ranks come from a " +
       "broadcast theta self-join of the head against itself and " +
-      "fusion is a full outer join of two 20-row sets."))
+      "fusion is a full outer join of two 20-row sets."),
+    "q_ann_lsh" -> ("Multi-probe LSH (r18): the Hamming-1 probe " +
+      "expansion explodes on the 50-query side only; candidates " +
+      "bucket-join on (band, nibble) and dedup as bare (a_id, b_id) " +
+      "pairs BEFORE the vector payloads join back — no cartesian, " +
+      "payload shuffle stays at deduped-pair scale, not 3.4x probe " +
+      "fan-out scale."),
+    "q_bm25_probe" -> ("BM25 over the persisted inverted index " +
+      "(r18): the postings scan carries the query terms' bucket " +
+      "filter in PushedFilters (term-shard pruning at the source); " +
+      "the 3-row qterm side and the 1-row scalar pair broadcast; " +
+      "doc scoring is one combining aggregate on doc_id."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
