@@ -414,6 +414,35 @@ object Text {
         .limit(50)
     }),
 
+    // q_inverted_index over the PERSISTED store (r18 — the sibling of
+    // q_bm25_probe, completing VERDICT r17 #6): identical word-level
+    // rollup, but the (word, doc_id, tf) frame comes from
+    // InvertedIndexStore's postings instead of a fresh corpus
+    // tokenize — the store's tf is the same exact count, so the output
+    // is bit-equal by construction and SHARES q_inverted_index's
+    // oracle. At 100 TB the index build amortizes over every
+    // retrieval/stats query that reads it; this row proves the
+    // read path under the hash oracle.
+    "q_inverted_index_probe" -> ((s, d) => {
+      graft.functions.TopKSketch.register(s)
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_inv_index",
+        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+      graft.operators.InvertedIndexStore.appendBatch(s,
+        load(s, d, "documents").select(col("doc_id"), col("text")),
+        store, Some("full"))
+      graft.operators.InvertedIndexStore.readPostings(s, store)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          expr("graft_topk(concat(lpad(CAST(doc_id AS STRING), 12, '0')," +
+            " ':', CAST(tf AS STRING)), tf, 3)").as("post"))
+        .filter(col("df") >= 10)
+        .select(col("word"), col("df"), col("total_tf"),
+          expr("array_join(transform(post, x -> x.item), ' ')").as("postings"))
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(50)
+    }),
+
     // TOKENIZER FERTILITY — the vocab-quality diagnostic every
     // tokenizer report carries: BPE tokens per word (fertility, the
     // lower the better-adapted the merges) and characters per BPE token
@@ -626,7 +655,13 @@ object Text {
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  val oracles: Map[String, String] = Map(
+  /** q_inverted_index_probe is bit-equal to q_inverted_index by
+    * construction (persisted postings carry the same exact tf) —
+    * shared oracle, the q_bm25_probe pattern. */
+  lazy val oracles: Map[String, String] =
+    oraclesBase + ("q_inverted_index_probe" -> oraclesBase("q_inverted_index"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_char_diversity" ->
       """WITH c AS (SELECT doc_id, LIST_TRANSFORM(RANGE(97, 123), c ->
         |    CAST(LENGTH(text) - LENGTH(REPLACE(text, CHR(CAST(c AS INT)), '')) AS BIGINT)) AS cnts

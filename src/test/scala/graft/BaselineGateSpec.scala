@@ -155,4 +155,26 @@ class BaselineGateSpec extends AnyFunSuite {
     val r = BaselineGate.adjudicate(Nil, Map.empty, Set.empty)
     assert(r.eraDrift === 1.0 && r.gate == "pass")
   }
+
+  test("committed gate record is a FULL-registry run with repo-relative " +
+    "evidence (ADVICE r17 medium: a 1-query /tmp-pointing record once " +
+    "replaced the real gate and its 'pass' was vacuous)") {
+    val f = new java.io.File("bench_gate.json")
+    assume(f.exists, "no committed gate record in cwd — driver layout changed")
+    val txt = scala.io.Source.fromFile(f).mkString
+    def longField(name: String): Option[Long] =
+      s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    def strField(name: String): Option[String] =
+      s""""$name"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val n = longField("n_queries").getOrElse(0L)
+    // the registry can grow a few queries between the gate run and the
+    // commit under test; a SUBSET record (the failure mode) is far below
+    val registry = SparkEntry.queries.size
+    assert(n >= registry * 9 / 10,
+      s"gate record covers $n of $registry registered queries — subset " +
+        "record committed; re-run the full battery with default outputs")
+    val qf = strField("queries_file").getOrElse("")
+    assert(!qf.startsWith("/tmp") && !qf.startsWith("/var"),
+      s"gate record points its evidence outside the repo: $qf")
+  }
 }
