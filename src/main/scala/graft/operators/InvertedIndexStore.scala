@@ -33,6 +33,17 @@ import org.apache.spark.sql.functions._
   * probe-over-store output is bit-identical to recompute-from-scratch —
   * asserted by InvertedIndexStoreSpec and hash-oracled end-to-end via
   * `q_bm25_probe` (which shares `q_bm25`'s oracle).
+  *
+  * DELIBERATELY no batch-dir compaction here (unlike
+  * [[IncrementalDedup.compactStore]]): that compactor's write-snapshot-
+  * then-delete ordering is crash-safe only because a fingerprint store
+  * is a SET — a crash between the two steps leaves duplicates, which
+  * dedup semantics absorb. Postings are COUNTED (df = rows per word,
+  * total_tf = a sum), so a crash-duplicated snapshot silently doubles
+  * every statistic. Safe compaction needs an atomically-swapped
+  * manifest/generation pointer naming the live batch set; until the
+  * batch count actually hurts (it is ingest-frequency-, not
+  * data-sized), append-only is the correct posture.
   */
 object InvertedIndexStore {
   import IncrementalDedup.{appendAtomic, batchDir, committed, freshBatchName, storeExists}

@@ -414,6 +414,36 @@ object Text {
         .limit(50)
     }),
 
+    // BPE APPLY over the PERSISTED vocabulary (r18 — the tokenizer-
+    // serving path: a production trainer ships its merge table, and
+    // every later corpus pass reads the vocab instead of retraining):
+    // the store is built lazily once (write-once atomic rename, keyed
+    // by (dir, budget, batchK) so conf changes never read a stale
+    // vocab), then the apply is ONE chained-replace narrow map — the
+    // loop's replace composition collapsed into a single corpus pass.
+    // Bit-equal to q_bpe_apply by construction → SHARES its oracle.
+    "q_bpe_apply_probe" -> ((s, d) => {
+      val budget = s.conf.getOption("spark.graft.bpe.merges").map(_.toInt)
+        .filter(_ >= 1).getOrElse(8)
+      val batchK = s.conf.getOption("spark.graft.bpe.batchK").map(_.toInt)
+        .filter(_ > 1).getOrElse(1)
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_bpe_vocab",
+        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL) +
+          s"-m$budget-k$batchK").toString
+      if (!graft.operators.BpeVocabStore.exists(s, store)) {
+        val (m, _, _) = bpeLoopBatched(s, d, budget, batchK)
+        graft.operators.BpeVocabStore.ensureVocab(s, m, store)
+      }
+      graft.operators.BpeVocabStore.applyMerges(s, bpeEncode(s, d), store)
+        .select(col("doc_id"),
+          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+          md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+
     // q_inverted_index over the PERSISTED store (r18 — the sibling of
     // q_bm25_probe, completing VERDICT r17 #6): identical word-level
     // rollup, but the (word, doc_id, tf) frame comes from
@@ -655,11 +685,15 @@ object Text {
 
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** q_inverted_index_probe is bit-equal to q_inverted_index by
-    * construction (persisted postings carry the same exact tf) —
-    * shared oracle, the q_bm25_probe pattern. */
+  /** q_inverted_index_probe / q_bpe_apply_probe are bit-equal to their
+    * recompute twins by construction (persisted postings carry the same
+    * exact tf; the persisted merge table IS the trainer's output and
+    * the fold applies it in step order) — shared oracles, the
+    * q_bm25_probe pattern. */
   lazy val oracles: Map[String, String] =
-    oraclesBase + ("q_inverted_index_probe" -> oraclesBase("q_inverted_index"))
+    oraclesBase +
+      ("q_inverted_index_probe" -> oraclesBase("q_inverted_index")) +
+      ("q_bpe_apply_probe" -> oraclesBase("q_bpe_apply"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_char_diversity" ->
