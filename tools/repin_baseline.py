@@ -45,10 +45,10 @@ SPREAD_LIMIT = 0.30
 # {q_simhash_pairs, q_simhash_cluster, q_image_neardup,
 # q_image_neardup_det, q_except, q_contrib_cap, q_editsim}; the
 # session-3 re-pin had NO implementation-changed pinned queries.)
-# r18: q_ann_lsh gained multi-probe banding + a keys-only candidate
-# stage, and q_wiki_clean moved its collapse stage into codegen — both
-# changed plan shape since their pins.
-FRESH_ONLY = {"q_ann_lsh", "q_wiki_clean"}
+# (r18's b1-b3 re-pin used {"q_ann_lsh", "q_wiki_clean"} for the
+# multi-probe banding and codegen-collapse rewrites; absorbed. The
+# b4/b5 subset re-pin added the two store-probe queries by absence.)
+FRESH_ONLY = set()
 
 
 def battery_mins(path):
