@@ -48,27 +48,62 @@ import org.apache.spark.sql.functions._
 object InvertedIndexStore {
   import IncrementalDedup.{appendAtomic, batchDir, committed, freshBatchName, storeExists}
 
-  /** Term-shard count. 64 keeps row groups well-populated at test SFs;
-    * a cluster deployment scales this with corpus size (the probe cost
-    * model is |postings| / Buckets per term lookup). */
-  val Buckets = 64
+  /** Default term-shard count. 64 keeps row groups well-populated at
+    * test SFs; a cluster deployment scales this with corpus size via
+    * `spark.graft.invindex.buckets` AT STORE CREATION (the probe cost
+    * model is |postings| / buckets per term lookup, so a fixed count
+    * at 100 TB would be the band-key-width scale-killer of VERDICT
+    * r16 #2). The chosen count is persisted in the store's `meta/`
+    * and every later ingest and probe reads it from THERE — bucket
+    * assignment is a STORE property, not a session conf: a prober
+    * hashing with a different count than the writer would prune to
+    * the wrong shards and silently drop postings. */
+  val DefaultBuckets = 64
+  val BucketsConf = "spark.graft.invindex.buckets"
 
   private val tokens = "filter(split(text, ' '), x -> x <> '')"
 
   private def postingsPath(p: String) = p + "/postings"
   private def doclenPath(p: String) = p + "/doclen"
+  private def metaPath(p: String) = p + "/meta"
+
+  /** The store's bucket count: from `meta/` when present; for a store
+    * about to be created, the session conf (then persisted). Legacy
+    * stores without meta read as [[DefaultBuckets]] — the only count
+    * writes ever used before meta existed. The `meta/` dir appears
+    * only by atomic rename ([[AnnIndexStore.ensureCodebook]] pattern),
+    * so existence ⇒ readable. */
+  def bucketCount(spark: SparkSession, storePath: String): Int =
+    if (storeExists(spark, metaPath(storePath)))
+      spark.read.parquet(metaPath(storePath))
+        .select(col("buckets")).head().getInt(0)
+    else DefaultBuckets
+
+  private def ensureMeta(spark: SparkSession, storePath: String): Int =
+    if (storeExists(spark, metaPath(storePath)))
+      bucketCount(spark, storePath)
+    else {
+      val n = spark.conf.getOption(BucketsConf).map(_.toInt)
+        .filter(_ >= 1).getOrElse(DefaultBuckets)
+      import spark.implicits._
+      appendAtomic(spark, Seq(n).toDF("buckets"), storePath, "meta")
+      // a concurrent creator may have won the rename — the store's
+      // recorded count is the truth either way
+      bucketCount(spark, storePath)
+    }
 
   /** (bucket, word, doc_id, tf) for a (doc_id, text) batch — one
     * explode + one map-side-combining hash agg, the q_inverted_index
     * build kernel. */
-  def tokenize(docs: DataFrame): DataFrame =
+  def tokenize(docs: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
     docs.select(col("doc_id"), explode(expr(tokens)).as("word"))
       .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .select(pmod(xxhash64(col("word")), lit(Buckets)).as("bucket"),
+      .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("bucket"),
         col("word"), col("doc_id"), col("tf"))
 
-  /** Ingest a (doc_id, text) delta batch: doclens first, postings last
-    * (commit marker). Returns the batch's postings. */
+  /** Ingest a (doc_id, text) delta batch: meta first (bucket count
+    * pinned at creation), doclens next, postings last (commit marker).
+    * Returns the batch's postings. */
   def appendBatch(spark: SparkSession, docs: DataFrame, storePath: String,
                   batchId: Option[String] = None): DataFrame = {
     val pp = postingsPath(storePath)
@@ -77,12 +112,13 @@ object InvertedIndexStore {
         return spark.read.parquet(batchDir(pp, name).toString)
       case None => ()
     }
+    val buckets = ensureMeta(spark, storePath)
     val name = freshBatchName(batchId)
     val dl = docs.select(col("doc_id"),
       expr(s"CAST(size($tokens) AS BIGINT)").as("dl"))
     appendAtomic(spark, dl, doclenPath(storePath), name)
     val post = Checkpoints.ckpt(
-      tokenize(docs)
+      tokenize(docs, buckets)
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("word")))
     appendAtomic(spark, post, pp, name)
@@ -124,7 +160,8 @@ object InvertedIndexStore {
     val dl = readDocLens(spark, storePath)
     val scal = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
     val probed = readPostings(spark, storePath)
-      .filter(col("bucket").isin(bucketIds(spark, qterms.map(_._1).toSeq): _*))
+      .filter(col("bucket").isin(bucketIds(spark,
+        qterms.map(_._1).toSeq, bucketCount(spark, storePath)): _*))
       .join(broadcast(qdf), "word")
     probed
       .join(dl, "doc_id")
@@ -140,13 +177,14 @@ object InvertedIndexStore {
   }
 
   /** Bucket ids for a set of probe terms, computed through the SAME
-    * engine function the store writer used (xxhash64 has no stable
-    * driver-side twin here — one 3-row local job keeps them equal by
-    * construction). */
-  private def bucketIds(spark: SparkSession, words: Seq[String]): Seq[Long] = {
+    * engine function AND the store's recorded bucket count the writer
+    * used (xxhash64 has no stable driver-side twin here — one 3-row
+    * local job keeps them equal by construction). */
+  private def bucketIds(spark: SparkSession, words: Seq[String],
+                        buckets: Int): Seq[Long] = {
     import spark.implicits._
     words.toDF("word")
-      .select(pmod(xxhash64(col("word")), lit(Buckets)).as("b"))
+      .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("b"))
       .collect().map(_.getLong(0)).distinct.toSeq
   }
 }

@@ -64,6 +64,37 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     assert(registered == recompute)
   }
 
+  test("bucket count is a STORE property: pinned at creation from the " +
+    "conf, later ingests and probes use the recorded count, not the session's") {
+    val store = freshStore("meta")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    try {
+      spark.conf.set(InvertedIndexStore.BucketsConf, "8")
+      InvertedIndexStore.appendBatch(spark, half1, store, Some("b1"))
+    } finally spark.conf.unset(InvertedIndexStore.BucketsConf)
+    assert(InvertedIndexStore.bucketCount(spark, store) == 8)
+    // second ingest with a DIFFERENT session conf: the store's 8 wins —
+    // a writer hashing with another count would break probe pruning
+    try {
+      spark.conf.set(InvertedIndexStore.BucketsConf, "128")
+      InvertedIndexStore.appendBatch(spark, half2, store, Some("b2"))
+    } finally spark.conf.unset(InvertedIndexStore.BucketsConf)
+    val buckets = InvertedIndexStore.readPostings(spark, store)
+      .select("bucket").distinct().collect().map(_.getLong(0))
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 8),
+      s"postings hashed outside the store's 8 buckets: ${buckets.sorted.mkString(",")}")
+    // and the probe (conf unset) reads the stored count: bit-equal to
+    // the default-bucketed store's result on the same corpus
+    val probe8 = InvertedIndexStore.bm25Probe(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val store64 = freshStore("meta64")
+    InvertedIndexStore.appendBatch(spark, docs, store64, Some("full"))
+    val probe64 = InvertedIndexStore.bm25Probe(spark, store64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe8 == probe64 && probe8.nonEmpty)
+  }
+
   test("probe read is bucket-pruned: the postings scan filters on bucket " +
     "before the qterm join") {
     val store = freshStore("prune")
