@@ -14,6 +14,30 @@ object Tables {
     if (name == "events") loadEvents(s, s"$sfDir/$name.parquet")
     else s.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Content fingerprint of a data dir's table files — the key the
+    * persisted-store probe queries (`q_bm25_probe`, `q_ann_index_probe`,
+    * `q_bpe_apply_probe`, ...) use for their tmp-dir stores. Keying by
+    * the PATH alone (the pre-r19 `hashCode` scheme) served a stale
+    * index when test data was regenerated in place while the shared
+    * oracle recomputed fresh (ADVICE r18); hashing each file's
+    * (name, length, mtime) makes a regenerated input a NEW store key.
+    * Driver-side metadata listing only — no data read, no job. */
+  def dataFingerprint(s: SparkSession, sfDir: String,
+                      tables: Seq[String]): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = tables.sorted.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq(s"$t:absent")
+      else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .toSeq
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest((sfDir + "|" + parts.mkString("|")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Schema-adaptive events load. The driver has shipped `ts` under two
     * physical encodings so far — TIMESTAMP(NANOS) (pre-r12, which Spark 4
     * rejects outright unless read as BIGINT nanos) and TIMESTAMP(MICROS,

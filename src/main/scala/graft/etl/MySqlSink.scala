@@ -154,7 +154,12 @@ object MySqlSink {
       conn.commit()
       n.toLong
     } catch {
-      case e: Throwable => try conn.rollback() finally (); throw e
+      // a failed rollback must not mask the transaction's own failure:
+      // attach it as suppressed and rethrow the original (ADVICE r18)
+      case e: Throwable =>
+        try conn.rollback()
+        catch { case re: java.sql.SQLException => e.addSuppressed(re) }
+        throw e
     } finally conn.close()
   }
 
@@ -208,7 +213,12 @@ object MySqlSink {
         Some(n.toLong)
       }
     } catch {
-      case e: Throwable => try conn.rollback() finally (); throw e
+      // a failed rollback must not mask the transaction's own failure:
+      // attach it as suppressed and rethrow the original (ADVICE r18)
+      case e: Throwable =>
+        try conn.rollback()
+        catch { case re: java.sql.SQLException => e.addSuppressed(re) }
+        throw e
     } finally conn.close()
   }
 

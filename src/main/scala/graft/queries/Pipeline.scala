@@ -381,7 +381,7 @@ object Pipeline {
     "q_bm25_probe" -> ((s, d) => {
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_inv_index",
-        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+        graft.Tables.dataFingerprint(s, d, Seq("documents"))).toString
       graft.operators.InvertedIndexStore.appendBatch(s,
         load(s, d, "documents").select(col("doc_id"), col("text")),
         store, Some("full"))

@@ -538,7 +538,7 @@ object Similarity {
       val q = quantized(s, d)
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_ann_index",
-        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+        graft.Tables.dataFingerprint(s, d, Seq("embeddings"))).toString
       AnnIndexStore.ensureCodebook(s,
         q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
           col("qv").as("qc"), col("nq").as("nc")), store)

@@ -418,9 +418,9 @@ object Text {
     // serving path: a production trainer ships its merge table, and
     // every later corpus pass reads the vocab instead of retraining):
     // the store is built lazily once (write-once atomic rename, keyed
-    // by (dir, budget, batchK) so conf changes never read a stale
-    // vocab), then the apply is ONE chained-replace narrow map — the
-    // loop's replace composition collapsed into a single corpus pass.
+    // by (input content fingerprint, budget, batchK) so neither conf
+    // changes nor regenerated test data ever read a stale vocab), then
+    // the apply is the per-word rank-map pass (vocab-size independent).
     // Bit-equal to q_bpe_apply by construction → SHARES its oracle.
     "q_bpe_apply_probe" -> ((s, d) => {
       val budget = s.conf.getOption("spark.graft.bpe.merges").map(_.toInt)
@@ -429,7 +429,7 @@ object Text {
         .filter(_ > 1).getOrElse(1)
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_bpe_vocab",
-        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL) +
+        graft.Tables.dataFingerprint(s, d, Seq("documents")) +
           s"-m$budget-k$batchK").toString
       if (!graft.operators.BpeVocabStore.exists(s, store)) {
         val (m, _, _) = bpeLoopBatched(s, d, budget, batchK)
@@ -457,7 +457,7 @@ object Text {
       graft.functions.TopKSketch.register(s)
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_inv_index",
-        java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)).toString
+        graft.Tables.dataFingerprint(s, d, Seq("documents"))).toString
       graft.operators.InvertedIndexStore.appendBatch(s,
         load(s, d, "documents").select(col("doc_id"), col("text")),
         store, Some("full"))

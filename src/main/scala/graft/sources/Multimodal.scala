@@ -133,9 +133,12 @@ object Multimodal {
     * marker gates readers so a crashed partial write re-runs. */
   private def cached(s: SparkSession, d: String, name: String)
                     (build: => DataFrame): DataFrame = synchronized {
+    // keyed by the INPUT's content fingerprint, not the path: the ids
+    // the fixtures are synthesized from come from the documents table,
+    // so regenerated test data at the same path must rebuild (ADVICE r18)
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_media_fixtures",
-      java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL), name)
+      graft.Tables.dataFingerprint(s, d, Seq("documents")), name)
     if (!java.nio.file.Files.exists(p.resolve("_SUCCESS")))
       build.write.mode("overwrite").parquet(p.toString)
     s.read.parquet(p.toString)

@@ -28,6 +28,58 @@ class BpeVocabStoreSpec extends SparkTestBase {
     assert(applied == loop)
   }
 
+  // VERDICT r18 #1: the serving path at a realistic vocabulary size.
+  // A synthetic 8-word corpus sustains >1024 greedy merges; the trainer
+  // is simulated on the driver with the SAME schedule as bpeLoop
+  // (argmax by cnt desc, pair asc; application = literal Java
+  // String.replace of '(l)(r)' with '(lr)' — the exact semantics of the
+  // engine's expr replace), so the final driver strings are an
+  // INDEPENDENT chained-replace ground truth for the rank-gated walk.
+  test("apply-from-store bit-equal at >= 1024 merges, plan depth bounded") {
+    val rnd = new scala.util.Random(42)
+    val words = Array("ka", "re", "mo", "ta", "si", "nu", "le", "po")
+    val original: Array[String] = Array.tabulate(60)(_ =>
+      Array.fill(220)(words(rnd.nextInt(words.length)))
+        .mkString("(", ")(", ")"))
+    var encs = original.clone()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    val tokRe = "\\(([a-z]+)\\)".r
+    while (step <= 1100 && !exhausted) {
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      encs.foreach { e =>
+        val t = tokRe.findAllMatchIn(e).map(_.group(1)).toArray
+        var j = 0
+        while (j < t.length - 1) {
+          val k = (t(j), t(j + 1)); cnt(k) = cnt.getOrElse(k, 0L) + 1; j += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = cnt.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((step, l, r, l + r, c))
+        encs = encs.map(_.replace(s"($l)($r)", s"(${l + r})"))
+        step += 1
+      }
+    }
+    val table = merges.result()
+    assert(table.length >= 1024, s"only ${table.length} merges simulated")
+    val store = freshStore("big")
+    BpeVocabStore.ensureVocab(spark, table, store)
+    import spark.implicits._
+    val encoded = original.zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }.toSeq.toDF("doc_id", "enc")
+    val applied = BpeVocabStore.applyMerges(spark, encoded, store)
+    // plan depth must not scale with the vocabulary (the r18 fold
+    // nested one replace() per merge — 1024 merges would be a
+    // 1024-deep expression tree)
+    assert(applied.queryExecution.analyzed.collect { case p => p }.size <= 8)
+    val got = applied.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = encs.zipWithIndex.map { case (e, i) => i.toLong -> e }.toMap
+    assert(got == want)
+  }
+
   test("write-once: a second trainer's differing table does not overwrite") {
     val store = freshStore("once")
     BpeVocabStore.ensureVocab(spark, Seq((1, "a", "b", "ab", 5L)), store)
