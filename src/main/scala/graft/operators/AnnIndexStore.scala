@@ -41,19 +41,63 @@ import org.apache.spark.sql.functions._
 object AnnIndexStore {
   import IncrementalDedup.{appendAtomic, batchDir, committed, freshBatchName, storeExists}
 
+  /** Default coarse cell count. A 100 TB corpus needs √n-ish cells, so
+    * the count is conf-scalable via `spark.graft.ann.cells` AT STORE
+    * CREATION and persisted in the store's `meta/` — the same
+    * fixed-width-is-a-store-property discipline as the inverted
+    * index's bucket count (VERDICT r18 #3): an ingest or probe sizing
+    * cells from its own session conf instead of the store's record
+    * would rank against a codebook that does not exist. */
+  val DefaultCells = 16
+  val CellsConf = "spark.graft.ann.cells"
+
   private def codebookPath(storePath: String): String = storePath + "/codebook"
   private def assignPath(storePath: String): String = storePath + "/assign"
+  private def metaPath(storePath: String): String = storePath + "/meta"
 
   private def ldot(a: String, b: String): Column = Similarity.dotQ(a, b)
 
-  /** Write the codebook (c_id, qc, nc) once — atomic rename, no-op if
-    * one is already committed (concurrent builders race safely: the
-    * loser's rename fails against the existing target and is treated
-    * as success). */
-  def ensureCodebook(spark: SparkSession, centroids: DataFrame,
+  /** The store's cell count: from `meta/` when present; for a legacy
+    * store without meta, the committed codebook's own row count (the
+    * codebook IS the cells); for a store about to be created, the
+    * session conf (then persisted). */
+  def cellCount(spark: SparkSession, storePath: String): Int =
+    if (storeExists(spark, metaPath(storePath)))
+      spark.read.parquet(metaPath(storePath))
+        .select(col("cells")).head().getInt(0)
+    else if (storeExists(spark, codebookPath(storePath)))
+      readCodebook(spark, storePath).count().toInt
+    else spark.conf.getOption(CellsConf).map(_.toInt)
+      .filter(_ >= 1).getOrElse(DefaultCells)
+
+  private def ensureMeta(spark: SparkSession, storePath: String): Int = {
+    val n = cellCount(spark, storePath)
+    if (!storeExists(spark, metaPath(storePath))) {
+      import spark.implicits._
+      appendAtomic(spark, Seq(n).toDF("cells"), storePath, "meta")
+    }
+    // a concurrent creator may have won the rename — the recorded
+    // count is the truth either way
+    cellCount(spark, storePath)
+  }
+
+  /** Build and write the codebook once from candidate vectors
+    * (vec_id, qv, nq): meta first (cell count pinned at creation from
+    * `spark.graft.ann.cells`), then the first `cells` candidates by
+    * vec_id become the centroids (the engine's deterministic init) —
+    * atomic rename, no-op if one is already committed (concurrent
+    * builders race safely: the loser's rename fails against the
+    * existing target and is treated as success). */
+  def ensureCodebook(spark: SparkSession, candidates: DataFrame,
                      storePath: String): Unit =
-    if (!storeExists(spark, codebookPath(storePath)))
-      appendAtomic(spark, centroids, storePath, "codebook")
+    if (!storeExists(spark, codebookPath(storePath))) {
+      val cells = ensureMeta(spark, storePath)
+      val cents = candidates
+        .select(col("vec_id").as("c_id"), col("qv").as("qc"),
+          col("nq").as("nc"))
+        .orderBy(col("c_id")).limit(cells)
+      appendAtomic(spark, cents, storePath, "codebook")
+    }
 
   def readCodebook(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(codebookPath(storePath))
@@ -117,11 +161,48 @@ object AnnIndexStore {
   // reproducible run to run (PqIndexSpec asserts this plus the recall
   // floor vs q_ann_ivf and the compression ratio).
   // ------------------------------------------------------------------
-  val PQ_M = 8     // subspaces
-  val PQ_KSUB = 16 // codewords per subspace
+  /** Default PQ shape. Like the cell count, M (subspaces) and KSUB
+    * (codewords per subspace) are STORE properties (r19): conf-settable
+    * at PQ-codebook creation via `spark.graft.ann.pq.m` /
+    * `spark.graft.ann.pq.ksub`, recorded in `pq_meta/`, and read from
+    * THERE by every later encode and probe — an encoder slicing with a
+    * different M than the trained codebook would mis-index every
+    * codeword. Legacy stores without `pq_meta/` read as the defaults
+    * (the only shape writes ever used before the meta existed). */
+  val PQ_M = 8     // default subspaces
+  val PQ_KSUB = 16 // default codewords per subspace
+  val PqMConf = "spark.graft.ann.pq.m"
+  val PqKsubConf = "spark.graft.ann.pq.ksub"
 
   private def pqCodebookPath(storePath: String) = storePath + "/pq_codebook"
   private def pqAssignPath(storePath: String) = storePath + "/pq_assign"
+  private def pqMetaPath(storePath: String) = storePath + "/pq_meta"
+
+  /** The store's (M, KSUB): from `pq_meta/` when present, else the
+    * legacy defaults. */
+  def pqParams(spark: SparkSession, storePath: String): (Int, Int) =
+    if (storeExists(spark, pqMetaPath(storePath))) {
+      val r = spark.read.parquet(pqMetaPath(storePath))
+        .select(col("m"), col("ksub")).head()
+      (r.getInt(0), r.getInt(1))
+    } else (PQ_M, PQ_KSUB)
+
+  /** Record (M, KSUB) at PQ-codebook creation — written BEFORE the
+    * codebook, so a crash between the two leaves a shape record a
+    * retried build honors (the conf is consulted only when no record
+    * exists yet). */
+  private def ensurePqMeta(spark: SparkSession, storePath: String): (Int, Int) = {
+    if (!storeExists(spark, pqMetaPath(storePath))) {
+      val m = spark.conf.getOption(PqMConf).map(_.toInt)
+        .filter(_ >= 1).getOrElse(PQ_M)
+      val ksub = spark.conf.getOption(PqKsubConf).map(_.toInt)
+        .filter(_ >= 1).getOrElse(PQ_KSUB)
+      import spark.implicits._
+      appendAtomic(spark, Seq((m, ksub)).toDF("m", "ksub"),
+        storePath, "pq_meta")
+    }
+    pqParams(spark, storePath)
+  }
 
   /** Integer squared L2 between two bigint arrays via three codegen'd
     * dot products. */
@@ -132,13 +213,14 @@ object AnnIndexStore {
     * rv) of cell-assigned vectors against the broadcast coarse
     * codebook. `nq` rides along: the compressed store keeps each
     * vector's squared norm (one bigint) so probes can rank by cosine. */
-  private def residSubs(assigned: DataFrame, codebook: DataFrame): DataFrame = {
-    val dsub = s"(size(qc) DIV $PQ_M)"
+  private def residSubs(assigned: DataFrame, codebook: DataFrame,
+                        m: Int): DataFrame = {
+    val dsub = s"(size(qc) DIV $m)"
     assigned
       .join(broadcast(codebook.select(col("c_id").as("cell"), col("qc"))), "cell")
       .select(col("vec_id"), col("cell"), col("nq"),
         posexplode(expr(
-          s"transform(sequence(0, ${PQ_M - 1}), j -> " +
+          s"transform(sequence(0, ${m - 1}), j -> " +
             s"slice(zip_with(qv, qc, (a, b) -> a - b), j * $dsub + 1, $dsub))"))
           .as(Seq("sub", "rv")))
   }
@@ -163,7 +245,7 @@ object AnnIndexStore {
     * not a multiple of PQ_M (`slice` just drops the tail positions), so
     * both PQ entry points fail fast instead (ADVICE r11 low). One tiny
     * agg job at ingest scale — not on any probe path. */
-  private def requirePqDim(vectors: DataFrame): Unit = {
+  private def requirePqDim(vectors: DataFrame, m: Int): Unit = {
     // null-safe collect (size(null) is NULL under default sizeOfNull
     // semantics) and a pass on the empty case: a 0-row delta is a
     // legitimate idle-tick/replay batch — appending nothing is correct,
@@ -174,8 +256,8 @@ object AnnIndexStore {
     if (dims.isEmpty) return
     require(dims.length == 1,
       s"PQ requires a uniform embedding dim; found ${dims.mkString(", ")}")
-    require(dims.head % PQ_M == 0,
-      s"embedding dim ${dims.head} is not divisible by PQ_M=$PQ_M — the " +
+    require(dims.head % m == 0,
+      s"embedding dim ${dims.head} is not divisible by PQ_M=$m — the " +
       "subspace slicer would drop the tail positions; pick a PQ_M that " +
       "divides the dim")
   }
@@ -184,11 +266,12 @@ object AnnIndexStore {
                        storePath: String, iters: Int = 3): Unit = {
     if (storeExists(spark, pqCodebookPath(storePath))) return
     graft.functions.VectorExprs.register(spark)
-    requirePqDim(vectors)
+    val (m, ksub) = ensurePqMeta(spark, storePath)
+    requirePqDim(vectors, m)
     val rs = Checkpoints.ckpt(
       residSubs(assign(vectors, readCodebook(spark, storePath)),
-        readCodebook(spark, storePath)))
-    // init: PQ_KSUB deterministically hash-spread residuals per sub —
+        readCodebook(spark, storePath), m))
+    // init: KSUB deterministically hash-spread residuals per sub —
     // NOT the lowest vec_ids: those are the coarse centroids themselves,
     // whose own-cell residuals are zero, which would degenerate Lloyd
     val wInit = Window.partitionBy(col("sub"))
@@ -196,7 +279,7 @@ object AnnIndexStore {
         col("vec_id").asc)
     var cw = Checkpoints.ckpt(
       rs.withColumn("rn", row_number().over(wInit))
-        .filter(col("rn") <= PQ_KSUB)
+        .filter(col("rn") <= ksub)
         .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
           col("rv").as("cw")))
     for (_ <- 1 to iters) {
@@ -231,10 +314,11 @@ object AnnIndexStore {
         return spark.read.parquet(batchDir(ap, name).toString)
       case None => ()
     }
-    requirePqDim(vectors)
+    val (m, _) = pqParams(spark, storePath)
+    requirePqDim(vectors, m)
     val cb = readCodebook(spark, storePath)
     val encoded = Checkpoints.ckpt(
-      nearestCode(residSubs(assign(vectors, cb), cb),
+      nearestCode(residSubs(assign(vectors, cb), cb, m),
         readPqCodebook(spark, storePath))
         .groupBy(col("vec_id"), col("cell"), col("nq"))
         .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
@@ -263,6 +347,7 @@ object AnnIndexStore {
               storePath: String, nprobe: Int = 2, k: Int = 3,
               shortlist: Int = 32): DataFrame = {
     graft.functions.VectorExprs.register(spark)
+    val (m, _) = pqParams(spark, storePath)
     val cb = readCodebook(spark, storePath)
     val rankedCells = queries.crossJoin(broadcast(
         cb.select(col("c_id"), col("qc"), col("nc"))))
@@ -275,10 +360,10 @@ object AnnIndexStore {
       .withColumn("qcdot", expr("graft_ldot(qa, qc)"))
     // asymmetric table: query SUBVECTORS (not residuals) vs codewords,
     // so Σ lookups reconstructs a · residual̂(b); a · c_b rides as qcdot
-    val dsub = s"(size(qc) DIV $PQ_M)"
+    val dsub = s"(size(qc) DIV $m)"
     val qrs = probes.select(col("a_id"), col("c_id").as("pcell"), col("qcdot"),
       posexplode(expr(
-        s"transform(sequence(0, ${PQ_M - 1}), j -> " +
+        s"transform(sequence(0, ${m - 1}), j -> " +
           s"slice(qa, j * $dsub + 1, $dsub))"))
         .as(Seq("sub", "qsv")))
     val dt = qrs.join(broadcast(readPqCodebook(spark, storePath)), "sub")

@@ -23,30 +23,54 @@ import org.apache.spark.sql.functions._
   *    dir is the commit marker, so a crash between the two appends
   *    replays cleanly (the doclen re-append hits the already-committed
   *    rename and is treated as success — [[IncrementalDedup]] rules).
+  *  - `manifest/gen-<seq>-<uuid>/` — (kind, dir, live) generations
+  *    written by [[compact]] (r19, VERDICT r18 #2). The HIGHEST
+  *    generation is authoritative; a store that has never compacted has
+  *    none and every `batch-*` dir is live.
+  *  - `postings/.absorbed/`, `doclen/.absorbed/` — batch dirs already
+  *    folded into a compacted generation, parked here (renamed, not
+  *    deleted) purely as REPLAY records: [[appendBatch]] treats an
+  *    absorbed batch id as committed, so re-ingesting it after a
+  *    compaction stays a no-op instead of double-counting. They are
+  *    never read by probes (readers resolve explicit live dirs, no
+  *    recursive listing), so they cost nothing on the query path.
   *
-  * Replay idempotence: a stable `batchId` makes re-ingesting a
+  * Replay idempotence: the REQUIRED stable `batchId` (ADVICE r18 made
+  * the old `Option` default a misuse trap: a crash between the doclen
+  * append and the postings commit marker, retried under a fresh UUID,
+  * would double-count dl and the N/T scalars) makes re-ingesting a
   * committed batch a read of its recorded postings, never a
-  * double-append (same discipline as [[AnnIndexStore.appendBatch]]).
+  * double-append.
+  *
+  * COMPACTION (r19): postings are COUNTED, not a set — df = rows per
+  * word, total_tf = a sum — so [[IncrementalDedup.compactStore]]'s
+  * write-snapshot-then-delete ordering (safe only for sets, where a
+  * crash-duplicated snapshot is absorbed) would silently double every
+  * statistic here. [[compact]] therefore swaps an atomically-renamed
+  * MANIFEST generation instead: the snapshot dirs (`compact-<uuid>`)
+  * are invisible to readers until the manifest names them live, and at
+  * every crash point the previous generation stays authoritative:
+  *  - crash after snapshot, before manifest: `compact-*` dirs are
+  *    ignored by readers (only a manifest can make them live) and are
+  *    swept as stale on the next compact;
+  *  - crash after manifest, before the absorbed-dir moves: the new
+  *    manifest already excludes the absorbed dirs from the live set,
+  *    and the next compact finishes the moves first.
+  * A batch ingested WHILE a compaction runs is mentioned by no
+  * manifest, so it stays live alongside the new generation — ingest
+  * and compaction can overlap; only concurrent COMPACTORS are
+  * undefined (single-maintenance-job discipline, as for
+  * [[IncrementalDedup.compactStore]]).
   *
   * Determinism: tf/df/dl are exact counts; BM25 probe arithmetic is
   * the same all-integer form as `q_bm25` with identical tie-breaks, so
   * probe-over-store output is bit-identical to recompute-from-scratch —
-  * asserted by InvertedIndexStoreSpec and hash-oracled end-to-end via
-  * `q_bm25_probe` (which shares `q_bm25`'s oracle).
-  *
-  * DELIBERATELY no batch-dir compaction here (unlike
-  * [[IncrementalDedup.compactStore]]): that compactor's write-snapshot-
-  * then-delete ordering is crash-safe only because a fingerprint store
-  * is a SET — a crash between the two steps leaves duplicates, which
-  * dedup semantics absorb. Postings are COUNTED (df = rows per word,
-  * total_tf = a sum), so a crash-duplicated snapshot silently doubles
-  * every statistic. Safe compaction needs an atomically-swapped
-  * manifest/generation pointer naming the live batch set; until the
-  * batch count actually hurts (it is ingest-frequency-, not
-  * data-sized), append-only is the correct posture.
+  * asserted by InvertedIndexStoreSpec (including compacted ==
+  * uncompacted) and hash-oracled end-to-end via `q_bm25_probe` (which
+  * shares `q_bm25`'s oracle).
   */
 object InvertedIndexStore {
-  import IncrementalDedup.{appendAtomic, batchDir, committed, freshBatchName, storeExists}
+  import IncrementalDedup.{appendAtomic, storeExists}
 
   /** Default term-shard count. 64 keeps row groups well-populated at
     * test SFs; a cluster deployment scales this with corpus size via
@@ -66,6 +90,12 @@ object InvertedIndexStore {
   private def postingsPath(p: String) = p + "/postings"
   private def doclenPath(p: String) = p + "/doclen"
   private def metaPath(p: String) = p + "/meta"
+  private def manifestPath(p: String) = p + "/manifest"
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   /** The store's bucket count: from `meta/` when present; for a store
     * about to be created, the session conf (then persisted). Legacy
@@ -92,6 +122,70 @@ object InvertedIndexStore {
       bucketCount(spark, storePath)
     }
 
+  // ------------------------------------------------------------------
+  // manifest resolution
+  // ------------------------------------------------------------------
+
+  /** (generation seq, dir name → live?) of the highest manifest
+    * generation, if any. Generation dir names embed a zero-padded seq
+    * so lexical max == numeric max; each appears only by atomic
+    * rename, so existence ⇒ readable. */
+  private def latestManifest(spark: SparkSession, storePath: String)
+  : Option[(Long, Map[(String, String), Boolean])] = {
+    val (fs, mp) = hfs(spark, manifestPath(storePath))
+    if (!fs.exists(mp)) return None
+    val gens = fs.listStatus(mp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+    if (gens.isEmpty) return None
+    val latest = gens.maxBy(_.getPath.getName)
+    val seq = latest.getPath.getName.stripPrefix("gen-").take(9).toLong
+    val rows = spark.read.parquet(latest.getPath.toString).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    Some((seq, rows))
+  }
+
+  /** The live data dirs of one kind ('postings' | 'doclen'), as
+    * absolute paths: dirs the manifest names live, plus any `batch-*`
+    * dir the manifest does not mention (ingested after the last
+    * compaction — or ever, for a never-compacted store). `compact-*`
+    * dirs named by NO manifest are a crashed compactor's leftovers and
+    * are never read. */
+  private def liveDirs(spark: SparkSession, storePath: String,
+                       kind: String): Seq[String] = {
+    val kindPath =
+      if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
+    val (fs, kp) = hfs(spark, kindPath)
+    if (!fs.exists(kp)) return Nil
+    val onDisk = fs.listStatus(kp)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch-") || n.startsWith("compact-"))
+    val names = latestManifest(spark, storePath) match {
+      case None => onDisk.filter(_.startsWith("batch-"))
+      case Some((_, m)) =>
+        onDisk.filter { n =>
+          m.get((kind, n)) match {
+            case Some(live) => live
+            case None       => n.startsWith("batch-")
+          }
+        }
+    }
+    names.sorted.map(n => s"$kindPath/$n").toSeq
+  }
+
+  /** The committed location of a batch id for one kind: its live batch
+    * dir, or its parked replay record under `.absorbed/`. */
+  private def committedBatch(spark: SparkSession, storePath: String,
+                             kind: String, batchId: String): Option[String] = {
+    val kindPath =
+      if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
+    Seq(s"$kindPath/batch-$batchId", s"$kindPath/.absorbed/batch-$batchId")
+      .find(p => storeExists(spark, p))
+  }
+
+  // ------------------------------------------------------------------
+  // ingest + read
+  // ------------------------------------------------------------------
+
   /** (bucket, word, doc_id, tf) for a (doc_id, text) batch — one
     * explode + one map-side-combining hash agg, the q_inverted_index
     * build kernel. */
@@ -103,17 +197,17 @@ object InvertedIndexStore {
 
   /** Ingest a (doc_id, text) delta batch: meta first (bucket count
     * pinned at creation), doclens next, postings last (commit marker).
-    * Returns the batch's postings. */
+    * `batchId` is REQUIRED and must be stable across retries (ADVICE
+    * r18) — it is the replay key. Returns the batch's postings. */
   def appendBatch(spark: SparkSession, docs: DataFrame, storePath: String,
-                  batchId: Option[String] = None): DataFrame = {
-    val pp = postingsPath(storePath)
-    committed(spark, pp, batchId) match {
-      case Some(name) =>
-        return spark.read.parquet(batchDir(pp, name).toString)
-      case None => ()
+                  batchId: String): DataFrame = {
+    require(batchId.nonEmpty, "appendBatch needs a stable batch id")
+    committedBatch(spark, storePath, "postings", batchId) match {
+      case Some(p) => return spark.read.parquet(p)
+      case None    => ()
     }
     val buckets = ensureMeta(spark, storePath)
-    val name = freshBatchName(batchId)
+    val name = s"batch-$batchId"
     val dl = docs.select(col("doc_id"),
       expr(s"CAST(size($tokens) AS BIGINT)").as("dl"))
     appendAtomic(spark, dl, doclenPath(storePath), name)
@@ -121,20 +215,120 @@ object InvertedIndexStore {
       tokenize(docs, buckets)
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("word")))
-    appendAtomic(spark, post, pp, name)
+    appendAtomic(spark, post, postingsPath(storePath), name)
     post
   }
 
   def readPostings(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(postingsPath(storePath))
+    spark.read.parquet(liveDirs(spark, storePath, "postings"): _*)
 
   def readDocLens(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(doclenPath(storePath))
+    spark.read.parquet(liveDirs(spark, storePath, "doclen"): _*)
 
   def exists(spark: SparkSession, storePath: String): Boolean =
     storeExists(spark, postingsPath(storePath))
+
+  // ------------------------------------------------------------------
+  // compaction
+  // ------------------------------------------------------------------
+
+  /** Fold the live batch dirs of both kinds into one compacted
+    * generation and swap the manifest (see object scaladoc for the
+    * crash analysis). Statistics are preserved exactly — the snapshot
+    * is a row-for-row union of the live dirs, re-laid-out in the
+    * ingest layout (bucket-partitioned, (bucket, word)-sorted) so
+    * probe pruning is unchanged. Absorbed batch dirs are parked under
+    * `.absorbed/` as replay records. No-op when at most one live dir
+    * per kind exists. Also sweeps `compact-*` leftovers of crashed
+    * compactors older than `staleMs`. */
+  def compact(spark: SparkSession, storePath: String,
+              staleMs: Long = 24L * 3600 * 1000): Unit = {
+    if (!storeExists(spark, postingsPath(storePath))) return
+    // finish a crashed predecessor's moves first: anything the live
+    // manifest marks absorbed but still sits at the top level
+    finishMoves(spark, storePath)
+    sweepStaleCompacts(spark, storePath, staleMs)
+    val postLive = liveDirs(spark, storePath, "postings")
+    val dlLive = liveDirs(spark, storePath, "doclen")
+    if (postLive.size <= 1 && dlLive.size <= 1) return
+    val uuid = java.util.UUID.randomUUID().toString
+    val postName = s"compact-$uuid"
+    val dlName = s"compact-$uuid"
+    val postSnap = Checkpoints.ckpt(
+      spark.read.parquet(postLive: _*)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("word")))
+    appendAtomic(spark, postSnap, postingsPath(storePath), postName)
+    val dlSnap = Checkpoints.ckpt(spark.read.parquet(dlLive: _*))
+    appendAtomic(spark, dlSnap, doclenPath(storePath), dlName)
+    // manifest swap: ONE atomic rename makes the new generation (the
+    // two compacted dirs live, every input dir absorbed) authoritative
+    val seq = latestManifest(spark, storePath).map(_._1).getOrElse(0L) + 1L
+    import spark.implicits._
+    val rows =
+      Seq(("postings", postName, true), ("doclen", dlName, true)) ++
+        postLive.map(p => ("postings", dirName(p), false)) ++
+        dlLive.map(p => ("doclen", dirName(p), false))
+    appendAtomic(spark, rows.toDF("kind", "dir", "live"),
+      manifestPath(storePath), f"gen-$seq%09d-$uuid")
+    finishMoves(spark, storePath)
+  }
+
+  private def dirName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Park every top-level dir the live manifest marks absorbed under
+    * its kind's `.absorbed/` — idempotent, re-runnable after a crash
+    * at any point (each move is one rename; an already-moved dir is
+    * simply absent from the top level). */
+  private def finishMoves(spark: SparkSession, storePath: String): Unit =
+    latestManifest(spark, storePath).foreach { case (_, m) =>
+      m.foreach { case ((kind, name), live) =>
+        if (!live) {
+          val kindPath = if (kind == "postings") postingsPath(storePath)
+            else doclenPath(storePath)
+          val (fs, src) = hfs(spark, s"$kindPath/$name")
+          if (fs.exists(src)) {
+            val dstDir = new org.apache.hadoop.fs.Path(s"$kindPath/.absorbed")
+            fs.mkdirs(dstDir)
+            val dst = new org.apache.hadoop.fs.Path(dstDir, name)
+            if (!fs.rename(src, dst) && !fs.exists(dst))
+              throw new java.io.IOException(
+                s"compaction could not park absorbed dir $src")
+          }
+        }
+      }
+    }
+
+  /** Delete `compact-*` dirs that no manifest generation names live —
+    * a crashed compactor's snapshots, invisible to readers but paying
+    * storage — once older than `staleMs` (a LIVE compactor's snapshot
+    * is younger than any sane staleness bound). */
+  private def sweepStaleCompacts(spark: SparkSession, storePath: String,
+                                 staleMs: Long): Unit = {
+    val liveNow: Set[(String, String)] =
+      latestManifest(spark, storePath) match {
+        case Some((_, m)) => m.collect { case (k, true) => k }.toSet
+        case None         => Set.empty
+      }
+    val now = System.currentTimeMillis()
+    Seq("postings", "doclen").foreach { kind =>
+      val kindPath = if (kind == "postings") postingsPath(storePath)
+        else doclenPath(storePath)
+      val (fs, kp) = hfs(spark, kindPath)
+      if (fs.exists(kp))
+        fs.listStatus(kp).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("compact-") &&
+              !liveNow((kind, n)) && now - st.getModificationTime > staleMs)
+            fs.delete(st.getPath, true)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // probes
+  // ------------------------------------------------------------------
 
   /** Per-term stats from the store: df and total tf — `q_inverted_index`
     * economics without the corpus pass (one word-keyed agg over the

@@ -384,7 +384,7 @@ object Pipeline {
         graft.Tables.dataFingerprint(s, d, Seq("documents"))).toString
       graft.operators.InvertedIndexStore.appendBatch(s,
         load(s, d, "documents").select(col("doc_id"), col("text")),
-        store, Some("full"))
+        store, "full")
       graft.operators.InvertedIndexStore.bm25Probe(s, store)
     }),
 

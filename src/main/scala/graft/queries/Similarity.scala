@@ -539,9 +539,10 @@ object Similarity {
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_ann_index",
         graft.Tables.dataFingerprint(s, d, Seq("embeddings"))).toString
+      // codebook = first `cells` vectors by vec_id (cells is a store
+      // property, default 16 — identical to ivfTop3's vec_id < 16 init)
       AnnIndexStore.ensureCodebook(s,
-        q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
-          col("qv").as("qc"), col("nq").as("nc")), store)
+        q.select(col("vec_id"), col("qv"), col("nq")), store)
       AnnIndexStore.appendBatch(s,
         q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
       AnnIndexStore.probe(s,

@@ -460,7 +460,7 @@ object Text {
         graft.Tables.dataFingerprint(s, d, Seq("documents"))).toString
       graft.operators.InvertedIndexStore.appendBatch(s,
         load(s, d, "documents").select(col("doc_id"), col("text")),
-        store, Some("full"))
+        store, "full")
       graft.operators.InvertedIndexStore.readPostings(s, store)
         .groupBy(col("word"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),

@@ -18,8 +18,7 @@ class AnnIndexStoreSpec extends SparkTestBase {
   private def buildTwoBatches(store: String): Unit = {
     val q = quantizedVectors()
     AnnIndexStore.ensureCodebook(spark,
-      q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
-        col("qv").as("qc"), col("nq").as("nc")), store)
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
     AnnIndexStore.appendBatch(spark,
       q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
       store, Some("even"))
@@ -67,5 +66,35 @@ class AnnIndexStoreSpec extends SparkTestBase {
     val asg = AnnIndexStore.readAssignments(spark, store)
     assert(asg.count() == n)
     assert(asg.select("vec_id").distinct().count() == n)
+  }
+
+  test("cell count is a STORE property: pinned at creation from the conf, " +
+    "later ingests assign against the recorded codebook, not the session's") {
+    val store = freshStore()
+    val q = quantizedVectors()
+    try {
+      spark.conf.set(AnnIndexStore.CellsConf, "8")
+      AnnIndexStore.ensureCodebook(spark,
+        q.select(col("vec_id"), col("qv"), col("nq")), store)
+    } finally spark.conf.unset(AnnIndexStore.CellsConf)
+    assert(AnnIndexStore.cellCount(spark, store) == 8)
+    assert(AnnIndexStore.readCodebook(spark, store).count() == 8)
+    // ingest under a DIFFERENT session conf: assignment can only rank
+    // against the store's 8 recorded centroids
+    try {
+      spark.conf.set(AnnIndexStore.CellsConf, "128")
+      AnnIndexStore.appendBatch(spark,
+        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+    } finally spark.conf.unset(AnnIndexStore.CellsConf)
+    val cells = AnnIndexStore.readAssignments(spark, store)
+      .select("cell").distinct().collect().map(_.getLong(0))
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8),
+      s"assignments outside the store's 8 cells: ${cells.sorted.mkString(",")}")
+    // probe (conf unset) works against the recorded shape
+    val p = AnnIndexStore.probe(spark,
+      q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id").as("a_id"), col("qv").as("qa"),
+          col("nq").as("na")), store)
+    assert(p.count() > 0)
   }
 }

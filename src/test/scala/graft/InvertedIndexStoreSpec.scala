@@ -18,7 +18,7 @@ class InvertedIndexStoreSpec extends SparkTestBase {
 
   test("ingest + readback: postings equal the direct tokenize, doclens exact") {
     val store = freshStore("rt")
-    InvertedIndexStore.appendBatch(spark, docs, store, Some("full"))
+    InvertedIndexStore.appendBatch(spark, docs, store, "full")
     val got = InvertedIndexStore.readPostings(spark, store)
       .select("word", "doc_id", "tf").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -39,11 +39,11 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     val store2 = freshStore("one")
     val half1 = docs.filter(col("doc_id") % 2 === 0)
     val half2 = docs.filter(col("doc_id") % 2 === 1)
-    InvertedIndexStore.appendBatch(spark, half1, store1, Some("b1"))
-    InvertedIndexStore.appendBatch(spark, half2, store1, Some("b2"))
+    InvertedIndexStore.appendBatch(spark, half1, store1, "b1")
+    InvertedIndexStore.appendBatch(spark, half2, store1, "b2")
     // replay of a committed batch: read-only, no double postings
-    InvertedIndexStore.appendBatch(spark, half1, store1, Some("b1"))
-    InvertedIndexStore.appendBatch(spark, docs, store2, Some("full"))
+    InvertedIndexStore.appendBatch(spark, half1, store1, "b1")
+    InvertedIndexStore.appendBatch(spark, docs, store2, "full")
     def stats(store: String) = InvertedIndexStore.termStats(spark, store)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(stats(store1) == stats(store2))
@@ -52,7 +52,7 @@ class InvertedIndexStoreSpec extends SparkTestBase {
 
   test("bm25 probe over the store is bit-equal to q_bm25 recompute") {
     val store = freshStore("bm25")
-    InvertedIndexStore.appendBatch(spark, docs, store, Some("full"))
+    InvertedIndexStore.appendBatch(spark, docs, store, "full")
     val probe = InvertedIndexStore.bm25Probe(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val recompute = Pipeline.queries("q_bm25")(spark, sfDir).collect()
@@ -71,14 +71,14 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     val half2 = docs.filter(col("doc_id") % 2 === 1)
     try {
       spark.conf.set(InvertedIndexStore.BucketsConf, "8")
-      InvertedIndexStore.appendBatch(spark, half1, store, Some("b1"))
+      InvertedIndexStore.appendBatch(spark, half1, store, "b1")
     } finally spark.conf.unset(InvertedIndexStore.BucketsConf)
     assert(InvertedIndexStore.bucketCount(spark, store) == 8)
     // second ingest with a DIFFERENT session conf: the store's 8 wins —
     // a writer hashing with another count would break probe pruning
     try {
       spark.conf.set(InvertedIndexStore.BucketsConf, "128")
-      InvertedIndexStore.appendBatch(spark, half2, store, Some("b2"))
+      InvertedIndexStore.appendBatch(spark, half2, store, "b2")
     } finally spark.conf.unset(InvertedIndexStore.BucketsConf)
     val buckets = InvertedIndexStore.readPostings(spark, store)
       .select("bucket").distinct().collect().map(_.getLong(0))
@@ -89,16 +89,90 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     val probe8 = InvertedIndexStore.bm25Probe(spark, store).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val store64 = freshStore("meta64")
-    InvertedIndexStore.appendBatch(spark, docs, store64, Some("full"))
+    InvertedIndexStore.appendBatch(spark, docs, store64, "full")
     val probe64 = InvertedIndexStore.bm25Probe(spark, store64).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(probe8 == probe64 && probe8.nonEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // compaction (VERDICT r18 #2): manifest-generation swap
+  // ------------------------------------------------------------------
+
+  private def topDirs(store: String, kind: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/$kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  test("compacted == uncompacted: df/tf and the bm25 probe are bit-equal; " +
+    "batch dirs collapse; replay of an absorbed batch appends nothing") {
+    val store = freshStore("cmp")
+    val thirds = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+    thirds.zipWithIndex.foreach { case (t, i) =>
+      InvertedIndexStore.appendBatch(spark, t, store, s"b$i")
+    }
+    def stats() = InvertedIndexStore.termStats(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def probe() = InvertedIndexStore.bm25Probe(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantStats = stats()
+    val wantProbe = probe()
+    InvertedIndexStore.compact(spark, store)
+    assert(stats() == wantStats && probe() == wantProbe)
+    // the live listing is now one compacted dir per kind; the absorbed
+    // batch dirs are parked as replay records, not deleted
+    assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 0)
+    assert(topDirs(store, "postings").count(_.startsWith("compact-")) == 1)
+    assert(topDirs(store, "postings/.absorbed").size == 3)
+    // replay of an absorbed batch id: read-only, statistics unchanged
+    InvertedIndexStore.appendBatch(spark, thirds(1), store, "b1")
+    assert(stats() == wantStats && probe() == wantProbe)
+    // dl scalars also survived exactly
+    assert(InvertedIndexStore.readDocLens(spark, store).count() == docs.count())
+  }
+
+  test("crash between snapshot-write and manifest-swap leaves the old " +
+    "generation authoritative; ingest after compaction stays live") {
+    val store = freshStore("crash")
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), store, "b0")
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 1), store, "b1")
+    def stats() = InvertedIndexStore.termStats(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val before = stats()
+    // simulate a compactor that crashed after writing its snapshot but
+    // before the manifest swap: a compact-* dir holding a full copy of
+    // the postings — if readers saw it, every df/tf would double
+    InvertedIndexStore.readPostings(spark, store)
+      .write.parquet(s"$store/postings/compact-crashed")
+    InvertedIndexStore.readDocLens(spark, store)
+      .write.parquet(s"$store/doclen/compact-crashed")
+    assert(stats() == before, "crashed compactor snapshot leaked into reads")
+    // a real compaction now: the crashed leftovers stay excluded (too
+    // young for the stale sweep, named live by no manifest)
+    InvertedIndexStore.compact(spark, store)
+    assert(stats() == before)
+    // post-compaction ingest is mentioned by no manifest -> live
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 2), store, "b2")
+    val oneShot = freshStore("crash-one")
+    InvertedIndexStore.appendBatch(spark, docs, oneShot, "full")
+    def statsOf(s: String) = InvertedIndexStore.termStats(spark, s)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats() == statsOf(oneShot))
+    // and a SECOND compaction folds generation 1 + the new batch into
+    // generation 2, still bit-equal
+    InvertedIndexStore.compact(spark, store)
+    assert(stats() == statsOf(oneShot))
+  }
+
   test("probe read is bucket-pruned: the postings scan filters on bucket " +
     "before the qterm join") {
     val store = freshStore("prune")
-    InvertedIndexStore.appendBatch(spark, docs, store, Some("full"))
+    InvertedIndexStore.appendBatch(spark, docs, store, "full")
     val plan = InvertedIndexStore.bm25Probe(spark, store)
       .queryExecution.executedPlan.toString
     // the bucket IN (...) filter must reach the parquet scan of the

@@ -19,8 +19,7 @@ class PqIndexSpec extends SparkTestBase {
   private def buildPq(store: String): Unit = {
     val q = quantizedVectors()
     AnnIndexStore.ensureCodebook(spark,
-      q.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"),
-        col("qv").as("qc"), col("nq").as("nc")), store)
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
     AnnIndexStore.ensurePqCodebook(spark,
       q.select(col("vec_id"), col("qv"), col("nq")), store)
     AnnIndexStore.appendBatchPq(spark,
@@ -68,6 +67,38 @@ class PqIndexSpec extends SparkTestBase {
     assert(a.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)) == Seq(1L, 2L, 3L)))
   }
 
+  test("pq shape is a STORE property: (M, KSUB) pinned at codebook " +
+    "creation from the conf, later encodes use the recorded shape") {
+    val store = freshStore()
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    try {
+      spark.conf.set(AnnIndexStore.PqMConf, "4")
+      spark.conf.set(AnnIndexStore.PqKsubConf, "8")
+      AnnIndexStore.ensurePqCodebook(spark,
+        q.select(col("vec_id"), col("qv"), col("nq")), store)
+    } finally {
+      spark.conf.unset(AnnIndexStore.PqMConf)
+      spark.conf.unset(AnnIndexStore.PqKsubConf)
+    }
+    assert(AnnIndexStore.pqParams(spark, store) == ((4, 8)))
+    // encode under a DIFFERENT session conf: the store's 4x8 shape wins
+    // (an encoder slicing with M=16 against a 4-subspace codebook would
+    // mis-index every codeword)
+    try {
+      spark.conf.set(AnnIndexStore.PqMConf, "16")
+      AnnIndexStore.appendBatchPq(spark,
+        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+    } finally spark.conf.unset(AnnIndexStore.PqMConf)
+    val asg = AnnIndexStore.readPqAssignments(spark, store)
+    val bad = asg.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad === 0, "codes must be 4 ints in [0, 8) per the store's shape")
+    // probe (conf unset) ranks through the recorded shape
+    assert(AnnIndexStore.probePq(spark, probes(), source(), store).count() > 0)
+  }
+
   test("pq entry points reject a dim not divisible by PQ_M, fail-fast") {
     // slice-based subspace splitting would silently drop tail positions
     // on a non-divisible dim — both PQ entry points must refuse instead
@@ -76,9 +107,7 @@ class PqIndexSpec extends SparkTestBase {
     val oddDim = Seq((1L, Seq.fill(AnnIndexStore.PQ_M + 1)(3L), 27L),
       (2L, Seq.fill(AnnIndexStore.PQ_M + 1)(4L), 48L))
       .toDF("vec_id", "qv", "nq")
-    AnnIndexStore.ensureCodebook(spark,
-      oddDim.select(col("vec_id").as("c_id"), col("qv").as("qc"),
-        col("nq").as("nc")), store)
+    AnnIndexStore.ensureCodebook(spark, oddDim, store)
     val e = intercept[IllegalArgumentException] {
       AnnIndexStore.ensurePqCodebook(spark, oddDim, store)
     }
