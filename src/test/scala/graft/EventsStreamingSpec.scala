@@ -124,6 +124,51 @@ class EventsStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("custom sessionizer over the real events table == q_sessionize_sql " +
+    "batch; timeout drains every open session (state bounded by watermark)") {
+    import graft.streaming.EventWindows
+    import graft.streaming.EventWindows.SessionEvent
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts"), col("user_id")).collect()
+      .map(r => SessionEvent(r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val input = MemoryStream[SessionEvent](spark)
+    val q = EventWindows.sessionize(spark, input.toDS())
+      .writeStream.format("memory").queryName("fmgs_equiv")
+      .outputMode("append").start()
+    try {
+      // chronological thirds: the watermark only advances, nothing is
+      // late — stream must equal batch exactly
+      evs.grouped(400).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // flush: one far-future event advances the watermark past every
+      // open session's (last + gap) → event-time timeout emits them all
+      input.addData(SessionEvent(
+        Timestamp.valueOf("2100-01-01 00:00:00"), -1L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("fmgs_equiv")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+          date_format(col("end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val want = SparkEntry.queries("q_sessionize_sql")(spark, sfDir)
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSet == want.toSet && got.nonEmpty)
+      assert(got.length == want.length, "duplicate session emissions")
+      // all state drained except the flush user's own open session
+      val st = q.recentProgress.reverse.flatMap(_.stateOperators).headOption
+      st.foreach(s => assert(s.numRowsTotal == 1,
+        s"watermark left ${s.numRowsTotal} state rows, expected 1 (flush user)"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates across batches") {
     import graft.streaming.EventWindows
     val input = MemoryStream[IdEv](spark)
