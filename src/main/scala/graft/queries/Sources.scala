@@ -105,6 +105,28 @@ object Sources {
         .orderBy("c_custkey")
     }),
 
+    // Avro LOGICAL types (r19, VERDICT r18 #7): decimal + timestamp
+    // roundtrip at the q_source_orc lossless bar. The price rides as
+    // DECIMAL(18,6) — avro encodes the unscaled integer bytes, so the
+    // roundtrip is exact by construction (a float detour would not be)
+    // — and the order timestamp as (local-)timestamp-micros, Catalyst's
+    // own internal resolution. splitSize 65536 forces multi-split reads
+    // so split-exactness is preserved under the logical decoding.
+    "q_source_avro_logical" -> ((s, d) => {
+      val p = scratchDir(s, "avrolog", d)
+      graft.sources.AvroSource.write(
+        load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice").cast("decimal(18,6)").as("o_price_dec"))
+          .coalesce(1), p)
+      s.read.format(classOf[graft.sources.AvroSource].getName)
+        .option("splitSize", "65536").load(p)
+        .select(col("o_orderkey"),
+          graft.Det.tstr(col("o_orderdate").cast("timestamp")).as("od_ts"),
+          col("o_price_dec").cast("double").as("o_price_dec"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_source_json" -> ((s, d) => {
       val p = scratchDir(s, "json", d)
       load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
@@ -246,6 +268,10 @@ object Sources {
     "q_source_avro" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_source_avro_logical" ->
+      """SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_ts,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS o_price_dec
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_source_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey

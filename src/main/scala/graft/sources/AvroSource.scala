@@ -38,9 +38,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the pruned struct.
   *
   * Type subset (documented, fail-fast elsewhere): boolean / int /
-  * long / float / double / string / bytes, each optionally wrapped in
-  * the `[null, T]` union for nullability. Logical types and nested
-  * records are out of scope for this engine's tables.
+  * long / float / double / string / bytes, plus the logical types a
+  * real corpus hits first (r19, VERDICT r18 #7): `decimal` over bytes
+  * (→ `DecimalType(p, s)`, unscaled big-endian two's-complement —
+  * lossless, the q_source_orc bar), `timestamp-micros` (→
+  * `TimestampType`), `local-timestamp-micros` (→ `TimestampNTZType`)
+  * and `date` (→ `DateType`). Each optionally wrapped in the
+  * `[null, T]` union for nullability. The micros/date logical types
+  * share Catalyst's own internal encoding (micros since epoch / days
+  * since epoch), so reads are pass-throughs; `timestamp-millis` is
+  * REJECTED rather than read (the resolving decoder matches on the
+  * base `long` only, so treating writer millis as micros would be
+  * silent 1000× corruption, not an error). Nested records are out of
+  * scope for this engine's tables.
   *
   * The companion writer (`AvroSource.write`) exists for the oracle
   * roundtrip and specs: one container file per partition via the local
@@ -157,14 +167,36 @@ object AvroSource {
             s"avro source: only [null, T] unions supported, got $s")
         (toSparkField(nonNull.head)._1, true)
       case BOOLEAN => (BooleanType, false)
-      case INT     => (IntegerType, false)
-      case LONG    => (LongType, false)
+      case INT => s.getLogicalType match {
+        case null                           => (IntegerType, false)
+        case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
+        case lt => throw new IllegalArgumentException(
+          s"avro source: unsupported logical type $lt on int (subset: date)")
+      }
+      case LONG => s.getLogicalType match {
+        case null => (LongType, false)
+        case _: org.apache.avro.LogicalTypes.TimestampMicros =>
+          (TimestampType, false)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMicros =>
+          (TimestampNTZType, false)
+        // millis would decode as raw longs under a micros reader —
+        // refuse instead of corrupting by 1000x
+        case lt => throw new IllegalArgumentException(
+          s"avro source: unsupported logical type $lt on long " +
+            "(subset: timestamp-micros, local-timestamp-micros)")
+      }
       case FLOAT   => (FloatType, false)
       case DOUBLE  => (DoubleType, false)
       case STRING  => (StringType, false)
-      case BYTES   => (BinaryType, false)
+      case BYTES => s.getLogicalType match {
+        case null => (BinaryType, false)
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case lt => throw new IllegalArgumentException(
+          s"avro source: unsupported logical type $lt on bytes (subset: decimal)")
+      }
       case t => throw new IllegalArgumentException(
-        s"avro source: unsupported type $t (subset: scalar + [null,T])")
+        s"avro source: unsupported type $t (subset: scalar + logical + [null,T])")
     }
   }
 
@@ -179,6 +211,7 @@ object AvroSource {
 
   /** Spark → Avro for the same subset; nullable ⇒ `[null, T]`. */
   def toAvroSchema(st: StructType, name: String): AvroSchema = {
+    import org.apache.avro.LogicalTypes
     def prim(dt: DataType): AvroSchema = dt match {
       case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
       case IntegerType => AvroSchema.create(AvroSchema.Type.INT)
@@ -187,6 +220,14 @@ object AvroSource {
       case DoubleType  => AvroSchema.create(AvroSchema.Type.DOUBLE)
       case StringType  => AvroSchema.create(AvroSchema.Type.STRING)
       case BinaryType  => AvroSchema.create(AvroSchema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(AvroSchema.create(AvroSchema.Type.INT))
+      case TimestampType => LogicalTypes.timestampMicros()
+        .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+      case TimestampNTZType => LogicalTypes.localTimestampMicros()
+        .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+      case d: DecimalType => LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
       case t => throw new IllegalArgumentException(
         s"avro writer: unsupported spark type $t")
     }
@@ -207,9 +248,18 @@ object AvroSource {
     case null => null
     case _ => dt match {
       case StringType => UTF8String.fromString(v.toString)
+      case d: DecimalType =>
+        // unscaled big-endian two's-complement bytes, the avro decimal
+        // wire form — exact by construction, no float detour
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out)
+        Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(out), d.scale), d.precision, d.scale)
       case BinaryType =>
         val bb = v.asInstanceOf[java.nio.ByteBuffer]
         val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      // timestamp-micros / local-timestamp-micros / date share
+      // Catalyst's internal encodings (micros / days since epoch)
       case _ => v // boxed primitives pass through
     }
   }
@@ -250,6 +300,22 @@ object AvroSource {
             rec.put(j, st(j).dataType match {
               case BinaryType if v != null =>
                 java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+              case d: DecimalType if v != null =>
+                // RoundingMode.UNNECESSARY: the Spark decimal already
+                // carries the declared scale; any needed rounding here
+                // would be a schema bug, not data to massage
+                java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+                  .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+                  .unscaledValue().toByteArray)
+              case TimestampType if v != null => java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp]))
+              case TimestampNTZType if v != null => java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+              case DateType if v != null => java.lang.Integer.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaDate(v.asInstanceOf[java.sql.Date]))
               case _ => v
             })
             j += 1

@@ -71,6 +71,43 @@ class AvroSourceSpec extends SparkTestBase {
     assert(q.agg(sum("c_custkey")).head().getLong(0) > 0)
   }
 
+  test("logical types roundtrip losslessly: decimal, timestamp-micros, " +
+    "date — and splits stay exact under logical decoding") {
+    val dir = tmp("logical")
+    val df = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,6)").as("dec_price"),
+        col("o_orderdate").cast("timestamp").as("ts_utc"),
+        col("o_orderdate").cast("date").as("dt"),
+        // null branches exercise [null, logical] unions
+        when(col("o_orderkey") % 3 === 0,
+          col("o_totalprice").cast("decimal(12,2)")).as("dec_opt"))
+      .coalesce(1)
+    AvroSource.write(df, dir)
+    val back = spark.read.format(classOf[AvroSource].getName)
+      .option("splitSize", "4096").load(dir)
+    assert(back.rdd.getNumPartitions > 2,
+      s"expected multi-split read, got ${back.rdd.getNumPartitions}")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("o_orderkey").collect()
+    val b = back.orderBy("o_orderkey").collect()
+    assert(a.length === b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      (0 until x.length).foreach(i => assert(x.get(i) === y.get(i), s"col $i"))
+    }
+    assert(back.where(col("dec_opt").isNull).count() > 0)
+  }
+
+  test("timestamp-millis is rejected, never silently read as micros") {
+    val err = intercept[IllegalArgumentException] {
+      AvroSource.toSparkSchema(new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"t","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin))
+    }
+    assert(err.getMessage.contains("timestamp-micros"))
+  }
+
   test("unsupported avro shapes fail fast with a clear message") {
     val err = intercept[IllegalArgumentException] {
       AvroSource.toSparkSchema(new org.apache.avro.Schema.Parser().parse(
