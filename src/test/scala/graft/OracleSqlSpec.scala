@@ -71,6 +71,33 @@ class OracleSqlSpec extends SparkTestBase {
         "see the r15 q_knn_graph -0.0 incident):\n" + offenders.mkString("\n"))
   }
 
+  test("store-probe queries (operators/ read paths) emit no negative-zero " +
+    "double bits") {
+    // VERDICT r18 #8: the oracle-walk above covers every oracleSql
+    // entry, but the PROBE queries' double outputs are produced by code
+    // in operators/ (AnnIndexStore.probe etc.), not queries/ — guard
+    // the convention behaviorally on the store-read paths themselves.
+    val probes = Seq("q_ann_index_probe", "q_bm25_probe",
+      "q_inverted_index_probe", "q_bpe_apply_probe")
+    val negZero = java.lang.Double.doubleToRawLongBits(-0.0)
+    probes.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val dcols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+        .map(_.name).toSeq
+      if (dcols.nonEmpty) {
+        df.select(dcols.map(col): _*).collect().foreach { r =>
+          (0 until r.length).foreach { i =>
+            if (!r.isNullAt(i))
+              assert(java.lang.Double.doubleToRawLongBits(r.getDouble(i)) != negZero,
+                s"$name column ${dcols(i)} emitted -0.0 — hash-distinct " +
+                  "from the oracle's +0.0")
+          }
+        }
+      }
+    }
+  }
+
   test("negative-zero canary: a tiny negative cosine emits POSITIVE zero bits") {
     import spark.implicits._
     // dq = -1 over huge norms → quotient ≈ -2.5e-13 → rounds to zero;
