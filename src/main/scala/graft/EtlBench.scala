@@ -52,11 +52,45 @@ object EtlBench {
 
     val t0 = System.nanoTime()
     val out = graft.etl.WikiEtl.run(spark, path)
+    // persist articles too: the sink phases below must time the SINKS,
+    // not a recompute of the id-assignment sort
+    val articles = out.articles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBodies = out.bodies.count()
-    val nArticles = out.articles.count()
+    val nArticles = articles.count()
     val sec = (System.nanoTime() - t0) / 1e9
+
+    // Parquet sink — the 100 TB-native layout (BASELINE.md throughput
+    // row, VERDICT r18 #6): both tables, overwrite, default codec.
+    val pqDir = s"${System.getProperty("java.io.tmpdir")}/graft-etl-bench-pq"
+    val t1 = System.nanoTime()
+    out.bodies.write.mode("overwrite").parquet(s"$pqDir/bodies")
+    articles.write.mode("overwrite").parquet(s"$pqDir/articles")
+    val secPq = (System.nanoTime() - t1) / 1e9
+
+    // JDBC sink — embedded Derby (the in-process stand-in for MySQL),
+    // through the exactly-once staged-promote path the reference's
+    // per-row-commit loader is benchmarked against (BASELINE.md
+    // "implied bottleneck" row). Bodies first: articles carries the FK.
+    import graft.etl.MySqlSink
+    val url = "jdbc:derby:memory:graft_etl_bench;create=true"
+    MySqlSink.bootstrap(url, "app", "app", MySqlSink.derbyDdl)
+    def articlesStage(stage: String): Seq[String] = Seq(
+      s"""CREATE TABLE $stage (
+         |  id BIGINT NOT NULL, aid BIGINT NOT NULL,
+         |  title VARCHAR(1027) NOT NULL, body BIGINT NOT NULL,
+         |  graft_seq BIGINT GENERATED ALWAYS AS IDENTITY)""".stripMargin,
+      s"CREATE INDEX ix_${stage}_id ON $stage (id)")
+    val t2 = System.nanoTime()
+    MySqlSink.exactlyOnceAppend(out.bodies, url, "app", "app", "bodies",
+      MySqlSink.derbyStageDdl, Seq("id", "body"), Seq("id"))
+    MySqlSink.exactlyOnceAppend(articles, url, "app", "app", "articles",
+      articlesStage, Seq("id", "aid", "title", "body"), Seq("id"))
+    val secJdbc = (System.nanoTime() - t2) / 1e9
+
     out.cleanup()
-    println(f"""{"metric":"etl_pages_per_sec","value":${n / sec}%.1f,"pages":$n,"bodies":$nBodies,"articles":$nArticles,"sec":$sec%.2f}""")
+    articles.unpersist(blocking = false)
+    println(f"""{"metric":"etl_pages_per_sec","value":${n / sec}%.1f,"pages":$n,"bodies":$nBodies,"articles":$nArticles,"sec":$sec%.2f,"parquet_sec":$secPq%.2f,"parquet_rows_per_sec":${(nBodies + nArticles) / secPq}%.1f,"jdbc_sec":$secJdbc%.2f,"jdbc_rows_per_sec":${(nBodies + nArticles) / secJdbc}%.1f}""")
     spark.stop()
   }
 }

@@ -127,7 +127,12 @@ object MySqlSink {
     s"""CREATE TABLE $stage (
        |  id BIGINT NOT NULL,
        |  body CLOB,
-       |  graft_seq BIGINT GENERATED ALWAYS AS IDENTITY)""".stripMargin)
+       |  graft_seq BIGINT GENERATED ALWAYS AS IDENTITY)""".stripMargin,
+    // the promote's per-row correlated MIN(graft_seq)/NOT EXISTS
+    // lookups need an index on the stage pk — without it Derby scans
+    // the whole stage per row, turning promotion O(n^2) (measured
+    // 165 rows/s at 35k rows in EtlBench; indexed it is ~100x that)
+    s"CREATE INDEX ix_${stage}_id ON $stage (id)")
 
   private[graft] def dropBestEffort(url: String, user: String, password: String,
                                     table: String): Unit =
