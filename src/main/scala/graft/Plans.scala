@@ -184,7 +184,13 @@ object Plans {
       "(r18): the postings scan carries the query terms' bucket " +
       "filter in PushedFilters (term-shard pruning at the source); " +
       "the 3-row qterm side and the 1-row scalar pair broadcast; " +
-      "doc scoring is one combining aggregate on doc_id."))
+      "doc scoring is one combining aggregate on doc_id."),
+
+    "q_source_avro_logical" -> ("Avro logical types (r19): the DSv2 " +
+      "scan decodes decimal (unscaled big-endian bytes) and " +
+      "timestamp-micros under forced 64 KiB byte-range splits — " +
+      "the scan description shows the pruned logical-typed columns; " +
+      "downstream is one presentation sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
