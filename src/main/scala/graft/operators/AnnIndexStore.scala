@@ -117,22 +117,28 @@ object AnnIndexStore {
   }
 
   /** Assign a delta batch against the stored codebook and append the
-    * assignments atomically. Replay-idempotent with a stable `batchId`:
-    * an already-committed batch returns its recorded assignments. The
+    * assignments atomically. `batchId` is REQUIRED and must be stable
+    * across retries (r19, the [[InvertedIndexStore.appendBatch]]
+    * discipline): a crash between the checkpoint and the rename,
+    * retried under a fresh generated name, would double-append the
+    * batch's assignments — duplicate vec_ids whose probe survivor
+    * would then be partition-dependent. Replay-idempotent: an
+    * already-committed batch returns its recorded assignments. The
     * checkpoint before the append mirrors [[IncrementalDedup]]'s
     * ordering discipline (materialize what you return BEFORE mutating
     * the store it was computed against). */
   def appendBatch(spark: SparkSession, vectors: DataFrame, storePath: String,
-                  batchId: Option[String] = None): DataFrame = {
+                  batchId: String): DataFrame = {
+    require(batchId.nonEmpty, "appendBatch needs a stable batch id")
     val ap = assignPath(storePath)
-    committed(spark, ap, batchId) match {
+    committed(spark, ap, Some(batchId)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(ap, name).toString)
       case None => ()
     }
     val assigned = Checkpoints.ckpt(
       assign(vectors, readCodebook(spark, storePath)))
-    appendAtomic(spark, assigned, ap, freshBatchName(batchId))
+    appendAtomic(spark, assigned, ap, freshBatchName(Some(batchId)))
     assigned
   }
 
@@ -303,13 +309,14 @@ object AnnIndexStore {
     spark.read.parquet(pqCodebookPath(storePath))
 
   /** PQ-encode a delta batch (vec_id, qv, nq) and append (vec_id, cell,
-    * codes) atomically — same replay-idempotent batch discipline as
-    * [[appendBatch]]. The raw vectors are NOT stored. */
+    * codes) atomically — same replay-idempotent REQUIRED-batch-id
+    * discipline as [[appendBatch]]. The raw vectors are NOT stored. */
   def appendBatchPq(spark: SparkSession, vectors: DataFrame, storePath: String,
-                    batchId: Option[String] = None): DataFrame = {
+                    batchId: String): DataFrame = {
+    require(batchId.nonEmpty, "appendBatchPq needs a stable batch id")
     graft.functions.VectorExprs.register(spark)
     val ap = pqAssignPath(storePath)
-    committed(spark, ap, batchId) match {
+    committed(spark, ap, Some(batchId)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(ap, name).toString)
       case None => ()
@@ -323,7 +330,7 @@ object AnnIndexStore {
         .groupBy(col("vec_id"), col("cell"), col("nq"))
         .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
           " x -> x.code)").as("codes")))
-    appendAtomic(spark, encoded, ap, freshBatchName(batchId))
+    appendAtomic(spark, encoded, ap, freshBatchName(Some(batchId)))
     encoded
   }
 

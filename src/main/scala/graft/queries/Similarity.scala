@@ -544,7 +544,7 @@ object Similarity {
       AnnIndexStore.ensureCodebook(s,
         q.select(col("vec_id"), col("qv"), col("nq")), store)
       AnnIndexStore.appendBatch(s,
-        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+        q.select(col("vec_id"), col("qv"), col("nq")), store, "full")
       AnnIndexStore.probe(s,
         q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
           .select(col("vec_id").as("a_id"), col("qv").as("qa"),

@@ -21,10 +21,10 @@ class AnnIndexStoreSpec extends SparkTestBase {
       q.select(col("vec_id"), col("qv"), col("nq")), store)
     AnnIndexStore.appendBatch(spark,
       q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
-      store, Some("even"))
+      store, "even")
     AnnIndexStore.appendBatch(spark,
       q.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("qv"), col("nq")),
-      store, Some("odd"))
+      store, "odd")
   }
 
   private def probeAll(store: String) =
@@ -53,7 +53,7 @@ class AnnIndexStoreSpec extends SparkTestBase {
     val replayed = AnnIndexStore.appendBatch(spark,
       quantizedVectors().filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("qv"), col("nq")),
-      store, Some("even"))
+      store, "even")
     assert(replayed.count() > 0)
     assert(AnnIndexStore.readAssignments(spark, store).count() == nAssign)
     assert(probeAll(store) == before)
@@ -84,7 +84,7 @@ class AnnIndexStoreSpec extends SparkTestBase {
     try {
       spark.conf.set(AnnIndexStore.CellsConf, "128")
       AnnIndexStore.appendBatch(spark,
-        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+        q.select(col("vec_id"), col("qv"), col("nq")), store, "full")
     } finally spark.conf.unset(AnnIndexStore.CellsConf)
     val cells = AnnIndexStore.readAssignments(spark, store)
       .select("cell").distinct().collect().map(_.getLong(0))

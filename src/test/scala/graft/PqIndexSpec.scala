@@ -24,10 +24,10 @@ class PqIndexSpec extends SparkTestBase {
       q.select(col("vec_id"), col("qv"), col("nq")), store)
     AnnIndexStore.appendBatchPq(spark,
       q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
-      store, Some("even"))
+      store, "even")
     AnnIndexStore.appendBatchPq(spark,
       q.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("qv"), col("nq")),
-      store, Some("odd"))
+      store, "odd")
   }
 
   private def probes() = quantizedVectors()
@@ -54,7 +54,7 @@ class PqIndexSpec extends SparkTestBase {
     // replayed committed batch: nothing double-appended
     AnnIndexStore.appendBatchPq(spark,
       quantizedVectors().filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id"), col("qv"), col("nq")), store, Some("even"))
+        .select(col("vec_id"), col("qv"), col("nq")), store, "even")
     assert(AnnIndexStore.readPqAssignments(spark, store).count() === n)
   }
 
@@ -89,7 +89,7 @@ class PqIndexSpec extends SparkTestBase {
     try {
       spark.conf.set(AnnIndexStore.PqMConf, "16")
       AnnIndexStore.appendBatchPq(spark,
-        q.select(col("vec_id"), col("qv"), col("nq")), store, Some("full"))
+        q.select(col("vec_id"), col("qv"), col("nq")), store, "full")
     } finally spark.conf.unset(AnnIndexStore.PqMConf)
     val asg = AnnIndexStore.readPqAssignments(spark, store)
     val bad = asg.filter(size(col("codes")) =!= 4 ||
@@ -115,7 +115,7 @@ class PqIndexSpec extends SparkTestBase {
     // and the encode path independently (a codebook trained elsewhere
     // must not let a bad batch through)
     val e2 = intercept[IllegalArgumentException] {
-      AnnIndexStore.appendBatchPq(spark, oddDim, store, Some("bad"))
+      AnnIndexStore.appendBatchPq(spark, oddDim, store, "bad")
     }
     assert(e2.getMessage.contains("PQ_M"))
   }
@@ -131,7 +131,7 @@ class PqIndexSpec extends SparkTestBase {
     val clean = probePq(store)
     AnnIndexStore.appendBatchPq(spark,
       quantizedVectors().filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id"), col("qv"), col("nq")), store, Some("even-dup"))
+        .select(col("vec_id"), col("qv"), col("nq")), store, "even-dup")
     val n = quantizedVectors().count()
     assert(AnnIndexStore.readPqAssignments(spark, store).count() > n,
       "precondition: the store really does contain duplicates now")
@@ -150,7 +150,7 @@ class PqIndexSpec extends SparkTestBase {
     AnnIndexStore.appendBatchPq(spark,
       quantizedVectors().filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), expr("reverse(qv)").as("qv"),
-          (col("nq") + 1).as("nq")), store, Some("even-conflict"))
+          (col("nq") + 1).as("nq")), store, "even-conflict")
     val e = intercept[Exception] { probePq(store) }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
@@ -163,7 +163,7 @@ class PqIndexSpec extends SparkTestBase {
     val store = freshStore()
     buildPq(store)
     // the raw store on the same vectors, for the size comparison
-    AnnIndexStore.appendBatch(spark, source(), store, Some("raw-full"))
+    AnnIndexStore.appendBatch(spark, source(), store, "raw-full")
 
     // exact top-3 per probe (the same brute-force leg q_ann_recall uses)
     val corpus = quantizedVectors()
