@@ -388,6 +388,29 @@ object Pipeline {
       graft.operators.InvertedIndexStore.bm25Probe(s, store)
     }),
 
+    // BM25 over the COMPACTED inverted index (r19 — puts the
+    // manifest-generation read path of VERDICT r18 #2 under the hash
+    // oracle, not just specs): three incremental ingest batches, one
+    // compaction (snapshot + atomic manifest swap, absorbed batches
+    // parked as replay records), then the probe reads generation 1.
+    // Re-runs are deterministic end-to-end: the ingests replay as
+    // no-ops (stable batch ids, absorbed dirs count as committed) and
+    // compact() no-ops once each kind has a single live dir. Output is
+    // bit-equal to q_bm25 by the same argument as q_bm25_probe plus
+    // compaction's row-for-row snapshot — SHARES q_bm25's oracle.
+    "q_bm25_probe_compacted" -> ((s, d) => {
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_inv_index_cmp",
+        graft.Tables.dataFingerprint(s, d, Seq("documents"))).toString
+      val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+      (0 to 2).foreach { i =>
+        graft.operators.InvertedIndexStore.appendBatch(s,
+          docs.filter(col("doc_id") % 3 === i), store, s"third-$i")
+      }
+      graft.operators.InvertedIndexStore.compact(s, store)
+      graft.operators.InvertedIndexStore.bm25Probe(s, store)
+    }),
+
     // RETRIEVAL EVALUATION (MRR / P@10 / recall@10) — the eval harness
     // every retrieval stack reports, entirely in exact rationals (MRR's
     // 1/rank is rational; nDCG's log2 is not, so it is deliberately
@@ -1515,7 +1538,9 @@ object Pipeline {
     * index, same integer arithmetic/tie-breaks) — shared oracle, the
     * q_ann_index_probe pattern. */
   lazy val oracles: Map[String, String] =
-    oraclesBase + ("q_bm25_probe" -> oraclesBase("q_bm25"))
+    oraclesBase +
+      ("q_bm25_probe" -> oraclesBase("q_bm25")) +
+      ("q_bm25_probe_compacted" -> oraclesBase("q_bm25"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_rrf" ->
