@@ -126,6 +126,18 @@ object InvertedIndexStore {
   // manifest resolution
   // ------------------------------------------------------------------
 
+  /** A manifest generation's contents are IMMUTABLE (the dir appears
+    * fully-formed by one atomic rename and is never rewritten), so the
+    * parsed rows cache per generation path — a probe touches the
+    * manifest ~6 times (postings + doclen reads, bucket meta, replay
+    * checks) and each uncached touch is a driver-side parquet job
+    * (~150 ms; the cache took q_bm25_probe_compacted's warm reps from
+    * 1.8 s to probe-dominated). Bounded: one entry per generation ever
+    * read in this JVM, single-entry evicted at the 256 cap (the
+    * AvroSource schema-cache discipline). */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), Boolean]]()
+
   /** (generation seq, dir name → live?) of the highest manifest
     * generation, if any. Generation dir names embed a zero-padded seq
     * so lexical max == numeric max; each appears only by atomic
@@ -139,8 +151,18 @@ object InvertedIndexStore {
     if (gens.isEmpty) return None
     val latest = gens.maxBy(_.getPath.getName)
     val seq = latest.getPath.getName.stripPrefix("gen-").take(9).toLong
-    val rows = spark.read.parquet(latest.getPath.toString).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val key = latest.getPath.toString
+    var evicting = true
+    while (evicting && manifestCache.size >= 256 &&
+        !manifestCache.containsKey(key)) {
+      val it = manifestCache.keySet.iterator
+      if (it.hasNext) { manifestCache.remove(it.next()); () }
+      else evicting = false // weakly-consistent iterator raced to empty
+    }
+    val rows = manifestCache.computeIfAbsent(key, { _ =>
+      spark.read.parquet(key).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    })
     Some((seq, rows))
   }
 
