@@ -163,7 +163,7 @@ object MySqlSink {
       // attach it as suppressed and rethrow the original (ADVICE r18)
       case e: Throwable =>
         try conn.rollback()
-        catch { case re: java.sql.SQLException => e.addSuppressed(re) }
+        catch { case scala.util.control.NonFatal(re) => e.addSuppressed(re) }
         throw e
     } finally conn.close()
   }
@@ -222,7 +222,7 @@ object MySqlSink {
       // attach it as suppressed and rethrow the original (ADVICE r18)
       case e: Throwable =>
         try conn.rollback()
-        catch { case re: java.sql.SQLException => e.addSuppressed(re) }
+        catch { case scala.util.control.NonFatal(re) => e.addSuppressed(re) }
         throw e
     } finally conn.close()
   }

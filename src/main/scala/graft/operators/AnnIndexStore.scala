@@ -70,32 +70,30 @@ object AnnIndexStore {
     else spark.conf.getOption(CellsConf).map(_.toInt)
       .filter(_ >= 1).getOrElse(DefaultCells)
 
-  private def ensureMeta(spark: SparkSession, storePath: String): Int = {
-    val n = cellCount(spark, storePath)
-    if (!storeExists(spark, metaPath(storePath))) {
-      import spark.implicits._
-      appendAtomic(spark, Seq(n).toDF("cells"), storePath, "meta")
-    }
-    // a concurrent creator may have won the rename — the recorded
-    // count is the truth either way
-    cellCount(spark, storePath)
-  }
-
   /** Build and write the codebook once from candidate vectors
-    * (vec_id, qv, nq): meta first (cell count pinned at creation from
-    * `spark.graft.ann.cells`), then the first `cells` candidates by
-    * vec_id become the centroids (the engine's deterministic init) —
-    * atomic rename, no-op if one is already committed (concurrent
-    * builders race safely: the loser's rename fails against the
-    * existing target and is treated as success). */
+    * (vec_id, qv, nq): the first `cells` candidates by vec_id become
+    * the centroids (the engine's deterministic init), `cells` coming
+    * from an existing meta record (a crashed prior attempt) or the
+    * session conf. The meta records the count the codebook ACTUALLY
+    * holds — candidates can be fewer than the conf asked for, and the
+    * meta is the number every later consumer trusts, so recording the
+    * request instead of the reality would advertise cells that do not
+    * exist. Atomic renames throughout; concurrent builders race
+    * safely (the loser's rename fails against the existing target and
+    * is treated as success). */
   def ensureCodebook(spark: SparkSession, candidates: DataFrame,
                      storePath: String): Unit =
     if (!storeExists(spark, codebookPath(storePath))) {
-      val cells = ensureMeta(spark, storePath)
-      val cents = candidates
+      val want = cellCount(spark, storePath)
+      val cents = graft.Checkpoints.ckpt(candidates
         .select(col("vec_id").as("c_id"), col("qv").as("qc"),
           col("nq").as("nc"))
-        .orderBy(col("c_id")).limit(cells)
+        .orderBy(col("c_id")).limit(want))
+      val actual = cents.count().toInt
+      if (!storeExists(spark, metaPath(storePath))) {
+        import spark.implicits._
+        appendAtomic(spark, Seq(actual).toDF("cells"), storePath, "meta")
+      }
       appendAtomic(spark, cents, storePath, "codebook")
     }
 

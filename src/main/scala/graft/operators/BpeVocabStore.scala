@@ -60,6 +60,17 @@ object BpeVocabStore {
   def exists(spark: SparkSession, storePath: String): Boolean =
     storeExists(spark, vocabPath(storePath))
 
+  /** Per-(application, vocab-path) broadcast cache: a serving loop
+    * calling [[applyMerges]] repeatedly would otherwise register a
+    * fresh broadcast of the full merge table per call and never
+    * release it (a production table is megabytes). Safe because the
+    * vocab is write-once (immutable after its rename), and keyed by
+    * applicationId because a broadcast belongs to one SparkContext.
+    * Bounded at 64 entries; an evicted entry's broadcast is reclaimed
+    * by the ContextCleaner once unreferenced. */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.broadcast.Broadcast[BpeMergeTable]]()
+
   /** Apply the stored merge table to a paren-encoded corpus
     * (doc_id, enc): one narrow map over the corpus with the merge
     * table BROADCAST (it is vocabulary-sized by contract — the
@@ -67,11 +78,20 @@ object BpeVocabStore {
     * depth constant in |merges|. */
   def applyMerges(spark: SparkSession, encoded: DataFrame,
                   storePath: String): DataFrame = {
-    val merges = readVocab(spark, storePath)
-      .orderBy("step")
-      .collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val bc = spark.sparkContext.broadcast(new BpeMergeTable(merges))
+    val key = (spark.sparkContext.applicationId, vocabPath(storePath))
+    var evicting = true
+    while (evicting && bcCache.size >= 64 && !bcCache.containsKey(key)) {
+      val it = bcCache.keySet.iterator
+      if (it.hasNext) { bcCache.remove(it.next()); () }
+      else evicting = false
+    }
+    val bc = bcCache.computeIfAbsent(key, { _ =>
+      val merges = readVocab(spark, storePath)
+        .orderBy("step")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      spark.sparkContext.broadcast(new BpeMergeTable(merges))
+    })
     val applyUdf = udf { enc: String => BpeApply.applyEncoded(enc, bc.value) }
     encoded.select(col("doc_id"), applyUdf(col("enc")).as("enc"))
   }

@@ -172,11 +172,13 @@ object InvertedIndexStore {
     * compaction — or ever, for a never-compacted store). `compact-*`
     * dirs named by NO manifest are a crashed compactor's leftovers and
     * are never read. */
+  private def kindPath(storePath: String, kind: String): String =
+    if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
+
   private def liveDirs(spark: SparkSession, storePath: String,
                        kind: String): Seq[String] = {
-    val kindPath =
-      if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
-    val (fs, kp) = hfs(spark, kindPath)
+    val kp0 = kindPath(storePath, kind)
+    val (fs, kp) = hfs(spark, kp0)
     if (!fs.exists(kp)) return Nil
     val onDisk = fs.listStatus(kp)
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -191,16 +193,15 @@ object InvertedIndexStore {
           }
         }
     }
-    names.sorted.map(n => s"$kindPath/$n").toSeq
+    names.sorted.map(n => s"$kp0/$n").toSeq
   }
 
   /** The committed location of a batch id for one kind: its live batch
     * dir, or its parked replay record under `.absorbed/`. */
   private def committedBatch(spark: SparkSession, storePath: String,
                              kind: String, batchId: String): Option[String] = {
-    val kindPath =
-      if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
-    Seq(s"$kindPath/batch-$batchId", s"$kindPath/.absorbed/batch-$batchId")
+    val kp = kindPath(storePath, kind)
+    Seq(s"$kp/batch-$batchId", s"$kp/.absorbed/batch-$batchId")
       .find(p => storeExists(spark, p))
   }
 
@@ -262,16 +263,49 @@ object InvertedIndexStore {
     * probe pruning is unchanged. Absorbed batch dirs are parked under
     * `.absorbed/` as replay records. No-op when at most one live dir
     * per kind exists. Also sweeps `compact-*` leftovers of crashed
-    * compactors older than `staleMs`. */
+    * compactors older than `staleMs`.
+    *
+    * ORPHAN doclen batches — a crashed ingest's doclen append whose
+    * postings commit marker never landed — are NOT absorbed: the
+    * crash's retry re-appends the doclen under the same top-level
+    * name (a no-op only because the dir still exists), so absorbing
+    * the orphan would let the retry land a second copy and silently
+    * double that batch's dl and the N/T scalars. Orphans stay live
+    * and unmentioned; the retry completes them into normal batches a
+    * later compaction folds.
+    *
+    * `moveGraceMs`: a probe's DataFrame pins explicit batch paths at
+    * plan time, so parking absorbed dirs the instant the manifest
+    * swaps would FileNotFound any reader that resolved its dir list
+    * under the previous generation. With a positive grace, the swap
+    * leaves absorbed dirs in place (readers of the old generation
+    * keep reading them; new readers exclude them via the manifest)
+    * and a LATER compact parks them once the live manifest is at
+    * least `moveGraceMs` old — until then it returns without writing
+    * a new generation, because a gen-(k+1) manifest no longer
+    * mentions gen-k's absorbed dirs and would resurrect them as
+    * live. Serving deployments should pass a grace comfortably above
+    * their longest query; 0 (the default) keeps the immediate-move
+    * behavior for single-writer batch pipelines and specs. */
   def compact(spark: SparkSession, storePath: String,
-              staleMs: Long = 24L * 3600 * 1000): Unit = {
+              staleMs: Long = 24L * 3600 * 1000,
+              moveGraceMs: Long = 0L): Unit = {
     if (!storeExists(spark, postingsPath(storePath))) return
-    // finish a crashed predecessor's moves first: anything the live
-    // manifest marks absorbed but still sits at the top level
-    finishMoves(spark, storePath)
+    // finish a predecessor's pending moves first — or, under a grace
+    // window, wait until in-flight readers of the older generations
+    // have drained before touching anything
+    if (hasPendingMoves(spark, storePath)) {
+      if (moveGraceMs > 0 &&
+          manifestAgeMs(spark, storePath).exists(_ < moveGraceMs)) return
+      finishMoves(spark, storePath)
+    }
     sweepStaleCompacts(spark, storePath, staleMs)
     val postLive = liveDirs(spark, storePath, "postings")
-    val dlLive = liveDirs(spark, storePath, "doclen")
+    val postNames = postLive.map(dirName).toSet
+    val dlLive = liveDirs(spark, storePath, "doclen").filter { p =>
+      val n = dirName(p)
+      n.startsWith("compact-") || postNames.contains(n) // exclude orphans
+    }
     if (postLive.size <= 1 && dlLive.size <= 1) return
     val uuid = java.util.UUID.randomUUID().toString
     val postName = s"compact-$uuid"
@@ -293,7 +327,29 @@ object InvertedIndexStore {
         dlLive.map(p => ("doclen", dirName(p), false))
     appendAtomic(spark, rows.toDF("kind", "dir", "live"),
       manifestPath(storePath), f"gen-$seq%09d-$uuid")
-    finishMoves(spark, storePath)
+    if (moveGraceMs <= 0) finishMoves(spark, storePath)
+  }
+
+  /** True when the live manifest marks dirs absorbed that still sit at
+    * the top level (a crashed predecessor's — or a grace window's —
+    * pending moves). */
+  private def hasPendingMoves(spark: SparkSession, storePath: String): Boolean =
+    latestManifest(spark, storePath).exists { case (_, m) =>
+      m.exists { case ((kind, name), live) =>
+        !live && storeExists(spark, s"${kindPath(storePath, kind)}/$name")
+      }
+    }
+
+  /** Age of the newest manifest generation dir, if any. */
+  private def manifestAgeMs(spark: SparkSession,
+                            storePath: String): Option[Long] = {
+    val (fs, mp) = hfs(spark, manifestPath(storePath))
+    if (!fs.exists(mp)) return None
+    val gens = fs.listStatus(mp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+    if (gens.isEmpty) None
+    else Some(System.currentTimeMillis() -
+      gens.maxBy(_.getPath.getName).getModificationTime)
   }
 
   private def dirName(path: String): String =
@@ -307,11 +363,10 @@ object InvertedIndexStore {
     latestManifest(spark, storePath).foreach { case (_, m) =>
       m.foreach { case ((kind, name), live) =>
         if (!live) {
-          val kindPath = if (kind == "postings") postingsPath(storePath)
-            else doclenPath(storePath)
-          val (fs, src) = hfs(spark, s"$kindPath/$name")
+          val kp = kindPath(storePath, kind)
+          val (fs, src) = hfs(spark, s"$kp/$name")
           if (fs.exists(src)) {
-            val dstDir = new org.apache.hadoop.fs.Path(s"$kindPath/.absorbed")
+            val dstDir = new org.apache.hadoop.fs.Path(s"$kp/.absorbed")
             fs.mkdirs(dstDir)
             val dst = new org.apache.hadoop.fs.Path(dstDir, name)
             if (!fs.rename(src, dst) && !fs.exists(dst))
@@ -335,9 +390,7 @@ object InvertedIndexStore {
       }
     val now = System.currentTimeMillis()
     Seq("postings", "doclen").foreach { kind =>
-      val kindPath = if (kind == "postings") postingsPath(storePath)
-        else doclenPath(storePath)
-      val (fs, kp) = hfs(spark, kindPath)
+      val (fs, kp) = hfs(spark, kindPath(storePath, kind))
       if (fs.exists(kp))
         fs.listStatus(kp).foreach { st =>
           val n = st.getPath.getName

@@ -539,10 +539,14 @@ object Similarity {
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_ann_index",
         graft.Tables.dataFingerprint(s, d, Seq("embeddings"))).toString
-      // codebook = first `cells` vectors by vec_id (cells is a store
-      // property, default 16 — identical to ivfTop3's vec_id < 16 init)
+      // candidates = EXACTLY ivfTop3's vec_id < 16 init (not "first 16
+      // by order": with a gap or offset in the id space the two would
+      // pick different centroids and the shared q_ann_ivf oracle would
+      // diverge); the store's cell-count property then takes all of
+      // them at the default 16
       AnnIndexStore.ensureCodebook(s,
-        q.select(col("vec_id"), col("qv"), col("nq")), store)
+        q.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("qv"), col("nq")), store)
       AnnIndexStore.appendBatch(s,
         q.select(col("vec_id"), col("qv"), col("nq")), store, "full")
       AnnIndexStore.probe(s,

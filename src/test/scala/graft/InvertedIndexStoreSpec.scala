@@ -169,6 +169,67 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     assert(stats() == statsOf(oneShot))
   }
 
+  test("compaction never absorbs an ORPHAN doclen batch: the crashed " +
+    "ingest's retry completes it without double-counting dl/N/T") {
+    val store = freshStore("orphan")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val orphanDocs = docs.filter(col("doc_id") % 2 === 1)
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 4 === 0), store, "b0")
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 4 === 2), store, "b1") // 2 batches to compact
+    // simulate the crash window: the doclen append landed, the postings
+    // commit marker did not
+    val dl = orphanDocs.select(col("doc_id"), expr(
+      "CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("dl"))
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, dl, s"$store/doclen", "batch-orphan")
+    InvertedIndexStore.compact(spark, store)
+    // the orphan stayed at the top level, unabsorbed
+    assert(topDirs(store, "doclen").contains("batch-orphan"))
+    assert(!topDirs(store, "doclen/.absorbed").contains("batch-orphan"))
+    // the retry completes the batch; nothing about it is duplicated
+    InvertedIndexStore.appendBatch(spark, orphanDocs, store, "orphan")
+    val oneShot = freshStore("orphan-one")
+    InvertedIndexStore.appendBatch(spark,
+      half.unionByName(orphanDocs), oneShot, "full")
+    def dls(s: String) = InvertedIndexStore.readDocLens(spark, s)
+      .groupBy().agg(count(lit(1)), sum(col("dl"))).head()
+    assert(dls(store) == dls(oneShot), "orphan doclens double-counted")
+    def stats(s: String) = InvertedIndexStore.termStats(spark, s)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats(store) == stats(oneShot))
+    // a second compaction (now that the orphan completed into a normal
+    // batch) folds it too, still bit-equal
+    InvertedIndexStore.compact(spark, store)
+    assert(dls(store) == dls(oneShot) && stats(store) == stats(oneShot))
+  }
+
+  test("moveGraceMs: absorbed dirs stay in place for in-flight readers; " +
+    "a later compact parks them after the grace") {
+    val store = freshStore("grace")
+    (0 to 2).foreach { i =>
+      InvertedIndexStore.appendBatch(spark,
+        docs.filter(col("doc_id") % 3 === i), store, s"b$i")
+    }
+    def stats() = InvertedIndexStore.termStats(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = stats()
+    InvertedIndexStore.compact(spark, store, moveGraceMs = 3600 * 1000L)
+    // manifest swapped, but the absorbed batch dirs are still readable
+    // in place (an in-flight reader of the old generation needs them)
+    assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 3)
+    assert(stats() == want, "new readers must resolve the new generation")
+    // a second compact inside the grace does nothing at all
+    InvertedIndexStore.compact(spark, store, moveGraceMs = 3600 * 1000L)
+    assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 3)
+    // after the grace (0 here = immediately eligible), the moves finish
+    InvertedIndexStore.compact(spark, store)
+    assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 0)
+    assert(topDirs(store, "postings/.absorbed").size == 3)
+    assert(stats() == want)
+  }
+
   test("probe read is bucket-pruned: the postings scan filters on bucket " +
     "before the qterm join") {
     val store = freshStore("prune")
