@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * itself is never re-read — cost per batch is O(|delta| + |store|),
   * not O(|corpus|).
   *
-  * REPLAY idempotence: pass a stable `batchId` (e.g. the streaming
-  * foreachBatch id). The batch's survivors ARE its store subdirectory,
+  * REPLAY idempotence: the REQUIRED stable `batchId` (e.g. the
+  * streaming foreachBatch id). The batch's survivors ARE its store
+  * subdirectory,
   * so a replayed batch whose append already committed returns the
   * recorded survivors instead of anti-joining itself to zero — without
   * this, a crash between the store append and the caller's downstream
@@ -95,12 +96,17 @@ object IncrementalDedup {
     * use), appends the survivors' fingerprints, and returns the
     * survivors as (fp, doc_id). Within-delta duplicates keep the
     * minimum doc_id; fingerprints already in the store are dropped.
-    * With a stable `batchId`, a replayed already-committed batch
-    * returns its recorded survivors (see scaladoc). */
+    * `batchId` is REQUIRED and must be stable across retries (r19 —
+    * the same discipline as every other persisted store here): a
+    * generated id makes a crash between the store append and the
+    * caller's downstream commit FALSE-DROP the whole batch forever on
+    * retry (it anti-joins against its own fingerprints); with a
+    * stable id the replay returns the recorded survivors. */
   def dedupDelta(spark: SparkSession, delta: DataFrame, storePath: String,
-                 idCol: String = "doc_id", textCol: String = "text",
-                 batchId: Option[String] = None): DataFrame = {
-    committed(spark, storePath, batchId) match {
+                 batchId: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(batchId.nonEmpty, "dedupDelta needs a stable batch id")
+    committed(spark, storePath, Some(batchId)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(storePath, name).toString)
       case None => ()
@@ -114,7 +120,7 @@ object IncrementalDedup {
       } else deltaKeep
     // materialize BEFORE extending the store (see scaladoc)
     val materialized = Checkpoints.ckpt(survivors)
-    appendAtomic(spark, materialized, storePath, freshBatchName(batchId))
+    appendAtomic(spark, materialized, storePath, freshBatchName(Some(batchId)))
     materialized
   }
 
@@ -195,9 +201,10 @@ object IncrementalDedup {
     * they cannot cause drops, but they make the batch dir a complete
     * replay record. */
   def dedupDeltaNear(spark: SparkSession, delta: DataFrame, storePath: String,
-                     idCol: String = "doc_id",
-                     batchId: Option[String] = None): DataFrame = {
-    committed(spark, storePath, batchId) match {
+                     batchId: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(batchId.nonEmpty, "dedupDeltaNear needs a stable batch id")
+    committed(spark, storePath, Some(batchId)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(storePath, name).toString)
           .select(col("doc_id")).distinct()
@@ -212,7 +219,7 @@ object IncrementalDedup {
     appendAtomic(spark,
       kept.join(memb, Seq("doc_id"), "left")
         .select(col("bucket"), col("doc_id")), storePath,
-      freshBatchName(batchId))
+      freshBatchName(Some(batchId)))
     kept
   }
 }

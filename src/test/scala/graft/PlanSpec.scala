@@ -355,7 +355,7 @@ class PlanSpec extends SparkTestBase {
     val docs = Tables.load(spark, sfDir, "documents")
     // seed the store so the store-check branch is in the plan
     graft.operators.IncrementalDedup.dedupDeltaNear(
-      spark, docs.filter("doc_id < 50"), store)
+      spark, docs.filter("doc_id < 50"), store, "seed")
     // plan the second batch through the operator's OWN plan builder so
     // this assertion cannot drift from the shipped join shape
     val delta = docs.filter("doc_id >= 50")
