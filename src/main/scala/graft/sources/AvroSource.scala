@@ -46,11 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * and `date` (→ `DateType`). Each optionally wrapped in the
   * `[null, T]` union for nullability. The micros/date logical types
   * share Catalyst's own internal encoding (micros since epoch / days
-  * since epoch), so reads are pass-throughs; `timestamp-millis` is
-  * REJECTED rather than read (the resolving decoder matches on the
-  * base `long` only, so treating writer millis as micros would be
-  * silent 1000× corruption, not an error). Nested records are out of
-  * scope for this engine's tables.
+  * since epoch), so reads are pass-throughs; `(local-)timestamp-millis`
+  * reads multiply the decoded base long by 1000 — the resolving
+  * decoder matches on the base `long` only, so the scale conversion is
+  * this source's job, flagged per column from the writer schema at
+  * plan time (treating writer millis as micros would otherwise be
+  * silent 1000× corruption). Nested records are out of scope for this
+  * engine's tables.
   *
   * The companion writer (`AvroSource.write`) exists for the oracle
   * roundtrip and specs: one container file per partition via the local
@@ -179,11 +181,17 @@ object AvroSource {
           (TimestampType, false)
         case _: org.apache.avro.LogicalTypes.LocalTimestampMicros =>
           (TimestampNTZType, false)
-        // millis would decode as raw longs under a micros reader —
-        // refuse instead of corrupting by 1000x
+        // millis map to the same Spark types; the READER multiplies the
+        // decoded long by 1000 (the resolving decoder matches on the
+        // base `long` only, so the scale conversion must happen on our
+        // side — see millisFields / AvroReaderFactory)
+        case _: org.apache.avro.LogicalTypes.TimestampMillis =>
+          (TimestampType, false)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMillis =>
+          (TimestampNTZType, false)
         case lt => throw new IllegalArgumentException(
           s"avro source: unsupported logical type $lt on long " +
-            "(subset: timestamp-micros, local-timestamp-micros)")
+            "(subset: timestamp-micros/-millis, local-timestamp-micros/-millis)")
       }
       case FLOAT   => (FloatType, false)
       case DOUBLE  => (DoubleType, false)
@@ -239,6 +247,26 @@ object AvroSource {
       new AvroSchema.Field(f.name, s, null, null)
     }
     AvroSchema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Names of the writer-schema fields whose long payload is MILLIS
+    * (timestamp-millis / local-timestamp-millis, bare or inside a
+    * [null, T] union). The resolving decoder hands back the raw base
+    * long, so these fields need a ×1000 to reach Catalyst's micros —
+    * computed on the driver at plan time from the (homogeneity-checked)
+    * writer schema and shipped to the readers as a per-column flag. */
+  def millisFields(writer: AvroSchema): Set[String] = {
+    def isMillis(s: AvroSchema): Boolean = s.getType match {
+      case AvroSchema.Type.UNION =>
+        s.getTypes.asScala.exists(b => b.getType != AvroSchema.Type.NULL && isMillis(b))
+      case AvroSchema.Type.LONG => s.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.TimestampMillis      => true
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMillis => true
+        case _                                                    => false
+      }
+      case _ => false
+    }
+    writer.getFields.asScala.filter(f => isMillis(f.schema)).map(_.name).toSet
   }
 
   /** Avro runtime value → Catalyst value for one supported type.
@@ -383,11 +411,22 @@ class AvroScan(paths: Seq[String], required: StructType, splitSize: Long)
       }
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // millis-flagged columns need a x1000 on the decoded base long
+    // (computed here on the driver; schema homogeneity across files is
+    // already enforced at plan time by inferSchema)
+    val files = paths.flatMap(AvroSource.listFiles)
+    val millis: Set[String] =
+      if (files.isEmpty) Set.empty
+      else AvroSource.millisFields(AvroSource.readWriterSchema(files.head))
+    val mult: Array[Long] =
+      required.fields.map(f => if (millis(f.name)) 1000L else 1L)
+    new AvroReaderFactory(required, mult)
+  }
 }
 
-class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
+class AvroReaderFactory(required: StructType,
+                        mult: Array[Long]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val split = partition.asInstanceOf[AvroSplit]
@@ -417,8 +456,12 @@ class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
         val vals = new Array[Any](required.length)
         var i = 0
         while (i < required.length) {
-          vals(i) = AvroSource.toCatalyst(
+          val v = AvroSource.toCatalyst(
             rec.get(i).asInstanceOf[AnyRef], required(i).dataType)
+          vals(i) =
+            if (mult(i) != 1L && v != null)
+              v.asInstanceOf[java.lang.Long].longValue * mult(i)
+            else v
           i += 1
         }
         new GenericInternalRow(vals)

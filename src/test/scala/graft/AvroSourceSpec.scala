@@ -99,13 +99,42 @@ class AvroSourceSpec extends SparkTestBase {
     assert(back.where(col("dec_opt").isNull).count() > 0)
   }
 
-  test("timestamp-millis is rejected, never silently read as micros") {
-    val err = intercept[IllegalArgumentException] {
-      AvroSource.toSparkSchema(new org.apache.avro.Schema.Parser().parse(
-        """{"type":"record","name":"r","fields":[
-          |{"name":"t","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin))
-    }
-    assert(err.getMessage.contains("timestamp-micros"))
+  test("timestamp-millis reads convert to micros (never raw-long corruption)") {
+    // a file written by a FOREIGN tool with millis timestamps: the
+    // resolving decoder hands back raw millis longs, so the source must
+    // apply the x1000 itself — write one via the raw avro API
+    import org.apache.avro.{Schema => A}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new A.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"t","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"topt","type":["null",{"type":"long","logicalType":"timestamp-millis"}]}]}"""
+        .stripMargin)
+    val dir = new java.io.File(tmp("millis")); dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+      .create(schema, new java.io.File(dir, "part-00000.avro"))
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC in millis
+    try (0 until 5).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put(0, i.toLong)
+      r.put(1, java.lang.Long.valueOf(base + i * 1500L))
+      r.put(2, if (i % 2 == 0) java.lang.Long.valueOf(base + i) else null)
+      w.append(r)
+    } finally w.close()
+    val back = spark.read.format(classOf[AvroSource].getName)
+      .load(dir.getPath).orderBy("id")
+    assert(back.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = back.select(col("id"), col("t").cast("long").as("sec"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cast-to-long yields epoch SECONDS: raw-millis corruption would be
+    // off by 1000x and land decades away
+    assert(got == (0 until 5).map(i =>
+      i.toLong -> (base / 1000 + i * 1500 / 1000)).toMap, got.toString)
+    assert(back.where(col("topt").isNull).count() == 2)
   }
 
   test("unsupported avro shapes fail fast with a clear message") {
