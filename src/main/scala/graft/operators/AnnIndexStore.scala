@@ -435,7 +435,14 @@ object AnnIndexStore {
     * cells against the broadcast codebook, take the top `nprobe`,
     * equi-join against the stored assignments on the cell id, exact
     * re-rank. Identical plan shape — and identical output — to
-    * `q_ann_ivf`'s probe stage, but reading the persisted index. */
+    * `q_ann_ivf`'s probe stage, but reading the persisted index.
+    * Duplicate vec_ids in the store (a misuse the required batch id
+    * prevents for retries, but two DIFFERENT ids can still carry the
+    * same vector) dedup deterministically with [[probePq]]'s
+    * discipline: identical duplicate rows collapse, conflicting ones
+    * (a re-ingested CHANGED vector) raise a descriptive error instead
+    * of a partition-dependent arbitrary-survivor answer (the r19
+    * replacement for the old dropDuplicates here). */
   def probe(spark: SparkSession, queries: DataFrame, storePath: String,
             nprobe: Int = 2, k: Int = 3): DataFrame = {
     val cb = readCodebook(spark, storePath)
@@ -449,12 +456,21 @@ object AnnIndexStore {
       .filter(col("crn") <= nprobe)
       .select(col("a_id"), col("c_id").as("pcell"), col("qa"), col("na"))
     val asg = readAssignments(spark, storePath)
-      .select(col("vec_id").as("b_id"), col("cell"),
-        col("qv").as("qb"), col("nq").as("nb"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cell"), col("nq"), col("qv"))).as("lo"),
+        max(struct(col("cell"), col("nq"), col("qv"))).as("hi"))
+      .select(col("vec_id"),
+        when(col("lo") =!= col("hi"), raise_error(concat(
+            lit("AnnIndexStore: conflicting duplicate assignments for vec_id "),
+            col("vec_id").cast("string"),
+            lit(" — the store holds a re-ingested changed vector; " +
+              "rebuild the index"))))
+          .otherwise(col("hi")).as("a"))
+      .select(col("vec_id").as("b_id"), col("a.cell").as("cell"),
+        col("a.qv").as("qb"), col("a.nq").as("nb"))
     val wTop = Window.partitionBy(col("a_id"))
       .orderBy(col("cosine").desc, col("b_id").asc)
     probes.join(asg, col("pcell") === col("cell") && col("a_id") =!= col("b_id"))
-      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
         Similarity.cosine(ldot("qa", "qb"), col("na"), col("nb")).as("cosine"))
       .withColumn("rn", row_number().over(wTop))

@@ -68,6 +68,33 @@ class AnnIndexStoreSpec extends SparkTestBase {
     assert(asg.select("vec_id").distinct().count() == n)
   }
 
+  test("duplicate identical assignments collapse; a conflicting duplicate " +
+    "fails loudly, never partition-dependent") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    val clean = probeAll(store)
+    // the same vectors under a DIFFERENT batch id: identical duplicate
+    // rows — probe output must not change
+    AnnIndexStore.appendBatch(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("qv"), col("nq")), store, "even-dup")
+    assert(AnnIndexStore.readAssignments(spark, store).count() >
+      quantizedVectors().count())
+    assert(probeAll(store) == clean)
+    // a CHANGED vector under yet another id: loud error, no silent
+    // arbitrary survivor
+    AnnIndexStore.appendBatch(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), expr("reverse(qv)").as("qv"),
+          (col("nq") + 1).as("nq")), store, "odd-conflict")
+    val e = intercept[Exception] { probeAll(store) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("conflicting duplicate assignments")),
+      s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("cell count is a STORE property: pinned at creation from the conf, " +
     "later ingests assign against the recorded codebook, not the session's") {
     val store = freshStore()
