@@ -48,7 +48,7 @@ SPREAD_LIMIT = 0.30
 # (r18's b1-b3 re-pin used {"q_ann_lsh", "q_wiki_clean"} for the
 # multi-probe banding and codegen-collapse rewrites; absorbed. The
 # b4/b5 subset re-pin added the two store-probe queries by absence.)
-FRESH_ONLY = set()
+FRESH_ONLY = {"q_ann_index_probe"}  # r19: probe gained the duplicate-deterministic store agg
 
 
 def battery_mins(path):
