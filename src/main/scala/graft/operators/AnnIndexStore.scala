@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   *    (a replayed committed batch returns its recorded assignments
   *    instead of double-appending — same discipline as
   *    [[IncrementalDedup.dedupDelta]]).
+  *  - `manifest/gen-<seq>-<uuid>/` — generations written by [[compact]]
+  *    (r20, VERDICT r19 #1: without compaction the store accumulated
+  *    one batch dir per ingest FOREVER and probes paid
+  *    linearly-growing listing + row-group overhead). The machinery —
+  *    atomic manifest swap, crash-anywhere analysis, absorbed-id
+  *    replay retention, `moveGraceMs` — is [[ManifestStore]], shared
+  *    verbatim with the inverted index. Assignments are keyed FACTS
+  *    (identical duplicates collapse at probe time), but the manifest
+  *    shape is used anyway so replay records stay authoritative and
+  *    the proofs carry over.
+  *
+  * CONFLICT VALIDATION (r20, ADVICE r19 low): a re-ingested CHANGED
+  * vector — same vec_id, different (cell, nq, qv) — fails loudly AT
+  * INGEST ([[appendBatch]]/[[appendBatchPq]] join the delta's
+  * assignments against the committed store on vec_id, one
+  * O(|delta| + |store|) check per ingest, the [[IncrementalDedup]]
+  * per-batch cost shape). The probe read path is then NARROW: it
+  * dedups (and conflict-checks, for legacy stores ingested before
+  * this validation existed) only the PROBED cells' rows, never a
+  * full-store shuffle per query.
   *
   * Scale shape: assignment is |delta| × |codebook| with the codebook
   * broadcast (a codebook is small by construction — k centroids);
@@ -39,7 +59,7 @@ import org.apache.spark.sql.functions._
   * and hash-oracled end-to-end via `q_ann_index_probe`.
   */
 object AnnIndexStore {
-  import IncrementalDedup.{appendAtomic, batchDir, committed, freshBatchName, storeExists}
+  import IncrementalDedup.{appendAtomic, freshBatchName, storeExists}
 
   /** Default coarse cell count. A 100 TB corpus needs √n-ish cells, so
     * the count is conf-scalable via `spark.graft.ann.cells` AT STORE
@@ -54,6 +74,37 @@ object AnnIndexStore {
   private def codebookPath(storePath: String): String = storePath + "/codebook"
   private def assignPath(storePath: String): String = storePath + "/assign"
   private def metaPath(storePath: String): String = storePath + "/meta"
+
+  /** The manifest-managed kinds. Snapshots are re-laid-out
+    * cell-partitioned and (cell, vec_id)-sorted — probes join on the
+    * cell id, so row groups stay cell-clustered after compaction. */
+  private def cellLayout(df: DataFrame): DataFrame =
+    df.repartition(col("cell")).sortWithinPartitions(col("cell"), col("vec_id"))
+
+  private def assignKind(storePath: String): ManifestStore.Kind =
+    ManifestStore.Kind("assign", assignPath(storePath), cellLayout)
+  private def pqAssignKind(storePath: String): ManifestStore.Kind =
+    ManifestStore.Kind("pq_assign", pqAssignPath(storePath), cellLayout)
+
+  /** Fold accumulated ingest batches — raw assignments AND PQ codes —
+    * into one compacted generation each (VERDICT r19 #1: the defect
+    * the inverted index had before r18 #2, fixed only there).
+    * [[ManifestStore.compact]] carries the crash analysis, replay-id
+    * retention, and `moveGraceMs` reader grace. Probe output is
+    * bit-equal before and after: the snapshot is a row-for-row union
+    * and every probe ranking is order-independent (min/max struct
+    * collapse, deterministic tie-breaks) — asserted by
+    * AnnIndexStoreSpec and hash-oracled via `q_ann_probe_compacted`
+    * (shares `q_ann_ivf`'s oracle). */
+  def compact(spark: SparkSession, storePath: String,
+              staleMs: Long = 24L * 3600 * 1000,
+              moveGraceMs: Long = 0L): Unit = {
+    if (!storeExists(spark, assignPath(storePath)) &&
+        !storeExists(spark, pqAssignPath(storePath))) return
+    ManifestStore.compact(spark, storePath,
+      Seq(assignKind(storePath), pqAssignKind(storePath)),
+      staleMs = staleMs, moveGraceMs = moveGraceMs)
+  }
 
   private def ldot(a: String, b: String): Column = Similarity.dotQ(a, b)
 
@@ -128,21 +179,61 @@ object AnnIndexStore {
   def appendBatch(spark: SparkSession, vectors: DataFrame, storePath: String,
                   batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatch needs a stable batch id")
-    val ap = assignPath(storePath)
-    committed(spark, ap, Some(batchId)) match {
-      case Some(name) =>
-        return spark.read.parquet(batchDir(ap, name).toString)
+    ManifestStore.committedBatch(spark, storePath,
+        assignKind(storePath), batchId) match {
+      case Some(ManifestStore.Stored(p)) => return spark.read.parquet(p)
+      case Some(ManifestStore.Recorded) =>
+        // committed, absorbed, and reclaimed: the manifest replay id is
+        // the commit record; the rows are no longer separable from the
+        // compacted generation, so the replay appends (and returns)
+        // nothing
+        return assign(vectors, readCodebook(spark, storePath)).limit(0)
       case None => ()
     }
     val assigned = Checkpoints.ckpt(
       assign(vectors, readCodebook(spark, storePath)))
-    appendAtomic(spark, assigned, ap, freshBatchName(Some(batchId)))
+    requireNoConflicts(spark, storePath,
+      assigned.select(col("vec_id"),
+        struct(col("cell"), col("nq"), col("qv")).as("fact")),
+      readAssignmentsOpt(spark, storePath).map(_.select(col("vec_id"),
+        struct(col("cell"), col("nq"), col("qv")).as("fact"))),
+      "assignments")
+    appendAtomic(spark, assigned, assignPath(storePath),
+      freshBatchName(Some(batchId)))
     assigned
   }
 
+  /** Ingest-time conflict gate (ADVICE r19 low): a delta row whose
+    * vec_id is already committed with a DIFFERENT fact struct is a
+    * re-ingested changed vector — erroring here keeps every later
+    * probe's read path narrow. Identical re-ingests (same fact) are
+    * fine: probes collapse them deterministically. */
+  private def requireNoConflicts(spark: SparkSession, storePath: String,
+                                 delta: DataFrame,
+                                 existing: Option[DataFrame],
+                                 what: String): Unit =
+    existing.foreach { old =>
+      val conflict = delta.join(old.withColumnRenamed("fact", "old_fact"),
+          "vec_id")
+        .filter(col("fact") =!= col("old_fact"))
+        .select(col("vec_id")).limit(1).collect()
+      if (conflict.nonEmpty)
+        throw new IllegalStateException(
+          s"AnnIndexStore: conflicting duplicate $what for vec_id " +
+          s"${conflict.head.getLong(0)} — the batch re-ingests a CHANGED " +
+          "vector (or was encoded against a different codebook " +
+          "generation); rebuild the index or re-key the vector")
+    }
+
+  private def readAssignmentsOpt(spark: SparkSession,
+                                 storePath: String): Option[DataFrame] = {
+    val dirs = ManifestStore.liveDirs(spark, storePath, assignKind(storePath))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   def readAssignments(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(assignPath(storePath))
+    spark.read.parquet(ManifestStore.liveDirs(spark, storePath,
+      assignKind(storePath)): _*)
 
   // ------------------------------------------------------------------
   // IVF-PQ residual compression (VERDICT r10 "missing" #3): the raw-
@@ -313,28 +404,43 @@ object AnnIndexStore {
                     batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatchPq needs a stable batch id")
     graft.functions.VectorExprs.register(spark)
-    val ap = pqAssignPath(storePath)
-    committed(spark, ap, Some(batchId)) match {
-      case Some(name) =>
-        return spark.read.parquet(batchDir(ap, name).toString)
-      case None => ()
-    }
     val (m, _) = pqParams(spark, storePath)
-    requirePqDim(vectors, m)
-    val cb = readCodebook(spark, storePath)
-    val encoded = Checkpoints.ckpt(
+    def encodePlan(): DataFrame = {
+      val cb = readCodebook(spark, storePath)
       nearestCode(residSubs(assign(vectors, cb), cb, m),
         readPqCodebook(spark, storePath))
         .groupBy(col("vec_id"), col("cell"), col("nq"))
         .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
-          " x -> x.code)").as("codes")))
-    appendAtomic(spark, encoded, ap, freshBatchName(Some(batchId)))
+          " x -> x.code)").as("codes"))
+    }
+    ManifestStore.committedBatch(spark, storePath,
+        pqAssignKind(storePath), batchId) match {
+      case Some(ManifestStore.Stored(p)) => return spark.read.parquet(p)
+      case Some(ManifestStore.Recorded)  => return encodePlan().limit(0)
+      case None => ()
+    }
+    requirePqDim(vectors, m)
+    val encoded = Checkpoints.ckpt(encodePlan())
+    requireNoConflicts(spark, storePath,
+      encoded.select(col("vec_id"),
+        struct(col("cell"), col("nq"), col("codes")).as("fact")),
+      readPqAssignmentsOpt(spark, storePath).map(_.select(col("vec_id"),
+        struct(col("cell"), col("nq"), col("codes")).as("fact"))),
+      "PQ assignments")
+    appendAtomic(spark, encoded, pqAssignPath(storePath),
+      freshBatchName(Some(batchId)))
     encoded
   }
 
+  private def readPqAssignmentsOpt(spark: SparkSession,
+                                   storePath: String): Option[DataFrame] = {
+    val dirs = ManifestStore.liveDirs(spark, storePath, pqAssignKind(storePath))
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   def readPqAssignments(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(pqAssignPath(storePath))
+    spark.read.parquet(ManifestStore.liveDirs(spark, storePath,
+      pqAssignKind(storePath)): _*)
 
   /** Top-`k` neighbors via the compressed index: rank cells, build the
     * per-query asymmetric dot-product table (query subvectors × PQ
@@ -376,19 +482,25 @@ object AnnIndexStore {
       .select(col("a_id"), col("pcell"), col("qcdot"), col("sub"),
         col("code"), col("adot"))
     // candidate scoring: one table lookup per (candidate, subspace).
-    // Per-vec_id dedup first (ADVICE r11 low): a vec_id ingested in two
-    // batches (replay without a stable batchId) would otherwise
-    // contribute its codes twice and sum(adot) would double-count its
-    // reconstructed dot. Deterministically (ADVICE r13 low): the
-    // survivor is the MAX (cell, nq, codes) struct — identical on any
-    // partition layout — rather than dropDuplicates' arbitrary first
-    // row, and non-identical duplicates (a re-ingested changed vector,
-    // or an append on top of a store rebuilt with a different codebook)
-    // raise one descriptive error instead of silently returning
-    // partition-dependent neighbors; the batch dirs are UUID-named, so
-    // "newest wins" has no stable ordinal to key on and a loud conflict
-    // is the only honest answer.
+    // NARROW read first (ADVICE r19 low): only the PROBED cells' rows
+    // leave the scan — a broadcast semi-join on the ≤ nprobe×|queries|
+    // distinct probed cell ids — so the dedup below never shuffles the
+    // whole store per query. Per-vec_id dedup next (ADVICE r11 low): a
+    // vec_id ingested in two batches (replay without a stable batchId)
+    // would otherwise contribute its codes twice and sum(adot) would
+    // double-count its reconstructed dot. Deterministically (ADVICE
+    // r13 low): the survivor is the MAX (cell, nq, codes) struct —
+    // identical on any partition layout — rather than dropDuplicates'
+    // arbitrary first row, and non-identical duplicates raise one
+    // descriptive error instead of silently returning
+    // partition-dependent neighbors. New ingests are conflict-gated at
+    // appendBatchPq time, so this in-plan error only guards LEGACY
+    // stores (and only within probed cells — identical vectors always
+    // land in the same cell, so legit duplicates are always co-probed).
+    val probedCells = probes.select(col("c_id").as("probed_cell")).distinct()
     val cand = readPqAssignments(spark, storePath)
+      .join(broadcast(probedCells), col("cell") === col("probed_cell"),
+        "left_semi")
       .groupBy(col("vec_id"))
       .agg(min(struct(col("cell"), col("nq"), col("codes"))).as("lo"),
         max(struct(col("cell"), col("nq"), col("codes"))).as("hi"))
@@ -442,7 +554,11 @@ object AnnIndexStore {
     * discipline: identical duplicate rows collapse, conflicting ones
     * (a re-ingested CHANGED vector) raise a descriptive error instead
     * of a partition-dependent arbitrary-survivor answer (the r19
-    * replacement for the old dropDuplicates here). */
+    * replacement for the old dropDuplicates here). Since r20 the
+    * dedup/conflict pass runs only over the PROBED cells' rows
+    * (broadcast semi-join on the probed cell ids, ADVICE r19 low) —
+    * new conflicts are gated at ingest, and identical vectors always
+    * assign to the same cell, so narrowing loses nothing. */
   def probe(spark: SparkSession, queries: DataFrame, storePath: String,
             nprobe: Int = 2, k: Int = 3): DataFrame = {
     val cb = readCodebook(spark, storePath)
@@ -455,7 +571,10 @@ object AnnIndexStore {
     val probes = rankedCells.withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= nprobe)
       .select(col("a_id"), col("c_id").as("pcell"), col("qa"), col("na"))
+    val probedCells = probes.select(col("pcell").as("probed_cell")).distinct()
     val asg = readAssignments(spark, storePath)
+      .join(broadcast(probedCells), col("cell") === col("probed_cell"),
+        "left_semi")
       .groupBy(col("vec_id"))
       .agg(min(struct(col("cell"), col("nq"), col("qv"))).as("lo"),
         max(struct(col("cell"), col("nq"), col("qv"))).as("hi"))

@@ -23,44 +23,32 @@ import org.apache.spark.sql.functions._
   *    dir is the commit marker, so a crash between the two appends
   *    replays cleanly (the doclen re-append hits the already-committed
   *    rename and is treated as success — [[IncrementalDedup]] rules).
-  *  - `manifest/gen-<seq>-<uuid>/` — (kind, dir, live) generations
-  *    written by [[compact]] (r19, VERDICT r18 #2). The HIGHEST
-  *    generation is authoritative; a store that has never compacted has
-  *    none and every `batch-*` dir is live.
-  *  - `postings/.absorbed/`, `doclen/.absorbed/` — batch dirs already
-  *    folded into a compacted generation, parked here (renamed, not
-  *    deleted) purely as REPLAY records: [[appendBatch]] treats an
-  *    absorbed batch id as committed, so re-ingesting it after a
-  *    compaction stays a no-op instead of double-counting. They are
-  *    never read by probes (readers resolve explicit live dirs, no
-  *    recursive listing), so they cost nothing on the query path.
+  *  - `manifest/gen-<seq>-<uuid>/` — generations written by [[compact]]
+  *    (r19, VERDICT r18 #2; machinery shared via [[ManifestStore]]
+  *    since r20). The HIGHEST generation is authoritative; a store
+  *    that has never compacted has none and every `batch-*` dir is
+  *    live. Since r20 the generation also records absorbed batch IDS
+  *    (`replay:*` rows), so absorbed dirs are reclaimed instead of
+  *    parked forever and a replayed id still answers committed
+  *    (VERDICT r19 #5; see [[ManifestStore]] for the crash analysis
+  *    and retention rules).
   *
   * Replay idempotence: the REQUIRED stable `batchId` (ADVICE r18 made
   * the old `Option` default a misuse trap: a crash between the doclen
   * append and the postings commit marker, retried under a fresh UUID,
   * would double-count dl and the N/T scalars) makes re-ingesting a
-  * committed batch a read of its recorded postings, never a
-  * double-append.
+  * committed batch a read of its recorded postings — or, after the
+  * batch was absorbed AND reclaimed by compaction, an append of
+  * NOTHING (the manifest's replay id answers committed; the recorded
+  * rows are no longer separable from the compacted generation, so the
+  * replay returns an empty postings frame).
   *
-  * COMPACTION (r19): postings are COUNTED, not a set — df = rows per
-  * word, total_tf = a sum — so [[IncrementalDedup.compactStore]]'s
+  * COMPACTION: postings are COUNTED, not a set — df = rows per word,
+  * total_tf = a sum — so [[IncrementalDedup.compactStore]]'s
   * write-snapshot-then-delete ordering (safe only for sets, where a
   * crash-duplicated snapshot is absorbed) would silently double every
   * statistic here. [[compact]] therefore swaps an atomically-renamed
-  * MANIFEST generation instead: the snapshot dirs (`compact-<uuid>`)
-  * are invisible to readers until the manifest names them live, and at
-  * every crash point the previous generation stays authoritative:
-  *  - crash after snapshot, before manifest: `compact-*` dirs are
-  *    ignored by readers (only a manifest can make them live) and are
-  *    swept as stale on the next compact;
-  *  - crash after manifest, before the absorbed-dir moves: the new
-  *    manifest already excludes the absorbed dirs from the live set,
-  *    and the next compact finishes the moves first.
-  * A batch ingested WHILE a compaction runs is mentioned by no
-  * manifest, so it stays live alongside the new generation — ingest
-  * and compaction can overlap; only concurrent COMPACTORS are
-  * undefined (single-maintenance-job discipline, as for
-  * [[IncrementalDedup.compactStore]]).
+  * MANIFEST generation: see [[ManifestStore.compact]].
   *
   * Determinism: tf/df/dl are exact counts; BM25 probe arithmetic is
   * the same all-integer form as `q_bm25` with identical tie-breaks, so
@@ -90,12 +78,18 @@ object InvertedIndexStore {
   private def postingsPath(p: String) = p + "/postings"
   private def doclenPath(p: String) = p + "/doclen"
   private def metaPath(p: String) = p + "/meta"
-  private def manifestPath(p: String) = p + "/manifest"
 
-  private def hfs(spark: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  /** The two manifest-managed kinds. Postings snapshots are re-laid-out
+    * in the ingest layout (bucket-partitioned, (bucket, word)-sorted)
+    * so probe pruning is unchanged after compaction. */
+  private def kinds(storePath: String): Seq[ManifestStore.Kind] = Seq(
+    ManifestStore.Kind("postings", postingsPath(storePath),
+      df => df.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("word"))),
+    ManifestStore.Kind("doclen", doclenPath(storePath)))
+
+  private def kindOf(storePath: String, name: String): ManifestStore.Kind =
+    kinds(storePath).find(_.name == name).get
 
   /** The store's bucket count: from `meta/` when present; for a store
     * about to be created, the session conf (then persisted). Legacy
@@ -123,89 +117,6 @@ object InvertedIndexStore {
     }
 
   // ------------------------------------------------------------------
-  // manifest resolution
-  // ------------------------------------------------------------------
-
-  /** A manifest generation's contents are IMMUTABLE (the dir appears
-    * fully-formed by one atomic rename and is never rewritten), so the
-    * parsed rows cache per generation path — a probe touches the
-    * manifest ~6 times (postings + doclen reads, bucket meta, replay
-    * checks) and each uncached touch is a driver-side parquet job
-    * (~150 ms; the cache took q_bm25_probe_compacted's warm reps from
-    * 1.8 s to probe-dominated). Bounded: one entry per generation ever
-    * read in this JVM, single-entry evicted at the 256 cap (the
-    * AvroSource schema-cache discipline). */
-  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[(String, String), Boolean]]()
-
-  /** (generation seq, dir name → live?) of the highest manifest
-    * generation, if any. Generation dir names embed a zero-padded seq
-    * so lexical max == numeric max; each appears only by atomic
-    * rename, so existence ⇒ readable. */
-  private def latestManifest(spark: SparkSession, storePath: String)
-  : Option[(Long, Map[(String, String), Boolean])] = {
-    val (fs, mp) = hfs(spark, manifestPath(storePath))
-    if (!fs.exists(mp)) return None
-    val gens = fs.listStatus(mp)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
-    if (gens.isEmpty) return None
-    val latest = gens.maxBy(_.getPath.getName)
-    val seq = latest.getPath.getName.stripPrefix("gen-").take(9).toLong
-    val key = latest.getPath.toString
-    var evicting = true
-    while (evicting && manifestCache.size >= 256 &&
-        !manifestCache.containsKey(key)) {
-      val it = manifestCache.keySet.iterator
-      if (it.hasNext) { manifestCache.remove(it.next()); () }
-      else evicting = false // weakly-consistent iterator raced to empty
-    }
-    val rows = manifestCache.computeIfAbsent(key, { _ =>
-      spark.read.parquet(key).collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
-    })
-    Some((seq, rows))
-  }
-
-  /** The live data dirs of one kind ('postings' | 'doclen'), as
-    * absolute paths: dirs the manifest names live, plus any `batch-*`
-    * dir the manifest does not mention (ingested after the last
-    * compaction — or ever, for a never-compacted store). `compact-*`
-    * dirs named by NO manifest are a crashed compactor's leftovers and
-    * are never read. */
-  private def kindPath(storePath: String, kind: String): String =
-    if (kind == "postings") postingsPath(storePath) else doclenPath(storePath)
-
-  private def liveDirs(spark: SparkSession, storePath: String,
-                       kind: String): Seq[String] = {
-    val kp0 = kindPath(storePath, kind)
-    val (fs, kp) = hfs(spark, kp0)
-    if (!fs.exists(kp)) return Nil
-    val onDisk = fs.listStatus(kp)
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => n.startsWith("batch-") || n.startsWith("compact-"))
-    val names = latestManifest(spark, storePath) match {
-      case None => onDisk.filter(_.startsWith("batch-"))
-      case Some((_, m)) =>
-        onDisk.filter { n =>
-          m.get((kind, n)) match {
-            case Some(live) => live
-            case None       => n.startsWith("batch-")
-          }
-        }
-    }
-    names.sorted.map(n => s"$kp0/$n").toSeq
-  }
-
-  /** The committed location of a batch id for one kind: its live batch
-    * dir, or its parked replay record under `.absorbed/`. */
-  private def committedBatch(spark: SparkSession, storePath: String,
-                             kind: String, batchId: String): Option[String] = {
-    val kp = kindPath(storePath, kind)
-    Seq(s"$kp/batch-$batchId", s"$kp/.absorbed/batch-$batchId")
-      .find(p => storeExists(spark, p))
-  }
-
-  // ------------------------------------------------------------------
   // ingest + read
   // ------------------------------------------------------------------
 
@@ -218,16 +129,29 @@ object InvertedIndexStore {
       .select(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("bucket"),
         col("word"), col("doc_id"), col("tf"))
 
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("bucket", LongType),
+        StructField("word", StringType), StructField("doc_id", LongType),
+        StructField("tf", LongType))))
+  }
+
   /** Ingest a (doc_id, text) delta batch: meta first (bucket count
     * pinned at creation), doclens next, postings last (commit marker).
     * `batchId` is REQUIRED and must be stable across retries (ADVICE
-    * r18) — it is the replay key. Returns the batch's postings. */
+    * r18) — it is the replay key. Returns the batch's postings (empty
+    * when the batch was committed, absorbed, AND reclaimed: the id is
+    * then known only from the manifest and the rows are no longer
+    * separable from the compacted generation). */
   def appendBatch(spark: SparkSession, docs: DataFrame, storePath: String,
                   batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatch needs a stable batch id")
-    committedBatch(spark, storePath, "postings", batchId) match {
-      case Some(p) => return spark.read.parquet(p)
-      case None    => ()
+    ManifestStore.committedBatch(spark, storePath,
+        kindOf(storePath, "postings"), batchId) match {
+      case Some(ManifestStore.Stored(p)) => return spark.read.parquet(p)
+      case Some(ManifestStore.Recorded)  => return emptyPostings(spark)
+      case None                          => ()
     }
     val buckets = ensureMeta(spark, storePath)
     val name = s"batch-$batchId"
@@ -243,10 +167,12 @@ object InvertedIndexStore {
   }
 
   def readPostings(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(liveDirs(spark, storePath, "postings"): _*)
+    spark.read.parquet(ManifestStore.liveDirs(spark, storePath,
+      kindOf(storePath, "postings")): _*)
 
   def readDocLens(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(liveDirs(spark, storePath, "doclen"): _*)
+    spark.read.parquet(ManifestStore.liveDirs(spark, storePath,
+      kindOf(storePath, "doclen")): _*)
 
   def exists(spark: SparkSession, storePath: String): Boolean =
     storeExists(spark, postingsPath(storePath))
@@ -256,14 +182,11 @@ object InvertedIndexStore {
   // ------------------------------------------------------------------
 
   /** Fold the live batch dirs of both kinds into one compacted
-    * generation and swap the manifest (see object scaladoc for the
-    * crash analysis). Statistics are preserved exactly — the snapshot
-    * is a row-for-row union of the live dirs, re-laid-out in the
-    * ingest layout (bucket-partitioned, (bucket, word)-sorted) so
-    * probe pruning is unchanged. Absorbed batch dirs are parked under
-    * `.absorbed/` as replay records. No-op when at most one live dir
-    * per kind exists. Also sweeps `compact-*` leftovers of crashed
-    * compactors older than `staleMs`.
+    * generation and swap the manifest ([[ManifestStore.compact]] —
+    * crash analysis, replay-id retention, and `moveGraceMs` semantics
+    * live there). Statistics are preserved exactly — the snapshot is a
+    * row-for-row union of the live dirs in the ingest layout, so probe
+    * pruning is unchanged.
     *
     * ORPHAN doclen batches — a crashed ingest's doclen append whose
     * postings commit marker never landed — are NOT absorbed: the
@@ -272,134 +195,26 @@ object InvertedIndexStore {
     * the orphan would let the retry land a second copy and silently
     * double that batch's dl and the N/T scalars. Orphans stay live
     * and unmentioned; the retry completes them into normal batches a
-    * later compaction folds.
-    *
-    * `moveGraceMs`: a probe's DataFrame pins explicit batch paths at
-    * plan time, so parking absorbed dirs the instant the manifest
-    * swaps would FileNotFound any reader that resolved its dir list
-    * under the previous generation. With a positive grace, the swap
-    * leaves absorbed dirs in place (readers of the old generation
-    * keep reading them; new readers exclude them via the manifest)
-    * and a LATER compact parks them once the live manifest is at
-    * least `moveGraceMs` old — until then it returns without writing
-    * a new generation, because a gen-(k+1) manifest no longer
-    * mentions gen-k's absorbed dirs and would resurrect them as
-    * live. Serving deployments should pass a grace comfortably above
-    * their longest query; 0 (the default) keeps the immediate-move
-    * behavior for single-writer batch pipelines and specs. */
+    * later compaction folds. */
   def compact(spark: SparkSession, storePath: String,
               staleMs: Long = 24L * 3600 * 1000,
               moveGraceMs: Long = 0L): Unit = {
     if (!storeExists(spark, postingsPath(storePath))) return
-    // finish a predecessor's pending moves first — or, under a grace
-    // window, wait until in-flight readers of the older generations
-    // have drained before touching anything
-    if (hasPendingMoves(spark, storePath)) {
-      if (moveGraceMs > 0 &&
-          manifestAgeMs(spark, storePath).exists(_ < moveGraceMs)) return
-      finishMoves(spark, storePath)
-    }
-    sweepStaleCompacts(spark, storePath, staleMs)
-    val postLive = liveDirs(spark, storePath, "postings")
-    val postNames = postLive.map(dirName).toSet
-    val dlLive = liveDirs(spark, storePath, "doclen").filter { p =>
-      val n = dirName(p)
-      n.startsWith("compact-") || postNames.contains(n) // exclude orphans
-    }
-    if (postLive.size <= 1 && dlLive.size <= 1) return
-    val uuid = java.util.UUID.randomUUID().toString
-    val postName = s"compact-$uuid"
-    val dlName = s"compact-$uuid"
-    val postSnap = Checkpoints.ckpt(
-      spark.read.parquet(postLive: _*)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("word")))
-    appendAtomic(spark, postSnap, postingsPath(storePath), postName)
-    val dlSnap = Checkpoints.ckpt(spark.read.parquet(dlLive: _*))
-    appendAtomic(spark, dlSnap, doclenPath(storePath), dlName)
-    // manifest swap: ONE atomic rename makes the new generation (the
-    // two compacted dirs live, every input dir absorbed) authoritative
-    val seq = latestManifest(spark, storePath).map(_._1).getOrElse(0L) + 1L
-    import spark.implicits._
-    val rows =
-      Seq(("postings", postName, true), ("doclen", dlName, true)) ++
-        postLive.map(p => ("postings", dirName(p), false)) ++
-        dlLive.map(p => ("doclen", dirName(p), false))
-    appendAtomic(spark, rows.toDF("kind", "dir", "live"),
-      manifestPath(storePath), f"gen-$seq%09d-$uuid")
-    if (moveGraceMs <= 0) finishMoves(spark, storePath)
-  }
-
-  /** True when the live manifest marks dirs absorbed that still sit at
-    * the top level (a crashed predecessor's — or a grace window's —
-    * pending moves). */
-  private def hasPendingMoves(spark: SparkSession, storePath: String): Boolean =
-    latestManifest(spark, storePath).exists { case (_, m) =>
-      m.exists { case ((kind, name), live) =>
-        !live && storeExists(spark, s"${kindPath(storePath, kind)}/$name")
-      }
-    }
-
-  /** Age of the newest manifest generation dir, if any. */
-  private def manifestAgeMs(spark: SparkSession,
-                            storePath: String): Option[Long] = {
-    val (fs, mp) = hfs(spark, manifestPath(storePath))
-    if (!fs.exists(mp)) return None
-    val gens = fs.listStatus(mp)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
-    if (gens.isEmpty) None
-    else Some(System.currentTimeMillis() -
-      gens.maxBy(_.getPath.getName).getModificationTime)
+    ManifestStore.compact(spark, storePath, kinds(storePath),
+      eligible = { live =>
+        val postNames = live.getOrElse("postings", Nil)
+          .map(dirName).toSet
+        live.updated("doclen",
+          live.getOrElse("doclen", Nil).filter { p =>
+            val n = dirName(p)
+            n.startsWith("compact-") || postNames.contains(n)
+          })
+      },
+      staleMs = staleMs, moveGraceMs = moveGraceMs)
   }
 
   private def dirName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
-
-  /** Park every top-level dir the live manifest marks absorbed under
-    * its kind's `.absorbed/` — idempotent, re-runnable after a crash
-    * at any point (each move is one rename; an already-moved dir is
-    * simply absent from the top level). */
-  private def finishMoves(spark: SparkSession, storePath: String): Unit =
-    latestManifest(spark, storePath).foreach { case (_, m) =>
-      m.foreach { case ((kind, name), live) =>
-        if (!live) {
-          val kp = kindPath(storePath, kind)
-          val (fs, src) = hfs(spark, s"$kp/$name")
-          if (fs.exists(src)) {
-            val dstDir = new org.apache.hadoop.fs.Path(s"$kp/.absorbed")
-            fs.mkdirs(dstDir)
-            val dst = new org.apache.hadoop.fs.Path(dstDir, name)
-            if (!fs.rename(src, dst) && !fs.exists(dst))
-              throw new java.io.IOException(
-                s"compaction could not park absorbed dir $src")
-          }
-        }
-      }
-    }
-
-  /** Delete `compact-*` dirs that no manifest generation names live —
-    * a crashed compactor's snapshots, invisible to readers but paying
-    * storage — once older than `staleMs` (a LIVE compactor's snapshot
-    * is younger than any sane staleness bound). */
-  private def sweepStaleCompacts(spark: SparkSession, storePath: String,
-                                 staleMs: Long): Unit = {
-    val liveNow: Set[(String, String)] =
-      latestManifest(spark, storePath) match {
-        case Some((_, m)) => m.collect { case (k, true) => k }.toSet
-        case None         => Set.empty
-      }
-    val now = System.currentTimeMillis()
-    Seq("postings", "doclen").foreach { kind =>
-      val (fs, kp) = hfs(spark, kindPath(storePath, kind))
-      if (fs.exists(kp))
-        fs.listStatus(kp).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isDirectory && n.startsWith("compact-") &&
-              !liveNow((kind, n)) && now - st.getModificationTime > staleMs)
-            fs.delete(st.getPath, true)
-        }
-    }
-  }
 
   // ------------------------------------------------------------------
   // probes

@@ -556,6 +556,38 @@ object Similarity {
         .orderBy("a_id", "rn")
     }),
 
+    // ANN probe over the COMPACTED index store (r20 — puts VERDICT
+    // r19 #1's manifest-generation read path under the hash oracle,
+    // the q_bm25_probe_compacted discipline): three incremental
+    // ingest batches, one compaction (snapshot + atomic manifest
+    // swap, absorbed batch ids recorded as replay rows), then the
+    // probe reads generation 1. Re-runs are deterministic end-to-end:
+    // the ingests replay as no-ops (stable batch ids; absorbed ids
+    // answer committed from the manifest) and compact() no-ops once
+    // one live dir remains. Output is bit-equal to q_ann_ivf by the
+    // probe's shared cosine/tie-break conventions plus compaction's
+    // row-for-row snapshot — SHARES q_ann_ivf's oracle.
+    "q_ann_probe_compacted" -> ((s, d) => {
+      val q = quantized(s, d)
+      val store = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ann_index_cmp",
+        graft.Tables.dataFingerprint(s, d, Seq("embeddings"))).toString
+      AnnIndexStore.ensureCodebook(s,
+        q.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("qv"), col("nq")), store)
+      (0 to 2).foreach { i =>
+        AnnIndexStore.appendBatch(s,
+          q.filter(col("vec_id") % 3 === i)
+            .select(col("vec_id"), col("qv"), col("nq")), store, s"third-$i")
+      }
+      AnnIndexStore.compact(s, store)
+      AnnIndexStore.probe(s,
+        q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+          .select(col("vec_id").as("a_id"), col("qv").as("qa"),
+            col("nq").as("na")), store)
+        .orderBy("a_id", "rn")
+    }),
+
     // ANN RECALL audit (third leg of the "measure, don't guess" trio
     // next to q_minhash_est and q_agg_qsketch's spec): IVF top-3 vs the
     // brute-force exact top-3 for the same 10 probe vectors — hits out
@@ -2227,5 +2259,6 @@ object Similarity {
   // conventions), so it shares q_ann_ivf's oracle verbatim — putting
   // the persisted-index round-trip itself under hash-oracle coverage.
   val oracles: Map[String, String] =
-    oraclesBase + ("q_ann_index_probe" -> oraclesBase("q_ann_ivf"))
+    oraclesBase + ("q_ann_index_probe" -> oraclesBase("q_ann_ivf")) +
+      ("q_ann_probe_compacted" -> oraclesBase("q_ann_ivf"))
 }

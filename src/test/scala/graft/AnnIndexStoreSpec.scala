@@ -69,30 +69,186 @@ class AnnIndexStoreSpec extends SparkTestBase {
   }
 
   test("duplicate identical assignments collapse; a conflicting duplicate " +
-    "fails loudly, never partition-dependent") {
+    "fails loudly AT INGEST, never partition-dependent") {
     val store = freshStore()
     buildTwoBatches(store)
     val clean = probeAll(store)
     // the same vectors under a DIFFERENT batch id: identical duplicate
-    // rows — probe output must not change
+    // rows — the ingest gate passes them and probe output must not change
     AnnIndexStore.appendBatch(spark,
       quantizedVectors().filter(col("vec_id") % 2 === 0)
         .select(col("vec_id"), col("qv"), col("nq")), store, "even-dup")
     assert(AnnIndexStore.readAssignments(spark, store).count() >
       quantizedVectors().count())
     assert(probeAll(store) == clean)
-    // a CHANGED vector under yet another id: loud error, no silent
-    // arbitrary survivor
-    AnnIndexStore.appendBatch(spark,
-      quantizedVectors().filter(col("vec_id") % 2 === 1)
-        .select(col("vec_id"), expr("reverse(qv)").as("qv"),
-          (col("nq") + 1).as("nq")), store, "odd-conflict")
+    // a CHANGED vector under yet another id: the APPEND fails (r20,
+    // ADVICE r19 low — detection moved from every probe to the one
+    // ingest), and nothing lands in the store
+    val nBefore = AnnIndexStore.readAssignments(spark, store).count()
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.appendBatch(spark,
+        quantizedVectors().filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr("reverse(qv)").as("qv"),
+            (col("nq") + 1).as("nq")), store, "odd-conflict")
+    }
+    assert(e.getMessage.contains("conflicting duplicate assignments"))
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nBefore)
+    assert(probeAll(store) == clean)
+  }
+
+  test("LEGACY store with an in-cell conflict (ingested before the r20 " +
+    "gate): the probe still raises instead of answering partition-dependently") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    // bypass the ingest gate the way a pre-r20 writer would have:
+    // land conflicting duplicates (same vec_id+cell, different nq)
+    // directly as a batch dir — every cell gets one, so whichever
+    // cells a probe touches contain a conflict
+    val conflicted = AnnIndexStore.readAssignments(spark, store)
+      .select(col("vec_id"), col("cell"), col("qv"),
+        (col("nq") + 1).as("nq"))
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, conflicted, s"$store/assign", "batch-legacy-conflict")
     val e = intercept[Exception] { probeAll(store) }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("conflicting duplicate assignments")),
       s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  // ------------------------------------------------------------------
+  // compaction (VERDICT r19 #1): the manifest-generation machinery the
+  // inverted index got in r19, applied to assign/ + pq_assign/
+  // ------------------------------------------------------------------
+
+  private def topDirs(store: String, kind: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/$kind")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  test("compacted == uncompacted: probe bit-equal; batch dirs collapse; " +
+    "replay of an absorbed-and-reclaimed batch appends nothing") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    val want = probeAll(store)
+    val nAssign = AnnIndexStore.readAssignments(spark, store).count()
+    AnnIndexStore.compact(spark, store)
+    assert(probeAll(store) == want)
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nAssign)
+    // one compacted dir, no batch dirs, absorbed dirs RECLAIMED (not
+    // parked — their replay ids live in the manifest, VERDICT r19 #5)
+    assert(topDirs(store, "assign").count(_.startsWith("compact-")) == 1)
+    assert(topDirs(store, "assign").count(_.startsWith("batch-")) == 0)
+    assert(topDirs(store, "assign/.absorbed").isEmpty)
+    // replay of an absorbed batch id: committed via the manifest record,
+    // appends nothing, returns an empty frame
+    val replayed = AnnIndexStore.appendBatch(spark,
+      quantizedVectors().filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("qv"), col("nq")), store, "even")
+    assert(replayed.count() == 0)
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nAssign)
+    assert(probeAll(store) == want)
+  }
+
+  test("pq codes are compacted too: probePq bit-equal, dirs collapse, " +
+    "replay of an absorbed pq batch appends nothing") {
+    val store = freshStore()
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    AnnIndexStore.ensurePqCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    Seq(0, 1).foreach { i =>
+      AnnIndexStore.appendBatchPq(spark,
+        q.filter(col("vec_id") % 2 === i).select(col("vec_id"), col("qv"), col("nq")),
+        store, s"pq-$i")
+    }
+    val probes = q.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("nq").as("na"))
+    val source = q.select(col("vec_id"), col("qv"), col("nq"))
+    def probePq() = AnnIndexStore.probePq(spark, probes, source, store)
+      .orderBy("a_id", "rn").collect().toSeq
+    val want = probePq()
+    val n = AnnIndexStore.readPqAssignments(spark, store).count()
+    AnnIndexStore.compact(spark, store)
+    assert(probePq() == want && want.nonEmpty)
+    assert(AnnIndexStore.readPqAssignments(spark, store).count() == n)
+    assert(topDirs(store, "pq_assign").count(_.startsWith("compact-")) == 1)
+    assert(topDirs(store, "pq_assign").count(_.startsWith("batch-")) == 0)
+    val replayed = AnnIndexStore.appendBatchPq(spark,
+      q.filter(col("vec_id") % 2 === 0).select(col("vec_id"), col("qv"), col("nq")),
+      store, "pq-0")
+    assert(replayed.count() == 0)
+    assert(AnnIndexStore.readPqAssignments(spark, store).count() == n)
+    assert(probePq() == want)
+  }
+
+  test("crashed-compactor snapshot is invisible; post-compaction ingest " +
+    "stays live; second compaction folds it, still bit-equal") {
+    val store = freshStore()
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 0).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b0")
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 1).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b1")
+    val nTwo = AnnIndexStore.readAssignments(spark, store).count()
+    // a compactor that crashed after its snapshot, before the manifest:
+    // a full copy of the assignments — if readers saw it, every probe
+    // dedup would see doubled rows and counts would double
+    AnnIndexStore.readAssignments(spark, store)
+      .write.parquet(s"$store/assign/compact-crashed")
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nTwo,
+      "crashed compactor snapshot leaked into reads")
+    AnnIndexStore.compact(spark, store)
+    assert(AnnIndexStore.readAssignments(spark, store).count() == nTwo)
+    // post-compaction ingest is mentioned by no manifest -> live
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 2).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b2")
+    val all = probeAll(store)
+    val oneShot = freshStore()
+    AnnIndexStore.ensureCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), oneShot)
+    AnnIndexStore.appendBatch(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), oneShot, "full")
+    assert(all == probeAll(oneShot) && all.nonEmpty)
+    // second compaction folds generation 1 + the new batch
+    AnnIndexStore.compact(spark, store)
+    assert(probeAll(store) == all)
+    assert(topDirs(store, "assign").count(_.startsWith("batch-")) == 0)
+  }
+
+  test("superseded manifest generations are swept once stale") {
+    val store = freshStore()
+    val q = quantizedVectors()
+    AnnIndexStore.ensureCodebook(spark,
+      q.select(col("vec_id"), col("qv"), col("nq")), store)
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 0).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b0")
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 1).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b1")
+    AnnIndexStore.compact(spark, store) // gen-1
+    AnnIndexStore.appendBatch(spark,
+      q.filter(col("vec_id") % 3 === 2).select(col("vec_id"), col("qv"), col("nq")),
+      store, "b2")
+    AnnIndexStore.compact(spark, store) // gen-2 (gen-1 too young to sweep)
+    assert(topDirs(store, "manifest").size == 2)
+    Thread.sleep(20)
+    AnnIndexStore.compact(spark, store, staleMs = 1L) // folds nothing, sweeps
+    assert(topDirs(store, "manifest").size == 1,
+      "superseded generations must be reclaimed")
+    assert(topDirs(store, "manifest").head.startsWith("gen-000000002"))
+    // the store still answers: probes resolve the surviving generation
+    assert(probeAll(store).nonEmpty)
   }
 
   test("cell count is a STORE property: pinned at creation from the conf, " +

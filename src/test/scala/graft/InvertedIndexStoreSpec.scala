@@ -122,15 +122,70 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     InvertedIndexStore.compact(spark, store)
     assert(stats() == wantStats && probe() == wantProbe)
     // the live listing is now one compacted dir per kind; the absorbed
-    // batch dirs are parked as replay records, not deleted
+    // batch dirs are RECLAIMED — their replay ids live in the manifest
+    // (r20, VERDICT r19 #5; r19 parked full copies forever)
     assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 0)
     assert(topDirs(store, "postings").count(_.startsWith("compact-")) == 1)
-    assert(topDirs(store, "postings/.absorbed").size == 3)
-    // replay of an absorbed batch id: read-only, statistics unchanged
-    InvertedIndexStore.appendBatch(spark, thirds(1), store, "b1")
+    assert(topDirs(store, "postings/.absorbed").isEmpty)
+    // replay of an absorbed batch id: committed via the manifest record,
+    // appends nothing, returns an empty frame, statistics unchanged
+    val replayed = InvertedIndexStore.appendBatch(spark, thirds(1), store, "b1")
+    assert(replayed.count() == 0)
     assert(stats() == wantStats && probe() == wantProbe)
     // dl scalars also survived exactly
     assert(InvertedIndexStore.readDocLens(spark, store).count() == docs.count())
+  }
+
+  test("legacy r19-era parked replay records migrate: the next compaction " +
+    "records their ids in the manifest and reclaims the parked dirs") {
+    val store = freshStore("legacy")
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 0), store, "b0")
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 1), store, "b1")
+    def stats() = InvertedIndexStore.termStats(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // simulate an r19-era compaction's parked replay record: the batch's
+    // rows live in the store (b1 above is its stand-in), its dir was
+    // renamed under .absorbed/
+    val legacy = docs.filter(col("doc_id") % 3 === 2)
+    val legacyPost = InvertedIndexStore.tokenize(legacy)
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, legacyPost, s"$store/postings/.absorbed", "batch-parked")
+    // a replay of the parked id is committed (read from the parked dir)
+    assert(InvertedIndexStore.appendBatch(spark, legacy, store, "parked")
+      .count() == legacyPost.count())
+    val before = stats()
+    InvertedIndexStore.compact(spark, store)
+    // the parked dir is gone, its id migrated into the manifest
+    assert(topDirs(store, "postings/.absorbed").isEmpty)
+    assert(stats() == before)
+    // and the replay is STILL a committed no-op (empty frame now)
+    assert(InvertedIndexStore.appendBatch(spark, legacy, store, "parked")
+      .count() == 0)
+    assert(stats() == before)
+  }
+
+  test("superseded manifest generations are swept once stale") {
+    val store = freshStore("gens")
+    (0 to 1).foreach { i =>
+      InvertedIndexStore.appendBatch(spark,
+        docs.filter(col("doc_id") % 3 === i), store, s"b$i")
+    }
+    InvertedIndexStore.compact(spark, store) // gen-1
+    InvertedIndexStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 3 === 2), store, "b2")
+    InvertedIndexStore.compact(spark, store) // gen-2 (gen-1 too young)
+    assert(topDirs(store, "manifest").size == 2)
+    Thread.sleep(20)
+    InvertedIndexStore.compact(spark, store, staleMs = 1L)
+    assert(topDirs(store, "manifest").size == 1)
+    assert(topDirs(store, "manifest").head.startsWith("gen-000000002"))
+    val oneShot = freshStore("gens-one")
+    InvertedIndexStore.appendBatch(spark, docs, oneShot, "full")
+    def statsOf(s: String) = InvertedIndexStore.termStats(spark, s)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(statsOf(store) == statsOf(oneShot))
   }
 
   test("crash between snapshot-write and manifest-swap leaves the old " +
@@ -223,10 +278,11 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     // a second compact inside the grace does nothing at all
     InvertedIndexStore.compact(spark, store, moveGraceMs = 3600 * 1000L)
     assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 3)
-    // after the grace (0 here = immediately eligible), the moves finish
+    // after the grace (0 here = immediately eligible), the reclaim runs:
+    // absorbed dirs are deleted (ids already in the manifest), not parked
     InvertedIndexStore.compact(spark, store)
     assert(topDirs(store, "postings").count(_.startsWith("batch-")) == 0)
-    assert(topDirs(store, "postings/.absorbed").size == 3)
+    assert(topDirs(store, "postings/.absorbed").isEmpty)
     assert(stats() == want)
   }
 

@@ -143,20 +143,35 @@ class PqIndexSpec extends SparkTestBase {
     // a vec_id re-ingested with a CHANGED vector (or appended onto a
     // store rebuilt with a different codebook) has non-identical
     // duplicate rows — any silent survivor choice would make probePq
-    // partition-dependent, so the probe must raise a descriptive error
-    // instead (ADVICE r13 low)
+    // partition-dependent. Since r20 (ADVICE r19 low) the INGEST gate
+    // catches it, keeping the probe read path narrow
     val store = freshStore()
     buildPq(store)
-    AnnIndexStore.appendBatchPq(spark,
-      quantizedVectors().filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id"), expr("reverse(qv)").as("qv"),
-          (col("nq") + 1).as("nq")), store, "even-conflict")
-    val e = intercept[Exception] { probePq(store) }
+    val clean = probePq(store)
+    val nBefore = AnnIndexStore.readPqAssignments(spark, store).count()
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.appendBatchPq(spark,
+        quantizedVectors().filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id"), expr("reverse(qv)").as("qv"),
+            (col("nq") + 1).as("nq")), store, "even-conflict")
+    }
+    assert(e.getMessage.contains("conflicting duplicate PQ assignments"))
+    assert(AnnIndexStore.readPqAssignments(spark, store).count() == nBefore)
+    assert(probePq(store) == clean)
+    // LEGACY store (conflicts landed before the gate existed): the
+    // probe itself still raises for conflicts within probed cells —
+    // land conflicting rows for EVERY cell directly as a batch dir
+    val conflicted = AnnIndexStore.readPqAssignments(spark, store)
+      .select(col("vec_id"), col("cell"), (col("nq") + 1).as("nq"),
+        col("codes"))
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, conflicted, s"$store/pq_assign", "batch-legacy-conflict")
+    val e2 = intercept[Exception] { probePq(store) }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("conflicting duplicate PQ assignments")),
-      s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+    assert(messages(e2).exists(_.contains("conflicting duplicate PQ assignments")),
+      s"expected the conflict error, got: ${messages(e2).mkString(" | ")}")
   }
 
   test("pq recall >= raw-IVF recall on q_ann_recall's fixture; store measurably smaller") {
