@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * [[BpeApply.applyAll]] applies merges in step order where each fired
   * merge is one left-to-right non-overlapping pass over the token
   * array — exactly the semantics of `replace(enc, '(l)(r)', '(lr)')`
-  * on the paren encoding (tokens are `[a-z]+`, parens cannot occur
-  * inside a token, so string occurrences of `(l)(r)` are precisely the
+  * on the paren encoding (tokens cannot contain parens — the r20
+  * pretokenizer remaps literal parens to private-use sentinels before
+  * wrapping — so string occurrences of `(l)(r)` are precisely the
   * adjacent token pairs, scanned left-to-right non-overlapping in both
   * representations). The rank-map walk visits exactly the ranks whose
   * pair is adjacent at some point, in increasing order, so gated

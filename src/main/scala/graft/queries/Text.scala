@@ -353,8 +353,9 @@ object Text {
     // the q_bpe_step kernel (same pattern as the transitive redirect
     // resolution in etl/Redirects.scala): N merge rounds, re-tokenizing
     // the corpus between rounds. Representation: the token sequence is
-    // one string of individually-wrapped tokens "(a)(b)(c)" (letter-only
-    // tokens, so the parens are unambiguous); applying merge (a,b)→ab is
+    // one string of individually-wrapped tokens "(a)(b)(c)" (literal
+    // parens are remapped out of tokens by the pretokenizer, so the
+    // wrapping is unambiguous on any alphabet); applying merge (a,b)→ab is
     // then a plain left-to-right non-overlapping `replace` of "(a)(b)"
     // with "(ab)" — IDENTICAL greedy semantics in Spark and DuckDB, and
     // the merged token re-wraps so later rounds can merge it further.
@@ -381,7 +382,7 @@ object Text {
     "q_bpe_apply" -> ((s, d) =>
       bpeDispatch(s, d, 8)._2
         .select(col("doc_id"),
-          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+          expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
@@ -430,14 +431,14 @@ object Text {
       val store = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_bpe_vocab",
         graft.Tables.dataFingerprint(s, d, Seq("documents")) +
-          s"-m$budget-k$batchK").toString
+          s"-m$budget-k$batchK-p${pretokMode(s)}").toString
       if (!graft.operators.BpeVocabStore.exists(s, store)) {
         val (m, _, _) = bpeLoopBatched(s, d, budget, batchK)
         graft.operators.BpeVocabStore.ensureVocab(s, m, store)
       }
       graft.operators.BpeVocabStore.applyMerges(s, bpeEncode(s, d), store)
         .select(col("doc_id"),
-          expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+          expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
@@ -481,17 +482,18 @@ object Text {
     // row-local; the BPE side falls out of the training loop's final
     // checkpointed corpus (shared frame — at 100 TB this adds one
     // doc-keyed equi-join to a pass that already ran, not a new corpus
-    // pass). Only letter-only words count (the BPE alphabet), matching
-    // bpeEncode's filter, so n_words >= 1 ⟺ the doc is in the encoded
-    // corpus and both DIVs have nonzero denominators.
+    // pass). The word denominator is the PRETOKEN count — the same
+    // [[pretokens]] column the encoder consumes (r20: letter runs,
+    // digit runs, punctuation singletons — no longer letter-only), so
+    // n_words >= 1 ⟺ the doc is in the encoded corpus and both DIVs
+    // have nonzero denominators.
     "q_tok_fertility" -> ((s, d) => {
       val bpe = bpeDispatch(s, d, 8)._2
         .select(col("doc_id"), expr(
-          "CAST(size(regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)) AS BIGINT)")
+          "CAST(size(regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)) AS BIGINT)")
           .as("n_bpe"))
       val words = load(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')").as("ws"))
+        .select(col("doc_id"), pretokens(s).as("ws"))
         .select(col("doc_id"),
           expr("CAST(size(ws) AS BIGINT)").as("n_words"),
           expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"))
@@ -523,7 +525,7 @@ object Text {
     // spark.graft.reuse.checkpoints, q_bpe_train/q_bpe_apply/
     // q_tok_fertility in one session run the fixpoint ONCE and the
     // final frame is checkpointed for the consumers
-    graft.ArtifactCache.getOrCompute(s, s"bpe|$d|$budget|$batchK") {
+    graft.ArtifactCache.getOrCompute(s, s"bpe|$d|$budget|$batchK|${pretokMode(s)}") {
       val (m, e, _) = bpeLoopBatched(s, d, budget, batchK)
       val eMat =
         if (graft.ArtifactCache.enabled(s)) graft.Checkpoints.ckpt(e) else e
@@ -531,13 +533,70 @@ object Text {
     }
   }
 
-  /** The paren-encoded corpus the BPE fixpoint iterates over. */
-  private[graft] def bpeEncode(s: SparkSession, d: String): DataFrame =
+  /** GPT-2-CLASS PRETOKENIZER (r20, VERDICT r19 #3). The r19 BPE family
+    * trained only on `^[a-z]+$` space-split words, so digits,
+    * punctuation, case, and non-ASCII text never reached the tokenizer —
+    * a fertility report over a real corpus was meaningless under that
+    * filter. The default pretokenization is now class-run splitting
+    * over the RAW text: letter runs (`\p{L}+`, case preserved), digit
+    * runs (`\p{N}+`), and every other non-whitespace character as a
+    * singleton — the simplification of GPT-2's pattern that stays
+    * bit-reproducible across Spark (Java regex) and DuckDB (RE2), both
+    * of which treat `\p{L}`/`\p{N}` as full Unicode categories and
+    * match one CODE POINT per singleton. Whitespace is the explicit
+    * ASCII set (space/tab/LF/CR — Java and RE2 disagree on `\s`'s
+    * edges, so the class is spelled out). The legacy behavior stays
+    * selectable via `spark.graft.bpe.pretok=letters`; the vocab store
+    * and artifact-cache keys carry the mode, so the two pretokenizers
+    * can never read each other's vocabularies. */
+  private[graft] val PretokConf = "spark.graft.bpe.pretok"
+  private[graft] val PretokRe = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N} \t\n\r]"
+
+  /** Paren-remap sentinels: the corpus encoding wraps each token in
+    * `(...)`, so literal parens INSIDE a token (punctuation singletons)
+    * are remapped to private-use codepoints before wrapping — the
+    * encoding stays unambiguous on ANY alphabet (VERDICT r19 #3's
+    * "escaped or remapped" requirement). Input text already containing
+    * a sentinel fails fast rather than aliasing with a remapped paren. */
+  private[graft] val ParenL = "\uE000"
+  private[graft] val ParenR = "\uE001"
+
+  private[graft] def pretokMode(s: SparkSession): String =
+    s.conf.getOption(PretokConf).getOrElse("gpt2")
+
+  /** The pretoken array column for `text` under the session's mode —
+    * shared by the encoder and q_tok_fertility's denominators so the
+    * two can never disagree on what counts as a word. */
+  private[graft] def pretokens(s: SparkSession)
+  : org.apache.spark.sql.Column = pretokMode(s) match {
+    case "letters" => expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')")
+    case "gpt2" =>
+      val guarded = when(
+        col("text").contains(ParenL) || col("text").contains(ParenR),
+        raise_error(lit("bpe pretokenizer: input text contains the " +
+          "reserved paren-remap codepoints U+E000/U+E001")))
+        .otherwise(col("text"))
+      regexp_extract_all(guarded, lit(PretokRe), lit(0))
+    case other => throw new IllegalArgumentException(
+      s"unknown $PretokConf mode '$other' (gpt2 | letters)")
+  }
+
+  /** The paren-encoded corpus the BPE fixpoint iterates over. Tokens
+    * have their literal parens remapped (see [[ParenL]]); everything
+    * downstream extracts tokens with the alphabet-agnostic
+    * `\(([^()]+)\)` — tokens cannot contain parens by construction. */
+  private[graft] def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val toks = pretokMode(s) match {
+      case "letters" => pretokens(s)
+      case _ => transform(pretokens(s),
+        t => replace(replace(t, lit("("), lit(ParenL)), lit(")"), lit(ParenR)))
+    }
     load(s, d, "documents")
-      .select(col("doc_id"), expr(
-        "concat_ws('', transform(filter(split(text, ' '), x -> x rlike '^[a-z]+$')," +
-          " t -> concat('(', t, ')')))").as("enc"))
+      .select(col("doc_id"),
+        concat_ws("", transform(toks,
+          t => concat(lit("("), t, lit(")")))).as("enc"))
       .filter(length(col("enc")) > 0)
+  }
 
   /** Shared BPE fixpoint: N merge rounds over the paren-encoded corpus
     * (doc_id retained so the apply side can join nothing — the final
@@ -582,7 +641,7 @@ object Text {
       // 4× headroom so the disjoint filter usually fills the batch; a
       // short round just leaves the rest to the next snapshot
       val top = enc
-        .select(expr("regexp_extract_all(enc, '\\\\(([a-z]+)\\\\)', 1)").as("toks"))
+        .select(expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
@@ -604,10 +663,13 @@ object Text {
           merges += ((step, l, r, l + r, cnt)); step += 1
         }
         roundSizes += sel.length
-        val applied = sel.foldLeft("enc") { case (acc, (l, r, _)) =>
-          s"replace($acc, '($l)($r)', '(${l + r})')"
+        // Column-based fold (r20): tokens may now contain quotes or
+        // backslashes (punctuation singletons), so literal-SQL
+        // embedding would need per-engine escaping — lit() needs none
+        val applied = sel.foldLeft(col("enc")) { case (acc, (l, r, _)) =>
+          replace(acc, lit(s"($l)($r)"), lit(s"(${l + r})"))
         }
-        val next = enc.select(col("doc_id"), expr(applied).as("enc"))
+        val next = enc.select(col("doc_id"), applied.as("enc"))
         rounds += 1
         // checkpoint every SECOND round: localCheckpoint is eager (one
         // job each), and the un-checkpointed hop is a single narrow
@@ -627,14 +689,24 @@ object Text {
     * CTEs would expand to 2^n scans of the base table. `finalSelect`
     * chooses the output: the merge table (train) or the re-tokenized
     * corpus read from e(n) (apply). */
+  /** The gpt2-mode pretokenizer in DuckDB terms: RE2's `\p{L}`/`\p{N}`
+    * are the same Unicode categories as Java's, the whitespace class is
+    * the same explicit ASCII set, and the paren remap is the same two
+    * chained REPLACEs — so e0 equals [[bpeEncode]] character for
+    * character (OracleSqlSpec-style convention pinning lives in
+    * BatchedBpeSpec's extended-alphabet equality test). */
+  private def duckEnc0: String =
+    "SELECT doc_id, ARRAY_TO_STRING(LIST_TRANSFORM(" +
+      s"REGEXP_EXTRACT_ALL(text, '$PretokRe'), " +
+      s"t -> '(' || REPLACE(REPLACE(t, '(', '$ParenL'), ')', '$ParenR') || ')'" +
+      "), '') AS enc FROM documents"
+
   private def bpeChain(n: Int, withFinalE: Boolean): String = {
-    val enc0 =
-      "SELECT doc_id, ARRAY_TO_STRING(LIST_TRANSFORM(LIST_FILTER(STRING_SPLIT(text, ' '), " +
-        "x -> regexp_full_match(x, '[a-z]+')), t -> '(' || t || ')'), '') AS enc FROM documents"
+    val enc0 = duckEnc0
     val steps = (1 to n).map { i =>
       val needE = withFinalE || i < n
       s"""p$i AS MATERIALIZED (SELECT toks[k] AS l_tok, toks[k + 1] AS r_tok, COUNT(*) AS cnt
-         |  FROM (SELECT REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1) AS toks FROM e${i - 1}) t,
+         |  FROM (SELECT REGEXP_EXTRACT_ALL(enc, '\\(([^()]+)\\)', 1) AS toks FROM e${i - 1}) t,
          |       UNNEST(RANGE(1, LEN(toks))) AS u(k)
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l_tok, r_tok, l_tok || r_tok AS merged, cnt FROM p$i
@@ -665,19 +737,19 @@ object Text {
     bpeChain(n, withFinalE = true) +
       s"""SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens,
          |  MD5(ARRAY_TO_STRING(toks, ' ')) AS toks_md5
-         |FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1) AS toks FROM e$n)
+         |FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(enc, '\\(([^()]+)\\)', 1) AS toks FROM e$n)
          |ORDER BY doc_id""".stripMargin
 
   private def tokFertilityOracle(n: Int): String =
     bpeChain(n, withFinalE = true) +
       s""", b AS (SELECT doc_id,
-         |    CAST(LEN(REGEXP_EXTRACT_ALL(enc, '\\(([a-z]+)\\)', 1)) AS BIGINT) AS n_bpe
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(enc, '\\(([^()]+)\\)', 1)) AS BIGINT) AS n_bpe
          |  FROM e$n),
          |w AS (SELECT doc_id,
          |    CAST(LEN(ws) AS BIGINT) AS n_words,
          |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x))), 0) AS BIGINT) AS n_chars
-         |  FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '),
-         |          x -> regexp_full_match(x, '[a-z]+')) AS ws FROM documents))
+         |  FROM (SELECT doc_id,
+         |          REGEXP_EXTRACT_ALL(text, '$PretokRe') AS ws FROM documents))
          |SELECT doc_id, n_words, n_bpe,
          |  n_bpe * 1000000 // n_words AS fertility_ppm,
          |  n_chars * 1000000 // n_bpe AS chars_per_tok_ppm

@@ -72,7 +72,7 @@ class BatchedBpeSpec extends SparkTestBase {
   // anchor: 256 merges, far beyond the 8-merge oracled prefix.
   private def driverBpe(corpus0: Map[Long, String], nMerges: Int, batchK: Int)
   : (Seq[(Int, String, String, String, Long)], Map[Long, String], Seq[Int]) = {
-    val tokRe = "\\(([a-z]+)\\)".r
+    val tokRe = "\\(([^()]+)\\)".r
     var corpus = corpus0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     val sizes = Seq.newBuilder[Int]
@@ -137,6 +137,89 @@ class BatchedBpeSpec extends SparkTestBase {
     // fewer passes than strict greedy).
     assert(sparkSizes.length <= budget / 8,
       s"expected <= ${budget / 8} rounds, got ${sparkSizes.length}")
+  }
+
+  // ---- extended alphabet (r20, VERDICT r19 #3) ----------------------
+  // The gpt2-mode pretokenizer must cover case, digits, punctuation
+  // (including literal parens, via the sentinel remap), and non-ASCII
+  // letters — and the trainer must stay bit-equal to the driver-side
+  // reference on that alphabet at a realistic merge budget.
+
+  private lazy val mixedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-mixed").toString
+    val rnd = new scala.util.Random(7)
+    val pieces = Array("Hello", "WORLD", "café", "naïve", "don't", "3.14",
+      "42", "x1", "(nested)", "a,b", "über", "Straße", "e=mc2", "C++",
+      "\\path\\to", "\"quoted\"", "semi;colon", "tail-", "你好", "5,000")
+    val rows = (0L until 80L).map { id =>
+      (id, Array.fill(40)(pieces(rnd.nextInt(pieces.length))).mkString(" "))
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("gpt2 pretokenizer: case/digits/punctuation/non-ASCII reach the " +
+    "tokenizer; literal parens are sentinel-remapped; text with a " +
+    "sentinel fails fast") {
+    val enc = collectCorpus(Text.bpeEncode(spark, mixedDir))
+    val all = enc.values.mkString
+    // every class is represented, case preserved, parens remapped
+    assert(all.contains("(Hello)") && all.contains("(WORLD)"))
+    assert(all.contains("(café)") && all.contains("(你好)"))
+    assert(all.contains("(3)(.)(14)"), "digit runs split from punctuation")
+    assert(all.contains("(don)(')(t)"))
+    assert(all.contains(s"(${Text.ParenL})(nested)(${Text.ParenR})"),
+      "literal parens must be remapped, not dropped")
+    assert(all.contains("(\\)") && all.contains("(\")"))
+    assert(!all.contains("((") && !all.contains("))"),
+      "encoding must stay unambiguous")
+    // reserved sentinel in the INPUT: loud failure, no aliasing
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bpe-evil").toString
+    Seq((1L, s"evil ${Text.ParenL} text")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val e = intercept[Exception] { Text.bpeEncode(spark, dir2).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("reserved paren-remap")),
+      s"expected the sentinel guard, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("extended alphabet, 256 merges, batchK=16: Spark trainer == " +
+    "driver-side reference (merge table, round sizes, corpus bit-equal)") {
+    val budget = 256
+    val (sparkMerges, sparkEnc, sparkSizes) =
+      Text.bpeLoopBatched(spark, mixedDir, budget, 16)
+    val corpus0 = collectCorpus(Text.bpeEncode(spark, mixedDir))
+    val (refMerges, refCorpus, refSizes) = driverBpe(corpus0, budget, 16)
+    assert(sparkMerges.length >= 100,
+      s"corpus exhausted too early for a meaningful test: ${sparkMerges.length}")
+    assert(sparkMerges == refMerges)
+    assert(sparkSizes == refSizes)
+    assert(collectCorpus(sparkEnc.select(col("doc_id"), col("enc"))) == refCorpus)
+    // merges genuinely crossed the old alphabet: some merged token
+    // contains a digit, uppercase, punctuation, or non-ASCII letter
+    assert(sparkMerges.exists(m => m._4.exists(c => !('a' to 'z').contains(c))),
+      "no merge ever left the lowercase-ASCII alphabet")
+  }
+
+  test("legacy letters mode stays selectable and letter-only") {
+    try {
+      spark.conf.set(Text.PretokConf, "letters")
+      // the mixed corpus has no pure-lowercase space-split word at all:
+      // under the legacy filter it is INVISIBLE — exactly the blindness
+      // the gpt2 default fixes
+      assert(Text.bpeEncode(spark, mixedDir).count() == 0)
+      // and on the real corpus the mode still yields letter-only tokens
+      val enc = collectCorpus(Text.bpeEncode(spark, sfDir))
+      val toks = enc.values.flatMap("\\(([^()]+)\\)".r.findAllMatchIn(_)
+        .map(_.group(1))).toSet
+      assert(toks.nonEmpty && toks.forall(_.forall(('a' to 'z').contains)),
+        s"letters mode leaked non-lowercase tokens: ${toks.take(5)}")
+    } finally spark.conf.unset(Text.PretokConf)
   }
 
   test("strict greedy (batchK=1) == driver-side strict greedy at 24 merges") {
