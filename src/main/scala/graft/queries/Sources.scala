@@ -127,6 +127,39 @@ object Sources {
         .orderBy("o_orderkey")
     }),
 
+    // Avro NESTED types (r20, VERDICT r19 #4): array<float> (the
+    // embeddings column — the shape a real corpus file carries), a
+    // nested record, and a string-keyed map, round-tripped through the
+    // writer and the split-planned reader under forced multi-split
+    // reads (splitSize 65536). The embedding floats must come back
+    // bit-exact (the avro float wire form IS IEEE 754), the nested
+    // record fields and map values exactly. Map read-back is accessed
+    // via element_at (avro decodes maps into hash order — only keyed
+    // access is deterministic). The parquet embeddings table is the
+    // oracle's source for every column, so a lossy roundtrip at any
+    // nesting level fails the hash.
+    "q_source_avro_nested" -> ((s, d) => {
+      val p = scratchDir(s, "avronest", d)
+      graft.sources.AvroSource.write(
+        load(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            struct(col("label").as("lab"),
+              (col("vec_id") % 7).as("grp")).as("meta"),
+            map(lit("dim"), size(col("embedding")).cast("long"),
+              lit("vid2"), col("vec_id") * 2).as("props"))
+          .coalesce(1), p)
+      s.read.format(classOf[graft.sources.AvroSource].getName)
+        .option("splitSize", "65536").load(p)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dim"),
+          element_at(col("embedding"), 1).as("e1"),
+          element_at(col("embedding"), -1).as("e_last"),
+          col("meta.lab").as("lab"), col("meta.grp").as("grp"),
+          element_at(col("props"), "dim").as("p_dim"),
+          element_at(col("props"), "vid2").as("p_vid2"))
+        .orderBy("vec_id")
+    }),
+
     "q_source_json" -> ((s, d) => {
       val p = scratchDir(s, "json", d)
       load(s, d, "nation").coalesce(1).write.mode("overwrite").json(p)
@@ -272,6 +305,12 @@ object Sources {
       """SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_ts,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS o_price_dec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_source_avro_nested" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dim,
+        |  embedding[1] AS e1, embedding[-1] AS e_last,
+        |  label AS lab, vec_id % 7 AS grp,
+        |  CAST(LEN(embedding) AS BIGINT) AS p_dim, vec_id * 2 AS p_vid2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_source_json" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
