@@ -33,6 +33,19 @@ import org.apache.spark.sql.functions._
   * this, a crash between the store append and the caller's downstream
   * commit would false-drop the batch forever on retry.
   */
+/** Stable replay key for a dedup-store append (r20, ADVICE r19 low).
+  * A distinct type, not a raw String: when r19 made the batch id a
+  * REQUIRED positional parameter it landed in the slot the defaulted
+  * `idCol: String` used to occupy, so an un-migrated caller passing a
+  * custom id column positionally compiled silently with the column
+  * name used as the batch id. Wrapping the id makes any such stale
+  * call site a compile error. (The other stores' `appendBatch(...,
+  * batchId)` keep plain String — no same-typed defaulted parameter
+  * ever sat in that position, so the trap never existed there.) */
+final case class BatchId(value: String) extends AnyVal {
+  def nonEmpty: Boolean = value.nonEmpty
+}
+
 object IncrementalDedup {
 
   /** Row-local body fingerprints of a batch: (fp, doc_id). NULL text
@@ -103,10 +116,10 @@ object IncrementalDedup {
     * retry (it anti-joins against its own fingerprints); with a
     * stable id the replay returns the recorded survivors. */
   def dedupDelta(spark: SparkSession, delta: DataFrame, storePath: String,
-                 batchId: String,
+                 batchId: BatchId,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(batchId.nonEmpty, "dedupDelta needs a stable batch id")
-    committed(spark, storePath, Some(batchId)) match {
+    committed(spark, storePath, Some(batchId.value)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(storePath, name).toString)
       case None => ()
@@ -120,7 +133,8 @@ object IncrementalDedup {
       } else deltaKeep
     // materialize BEFORE extending the store (see scaladoc)
     val materialized = Checkpoints.ckpt(survivors)
-    appendAtomic(spark, materialized, storePath, freshBatchName(Some(batchId)))
+    appendAtomic(spark, materialized, storePath,
+      freshBatchName(Some(batchId.value)))
     materialized
   }
 
@@ -201,10 +215,10 @@ object IncrementalDedup {
     * they cannot cause drops, but they make the batch dir a complete
     * replay record. */
   def dedupDeltaNear(spark: SparkSession, delta: DataFrame, storePath: String,
-                     batchId: String,
+                     batchId: BatchId,
                      idCol: String = "doc_id"): DataFrame = {
     require(batchId.nonEmpty, "dedupDeltaNear needs a stable batch id")
-    committed(spark, storePath, Some(batchId)) match {
+    committed(spark, storePath, Some(batchId.value)) match {
       case Some(name) =>
         return spark.read.parquet(batchDir(storePath, name).toString)
           .select(col("doc_id")).distinct()
@@ -219,7 +233,7 @@ object IncrementalDedup {
     appendAtomic(spark,
       kept.join(memb, Seq("doc_id"), "left")
         .select(col("bucket"), col("doc_id")), storePath,
-      freshBatchName(Some(batchId)))
+      freshBatchName(Some(batchId.value)))
     kept
   }
 }

@@ -5,6 +5,7 @@ import graft.Tables.load
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.BatchId
 
 /** Training-data pipeline operators over `documents` (round-2 extension
   * surface): deterministic sampling and dataset splits, gopher-style
@@ -829,9 +830,9 @@ object Pipeline {
       val tmp = java.nio.file.Files.createTempDirectory("graft_incr_dedup")
       val store = tmp.resolve("store").toString
       graft.operators.IncrementalDedup.dedupDelta(
-        s, docs.filter(col("doc_id") < 250), store, "b1")
+        s, docs.filter(col("doc_id") < 250), store, BatchId("b1"))
       val kept2 = graft.operators.IncrementalDedup.dedupDelta(
-        s, docs.filter(col("doc_id") >= 250), store, "b2")
+        s, docs.filter(col("doc_id") >= 250), store, BatchId("b2"))
       // survivors are checkpointed — the store files can go away now
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       kept2.select(col("doc_id"), col("fp")).orderBy("doc_id")
@@ -847,9 +848,9 @@ object Pipeline {
       val tmp = java.nio.file.Files.createTempDirectory("graft_incr_near")
       val store = tmp.resolve("store").toString
       graft.operators.IncrementalDedup.dedupDeltaNear(
-        s, docs.filter(col("doc_id") < 250), store, "b1")
+        s, docs.filter(col("doc_id") < 250), store, BatchId("b1"))
       val kept2 = graft.operators.IncrementalDedup.dedupDeltaNear(
-        s, docs.filter(col("doc_id") >= 250), store, "b2")
+        s, docs.filter(col("doc_id") >= 250), store, BatchId("b2"))
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
       kept2.orderBy("doc_id")
     }),

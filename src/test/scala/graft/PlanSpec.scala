@@ -3,6 +3,7 @@ package graft
 import graft.queries.{Relational, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.BatchId
 
 /** Physical-plan assertions (SURVEY.md §4.3): the declarative queries
   * must actually get the optimizations we designed for — filters and
@@ -355,7 +356,7 @@ class PlanSpec extends SparkTestBase {
     val docs = Tables.load(spark, sfDir, "documents")
     // seed the store so the store-check branch is in the plan
     graft.operators.IncrementalDedup.dedupDeltaNear(
-      spark, docs.filter("doc_id < 50"), store, "seed")
+      spark, docs.filter("doc_id < 50"), store, BatchId("seed"))
     // plan the second batch through the operator's OWN plan builder so
     // this assertion cannot drift from the shipped join shape
     val delta = docs.filter("doc_id >= 50")

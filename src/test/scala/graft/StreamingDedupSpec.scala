@@ -5,6 +5,7 @@ import graft.operators.IncrementalDedup
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.operators.BatchId
 
 /** The complete continuous-crawl pipeline: file-source streaming ingest
   * (checkpointed offsets, exactly-once) composed with the persisted
@@ -38,7 +39,7 @@ class StreamingDedupSpec extends SparkTestBase {
           // returns its recorded survivors instead of anti-joining
           // itself to zero
           IncrementalDedup.dedupDelta(spark, df, store,
-              batchId = id.toString)
+              batchId = BatchId(id.toString))
             .write.mode("append").parquet(out)
         }
         .start()
@@ -73,7 +74,7 @@ class StreamingDedupSpec extends SparkTestBase {
     val batch = Seq(1L -> "one body", 2L -> "two body", 3L -> "one body")
       .toDF("doc_id", "text")
     def run() = IncrementalDedup
-      .dedupDelta(spark, batch, store, batchId = "42")
+      .dedupDelta(spark, batch, store, batchId = BatchId("42"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val first = run()
     assert(first.map(_._2) === Set(1L, 2L)) // 3 is a within-batch dup
@@ -91,7 +92,7 @@ class StreamingDedupSpec extends SparkTestBase {
     val longDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val nbatch = Seq(10L -> longDoc, 11L -> longDoc).toDF("doc_id", "text")
     def nrun() = IncrementalDedup
-      .dedupDeltaNear(spark, nbatch, nstore, batchId = "7")
+      .dedupDeltaNear(spark, nbatch, nstore, batchId = BatchId("7"))
       .collect().map(_.getLong(0)).toSet
     val nfirst = nrun()
     assert(nfirst === Set(10L))
