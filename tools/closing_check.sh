@@ -38,6 +38,24 @@ for sf in 0.001 0.01 0.1; do
   step "oracle-sf$sf" python3 tools/check_oracle.py "/root/testdata/sf$sf" "$OUT/verify-sf$sf"
 done
 
+# ETL throughput regression (r20, VERDICT r19 #8): BASELINE.md's r19 row
+# promises "re-run per round, warn < 0.5x any column" — enforce it here.
+etl_check() {
+  sbt -batch "runMain graft.EtlBench 50000" 2>&1 | tee "$OUT/etlbench.raw" \
+    | grep '"metric"' > "$OUT/etlbench.json" || return 1
+  python3 - "$OUT/etlbench.json" <<'PY'
+import json, sys
+r = json.load(open(sys.argv[1]))
+# r19 pins (BASELINE.md throughput row); bar = 0.5x
+pins = {"value": 5361.0, "parquet_rows_per_sec": 58621.0,
+        "jdbc_rows_per_sec": 11403.0}
+bad = [(k, r[k], p) for k, p in pins.items() if r[k] < 0.5 * p]
+print(json.dumps({"etl": r, "regressions": bad}))
+sys.exit(1 if bad else 0)
+PY
+}
+step "etl-throughput" etl_check
+
 echo
 echo "=== closing summary ($OUT) ==="
 for line in "${SUMMARY[@]}"; do echo "$line"; done
