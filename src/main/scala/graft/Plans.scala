@@ -190,7 +190,20 @@ object Plans {
       "scan decodes decimal (unscaled big-endian bytes) and " +
       "timestamp-micros under forced 64 KiB byte-range splits — " +
       "the scan description shows the pruned logical-typed columns; " +
-      "downstream is one presentation sort."))
+      "downstream is one presentation sort."),
+
+    "q_source_avro_nested" -> ("Avro nested types (r20): records, " +
+      "arrays, and maps decode through the same DSv2 multi-split " +
+      "scan; the plan shows the nested ReadSchema and row-local " +
+      "field extraction — no explode/re-join, one presentation sort."),
+
+    "q_source_jdbc_ro" -> ("Multi-JVM JDBC source (r20): the scan is " +
+      "4 range partitions over c_custkey against a jar-deployed " +
+      "read-only Derby snapshot (the embedded-engine shape every " +
+      "executor JVM can open concurrently); PushedFilters carries " +
+      "the segment+acctbal predicate INTO the database, so executors " +
+      "pull only matching rows — the same plan a networked MySQL " +
+      "target would get at scale."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

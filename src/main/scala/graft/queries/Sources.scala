@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Build-once (per dataset dir) jar-deployed read-only Derby snapshot
+    * of `customer` — shared by `q_source_jdbc_ro` and ReadOnlyDerbySpec.
+    * Same column shape and DOUBLE acctbal as `q_source_jdbc`'s table so
+    * the two rows share one oracle. */
+  def customerRoJar(s: SparkSession, d: String): String =
+    graft.etl.ReadOnlyDerby.snapshot(
+      load(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal")),
+      key = s"customer_$d",
+      table = "jdbc_customer",
+      ddl = """CREATE TABLE jdbc_customer (
+              |  c_custkey BIGINT NOT NULL,
+              |  c_name VARCHAR(64) NOT NULL,
+              |  c_mktsegment VARCHAR(16) NOT NULL,
+              |  c_acctbal DOUBLE NOT NULL,
+              |  PRIMARY KEY (c_custkey))""".stripMargin)
+
   /** Scratch dir for the format-roundtrip queries. SF-scoped (a
     * concurrent run at another SF must not clobber the data between the
     * eager write and the lazy read-back) AND JVM-scoped via
@@ -266,6 +283,31 @@ object Sources {
         .orderBy("c_custkey")
     }),
 
+    // The multi-JVM form of the JDBC source: the same 4-way
+    // range-partitioned scan with the same pushed filter, but against a
+    // jar-deployed READ-ONLY Derby snapshot (ReadOnlyDerby class doc) —
+    // the one embedded-Derby deployment real executor JVMs can open
+    // concurrently, so this row runs (and is hash-oracled) under the
+    // local-cluster sweep, where q_source_jdbc's per-JVM
+    // `jdbc:derby:memory:` database cannot exist. At scale both rows are
+    // the same operator against a network database server; this one
+    // proves the executor-side read path on real executor JVMs.
+    "q_source_jdbc_ro" -> ((s, d) => {
+      val jar = customerRoJar(s, d)
+      s.read.format("jdbc")
+        .option("url", graft.etl.ReadOnlyDerby.url(jar))
+        .option("dbtable", "jdbc_customer")
+        .option("user", "app").option("password", "app")
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", "0").option("upperBound", "200000")
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // A8–A11 end-to-end: the full ETL feeding the JDBC sink for real —
     // bootstrap DDL (Derby dialect: no MySQL server in this image, same
     // Spark JDBC write machinery), append bodies then articles, then
@@ -320,6 +362,11 @@ object Sources {
         |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_source_jdbc" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_source_jdbc_ro" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
