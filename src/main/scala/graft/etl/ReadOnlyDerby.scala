@@ -111,16 +111,19 @@ object ReadOnlyDerby {
   private def zipDb(dbDir: Path, outJar: Path): Unit = {
     val out = new ZipOutputStream(Files.newOutputStream(outJar))
     try {
-      val files = Files.walk(dbDir).iterator()
-      while (files.hasNext) {
-        val p = files.next()
-        val rel = "db/" + dbDir.relativize(p).toString.replace('\\', '/')
-        if (Files.isRegularFile(p) && !rel.endsWith(".lck")) {
-          out.putNextEntry(new ZipEntry(rel))
-          Files.copy(p, out)
-          out.closeEntry()
+      val walk = Files.walk(dbDir)
+      try {
+        val files = walk.iterator()
+        while (files.hasNext) {
+          val p = files.next()
+          val rel = "db/" + dbDir.relativize(p).toString.replace('\\', '/')
+          if (Files.isRegularFile(p) && !rel.endsWith(".lck")) {
+            out.putNextEntry(new ZipEntry(rel))
+            Files.copy(p, out)
+            out.closeEntry()
+          }
         }
-      }
+      } finally walk.close() // the walk stream holds directory handles
     } finally out.close()
   }
 

@@ -207,14 +207,27 @@ object AnnIndexStore {
     * vec_id is already committed with a DIFFERENT fact struct is a
     * re-ingested changed vector — erroring here keeps every later
     * probe's read path narrow. Identical re-ingests (same fact) are
-    * fine: probes collapse them deterministically. */
+    * fine: probes collapse them deterministically.
+    *
+    * Cost shape (r20 review): the check is ONE streamed scan of the
+    * committed store against a BROADCAST of the (micro-batch-sized)
+    * delta — no store shuffle — but the scan itself is O(store) per
+    * ingest, so a continuous pipeline appending thousands of
+    * micro-batches pays quadratic total work. Such deployments may set
+    * `spark.graft.ann.ingestGate=off`: conflicts are then still caught
+    * LOUDLY, once, by the probe-time full-store validation
+    * ([[requireStoreConsistent]]), just at first probe instead of at
+    * ingest. Default stays on — fail-at-ingest is the clearer signal
+    * when ingest frequency allows it. */
   private def requireNoConflicts(spark: SparkSession, storePath: String,
                                  delta: DataFrame,
                                  existing: Option[DataFrame],
-                                 what: String): Unit =
+                                 what: String): Unit = {
+    if (spark.conf.getOption("spark.graft.ann.ingestGate").contains("off"))
+      return
     existing.foreach { old =>
-      val conflict = delta.join(old.withColumnRenamed("fact", "old_fact"),
-          "vec_id")
+      val conflict = old.withColumnRenamed("fact", "old_fact")
+        .join(broadcast(delta), "vec_id")
         .filter(col("fact") =!= col("old_fact"))
         .select(col("vec_id")).limit(1).collect()
       if (conflict.nonEmpty)
@@ -224,6 +237,46 @@ object AnnIndexStore {
           "vector (or was encoded against a different codebook " +
           "generation); rebuild the index or re-key the vector")
     }
+  }
+
+  /** Full-store conflict validation, once per (store, kind, live-dir
+    * set) per JVM (r20 review). The narrowed probe read — a broadcast
+    * semi-join on the probed cell ids — can by construction only see
+    * probed cells, so a LEGACY cross-cell conflicting duplicate (a
+    * pre-gate re-ingested CHANGED vector whose new assignment moved
+    * cell) would escape the in-plan duplicate guard and answer silently
+    * from whichever copy was probed. This is the "validated marker per
+    * store generation" shape ADVICE r19 proposed: one combining
+    * aggregate over ALL assignments, cached on the live-dir set, so
+    * probes stay narrow afterwards. Any later ingest or compaction
+    * changes the set and re-validates at the next probe; gated ingests
+    * keep a validated set conflict-free, and gate-off pipelines are
+    * caught here. */
+  private val validatedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def requireStoreConsistent(spark: SparkSession, storePath: String,
+                                     kind: ManifestStore.Kind,
+                                     factCols: Seq[String],
+                                     what: String): Unit = {
+    val dirs = ManifestStore.liveDirs(spark, storePath, kind)
+    if (dirs.isEmpty) return
+    val key = storePath + "#" + kind.name + "#" + dirs.mkString("|")
+    if (validatedStores.contains(key)) return
+    val fact = struct(factCols.map(col): _*)
+    val conflict = spark.read.parquet(dirs: _*)
+      .groupBy(col("vec_id"))
+      .agg(min(fact).as("lo"), max(fact).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("vec_id")).limit(1).collect()
+    if (conflict.nonEmpty)
+      throw new IllegalStateException(
+        s"AnnIndexStore: conflicting duplicate $what for vec_id " +
+        s"${conflict.head.getLong(0)} — the store holds a re-ingested " +
+        "CHANGED vector (legacy pre-gate or gate-off ingest); rebuild " +
+        "the index")
+    validatedStores.add(key): Unit
+  }
 
   private def readAssignmentsOpt(spark: SparkSession,
                                  storePath: String): Option[DataFrame] = {
@@ -494,9 +547,12 @@ object AnnIndexStore {
     // arbitrary first row, and non-identical duplicates raise one
     // descriptive error instead of silently returning
     // partition-dependent neighbors. New ingests are conflict-gated at
-    // appendBatchPq time, so this in-plan error only guards LEGACY
-    // stores (and only within probed cells — identical vectors always
-    // land in the same cell, so legit duplicates are always co-probed).
+    // appendBatchPq time, and CROSS-cell legacy conflicts (which this
+    // narrowed read cannot see) are caught by the once-per-live-dir-set
+    // requireStoreConsistent validation above; the in-plan error stays
+    // as the within-probed-cells fast path.
+    requireStoreConsistent(spark, storePath, pqAssignKind(storePath),
+      Seq("cell", "nq", "codes"), "PQ assignments")
     val probedCells = probes.select(col("c_id").as("probed_cell")).distinct()
     val cand = readPqAssignments(spark, storePath)
       .join(broadcast(probedCells), col("cell") === col("probed_cell"),
@@ -556,11 +612,13 @@ object AnnIndexStore {
     * of a partition-dependent arbitrary-survivor answer (the r19
     * replacement for the old dropDuplicates here). Since r20 the
     * dedup/conflict pass runs only over the PROBED cells' rows
-    * (broadcast semi-join on the probed cell ids, ADVICE r19 low) —
-    * new conflicts are gated at ingest, and identical vectors always
-    * assign to the same cell, so narrowing loses nothing. */
+    * (broadcast semi-join on the probed cell ids, ADVICE r19 low);
+    * CROSS-cell legacy conflicts the narrowed read cannot see are
+    * caught once per live-dir set by [[requireStoreConsistent]]. */
   def probe(spark: SparkSession, queries: DataFrame, storePath: String,
             nprobe: Int = 2, k: Int = 3): DataFrame = {
+    requireStoreConsistent(spark, storePath, assignKind(storePath),
+      Seq("cell", "nq", "qv"), "assignments")
     val cb = readCodebook(spark, storePath)
     val rankedCells = queries.crossJoin(broadcast(
         cb.select(col("c_id"), col("qc"), col("nc"))))

@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Build-once (per dataset dir) jar-deployed read-only Derby snapshot
-    * of `customer` — shared by `q_source_jdbc_ro` and ReadOnlyDerbySpec.
-    * Same column shape and DOUBLE acctbal as `q_source_jdbc`'s table so
-    * the two rows share one oracle. */
+  /** Build-once (per dataset CONTENT) jar-deployed read-only Derby
+    * snapshot of `customer` — shared by `q_source_jdbc_ro` and
+    * ReadOnlyDerbySpec. Same column shape and DOUBLE acctbal as
+    * `q_source_jdbc`'s table so the two rows share one oracle. Keyed by
+    * `Tables.dataFingerprint`, not the dir path — a regenerated dataset
+    * at the same path must rebuild, not serve the stale snapshot (the
+    * same stale-store hazard ADVICE r18 closed for the probe stores). */
   def customerRoJar(s: SparkSession, d: String): String =
     graft.etl.ReadOnlyDerby.snapshot(
       load(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_mktsegment"), col("c_acctbal")),
-      key = s"customer_$d",
+      key = "customer_" + graft.Tables.dataFingerprint(s, d, Seq("customer")),
       table = "jdbc_customer",
       ddl = """CREATE TABLE jdbc_customer (
               |  c_custkey BIGINT NOT NULL,

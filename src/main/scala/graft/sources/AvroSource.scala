@@ -591,9 +591,11 @@ class AvroScan(paths: Seq[String], required: StructType, splitSize: Long)
     * readers as JSON. */
   private val readerSchemaJson: String = {
     val files = paths.flatMap(AvroSource.listFiles)
-    if (files.isEmpty)
-      throw new IllegalArgumentException("avro source: no input files")
-    AvroSource.pruneWriterSchema(
+    // files can vanish between analysis (inferSchema saw them) and scan
+    // construction; zero splits get planned then, so no reader ever
+    // parses this — an empty scan, not a plan-construction failure
+    if (files.isEmpty) ""
+    else AvroSource.pruneWriterSchema(
       AvroSource.readWriterSchema(files.head), required).toString
   }
 

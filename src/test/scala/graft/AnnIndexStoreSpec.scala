@@ -117,6 +117,54 @@ class AnnIndexStoreSpec extends SparkTestBase {
       s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("LEGACY store with a CROSS-cell conflict: the probe raises even " +
+    "though the narrowed read never co-probes the two copies") {
+    // r20 review: a pre-gate re-ingested CHANGED vector usually moves
+    // cell, so its two assignments land in DIFFERENT cells — the probed
+    // cells' semi-join then sees at most one copy and the in-plan
+    // min/max guard cannot fire. The once-per-live-dir-set full-store
+    // validation must catch it instead.
+    val store = freshStore()
+    buildTwoBatches(store)
+    val ncells = AnnIndexStore.readAssignments(spark, store)
+      .select(col("cell")).distinct().count()
+    assert(ncells > 1, "fixture needs >1 cell for a cross-cell conflict")
+    val asg0 = AnnIndexStore.readAssignments(spark, store)
+    val conflicted = asg0.select(col("vec_id"),
+      ((col("cell") + 1) % ncells).cast(asg0.schema("cell").dataType)
+        .as("cell"),
+      col("qv"), col("nq"))
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, conflicted, s"$store/assign", "batch-legacy-xcell")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { probeAll(store) }
+    assert(messages(e).exists(_.contains("conflicting duplicate assignments")),
+      s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("ingestGate=off skips the per-ingest store scan; the first probe " +
+    "still fails loudly on the conflict") {
+    val store = freshStore()
+    buildTwoBatches(store)
+    try {
+      spark.conf.set("spark.graft.ann.ingestGate", "off")
+      // the conflicting append now LANDS (continuous-pipeline mode:
+      // per-ingest O(store) scans traded for probe-time validation)
+      AnnIndexStore.appendBatch(spark,
+        quantizedVectors().filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), expr("reverse(qv)").as("qv"),
+            (col("nq") + 1).as("nq")), store, "odd-conflict-ungated")
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val e = intercept[Exception] { probeAll(store) }
+      assert(messages(e).exists(_.contains("conflicting duplicate assignments")),
+        s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+    } finally spark.conf.unset("spark.graft.ann.ingestGate")
+  }
+
   // ------------------------------------------------------------------
   // compaction (VERDICT r19 #1): the manifest-generation machinery the
   // inverted index got in r19, applied to assign/ + pq_assign/

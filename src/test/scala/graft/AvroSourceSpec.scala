@@ -324,4 +324,24 @@ class AvroSourceSpec extends SparkTestBase {
     assert(err.getMessage.contains("heterogeneous"),
       s"expected plan-time schema mismatch, got: ${err.getMessage}")
   }
+
+  test("files removed after analysis: the scan is empty, not a plan error") {
+    // inferSchema saw the files at load(); if they vanish before scan
+    // construction (retention sweep, concurrent cleanup), the scan must
+    // plan zero splits and return zero rows — the pre-r20 factory's
+    // behavior — rather than fail building readerSchemaJson
+    val dir = tmp("vanish")
+    AvroSource.write(
+      Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name")), dir)
+    val back = spark.read.format(classOf[AvroSource].getName).load(dir)
+    assert(back.schema.fieldNames.sameElements(Array("n_nationkey", "n_name")))
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".avro")).foreach(f =>
+      assert(f.delete()))
+    assert(back.count() === 0)
+    assert(back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .contains("avro"))
+  }
 }

@@ -174,6 +174,27 @@ class PqIndexSpec extends SparkTestBase {
       s"expected the conflict error, got: ${messages(e2).mkString(" | ")}")
   }
 
+  test("LEGACY PQ store with a CROSS-cell conflict raises at probe " +
+    "(full-store validation; the narrowed read never co-probes the copies)") {
+    val store = freshStore()
+    buildPq(store)
+    val asg0 = AnnIndexStore.readPqAssignments(spark, store)
+    val ncells = asg0.select(col("cell")).distinct().count()
+    assert(ncells > 1, "fixture needs >1 cell for a cross-cell conflict")
+    val conflicted = asg0.select(col("vec_id"),
+      ((col("cell") + 1) % ncells).cast(asg0.schema("cell").dataType)
+        .as("cell"),
+      col("nq"), col("codes"))
+    graft.operators.IncrementalDedup.appendAtomic(
+      spark, conflicted, s"$store/pq_assign", "batch-legacy-xcell")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { probePq(store) }
+    assert(messages(e).exists(_.contains("conflicting duplicate PQ assignments")),
+      s"expected the conflict error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("pq recall >= raw-IVF recall on q_ann_recall's fixture; store measurably smaller") {
     val store = freshStore()
     buildPq(store)
