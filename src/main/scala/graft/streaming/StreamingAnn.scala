@@ -53,13 +53,20 @@ object StreamingAnn {
     ()
   }
 
-  /** Stream (vec_id, qv, nq) vectors into the store at `storePath`. */
+  /** Stream (vec_id, qv, nq) vectors into the store at `storePath`.
+    * The store pins this pipeline's checkpoint identity
+    * ([[StreamIdentity]]): "batch id == store batch id" is only
+    * exactly-once within ONE checkpoint lineage, so a different
+    * checkpoint against the same store fails loudly instead of
+    * silently colliding epoch ids. */
   def indexPipeline(vectors: DataFrame, storePath: String, checkpoint: String,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     vectors.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        StreamIdentity.requireSameStream(batch.sparkSession, storePath,
+          StreamIdentity.checkpointToken(batch.sparkSession, checkpoint))
         ingestBatch(batch, storePath, id)
       }
       .start()

@@ -39,13 +39,19 @@ object StreamingIndex {
     ()
   }
 
-  /** Stream (doc_id, text) into the store at `storePath`. */
+  /** Stream (doc_id, text) into the store at `storePath`. The store
+    * pins this pipeline's checkpoint identity ([[StreamIdentity]]):
+    * "batch id == store batch id" is only exactly-once within ONE
+    * checkpoint lineage, so a different checkpoint against the same
+    * store fails loudly instead of silently colliding epoch ids. */
   def indexPipeline(docs: DataFrame, storePath: String, checkpoint: String,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        StreamIdentity.requireSameStream(batch.sparkSession, storePath,
+          StreamIdentity.checkpointToken(batch.sparkSession, checkpoint))
         ingestBatch(batch, storePath, id)
       }
       .start()

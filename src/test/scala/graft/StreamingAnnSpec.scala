@@ -104,6 +104,43 @@ class StreamingAnnSpec extends SparkTestBase {
     assert(probe(store) == probe(oneShot))
   }
 
+  test("a DIFFERENT checkpoint against the same store fails loudly " +
+    "(stream identity pin), before anything lands") {
+    // r20 review: epoch ids restart at 0 for a fresh checkpoint, so a
+    // lost-checkpoint restart would silently collide with committed
+    // batch-stream-<n> ids (source data re-read, dropped as replays).
+    // The store pins the engine's persisted query id; a different
+    // lineage must fail loudly instead.
+    val root = Files.createTempDirectory("graft-sann-pin").toString
+    val src = s"$root/src"
+    Files.createDirectories(Paths.get(src))
+    quantizedVectors().coalesce(1).write.mode("append").parquet(src)
+    val store = s"$root/store"
+    AnnIndexStore.ensureCodebook(spark, quantizedVectors(), store)
+    val q1 = StreamingAnn.indexPipeline(
+      spark.readStream.schema(schema).parquet(src), store, s"$root/ckptA")
+    q1.awaitTermination()
+    val n = AnnIndexStore.readAssignments(spark, store).count()
+    assert(n == quantizedVectors().count())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = StreamingAnn.indexPipeline(
+        spark.readStream.schema(schema).parquet(src), store, s"$root/ckptB")
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maintained by streaming checkpoint")),
+      s"expected the identity-pin error, got: ${messages(e).mkString(" | ")}")
+    assert(AnnIndexStore.readAssignments(spark, store).count() == n,
+      "nothing may land under the colliding epoch ids")
+    // and the ORIGINAL lineage still works after the rejected intruder
+    val q3 = StreamingAnn.indexPipeline(
+      spark.readStream.schema(schema).parquet(src), store, s"$root/ckptA")
+    q3.awaitTermination()
+    assert(AnnIndexStore.readAssignments(spark, store).count() == n)
+  }
+
   test("first non-empty batch seeds the codebook when none was prepared") {
     val root = Files.createTempDirectory("graft-sann-boot").toString
     val src = s"$root/src"

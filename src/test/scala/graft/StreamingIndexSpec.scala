@@ -80,4 +80,28 @@ class StreamingIndexSpec extends SparkTestBase {
     assert(stats(store) == stats(oneShot))
     assert(probe(store) == probe(oneShot))
   }
+
+  test("a DIFFERENT checkpoint against the same store fails loudly " +
+    "(stream identity pin) — counted stats can never double-ingest") {
+    val root = Files.createTempDirectory("graft-sindex-pin").toString
+    val src = s"$root/src"
+    Files.createDirectories(Paths.get(src))
+    docs.coalesce(1).write.mode("append").parquet(src)
+    val store = s"$root/store"
+    val q1 = StreamingIndex.indexPipeline(
+      spark.readStream.schema(schema).parquet(src), store, s"$root/ckptA")
+    q1.awaitTermination()
+    val before = stats(store)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = StreamingIndex.indexPipeline(
+        spark.readStream.schema(schema).parquet(src), store, s"$root/ckptB")
+      q2.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maintained by streaming checkpoint")),
+      s"expected the identity-pin error, got: ${messages(e).mkString(" | ")}")
+    assert(stats(store) == before, "df/tf must be untouched by the intruder")
+  }
 }
