@@ -98,12 +98,14 @@ object AnnIndexStore {
     * (shares `q_ann_ivf`'s oracle). */
   def compact(spark: SparkSession, storePath: String,
               staleMs: Long = 24L * 3600 * 1000,
-              moveGraceMs: Long = 0L): Unit = {
+              moveGraceMs: Long = 0L,
+              replayHorizonGens: Long = Long.MaxValue): Unit = {
     if (!storeExists(spark, assignPath(storePath)) &&
         !storeExists(spark, pqAssignPath(storePath))) return
     ManifestStore.compact(spark, storePath,
       Seq(assignKind(storePath), pqAssignKind(storePath)),
-      staleMs = staleMs, moveGraceMs = moveGraceMs)
+      staleMs = staleMs, moveGraceMs = moveGraceMs,
+      replayHorizonGens = replayHorizonGens)
   }
 
   private def ldot(a: String, b: String): Column = Similarity.dotQ(a, b)

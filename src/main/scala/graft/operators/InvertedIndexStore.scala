@@ -198,7 +198,8 @@ object InvertedIndexStore {
     * later compaction folds. */
   def compact(spark: SparkSession, storePath: String,
               staleMs: Long = 24L * 3600 * 1000,
-              moveGraceMs: Long = 0L): Unit = {
+              moveGraceMs: Long = 0L,
+              replayHorizonGens: Long = Long.MaxValue): Unit = {
     if (!storeExists(spark, postingsPath(storePath))) return
     ManifestStore.compact(spark, storePath, kinds(storePath),
       eligible = { live =>
@@ -210,7 +211,8 @@ object InvertedIndexStore {
             n.startsWith("compact-") || postNames.contains(n)
           })
       },
-      staleMs = staleMs, moveGraceMs = moveGraceMs)
+      staleMs = staleMs, moveGraceMs = moveGraceMs,
+      replayHorizonGens = replayHorizonGens)
   }
 
   private def dirName(path: String): String =

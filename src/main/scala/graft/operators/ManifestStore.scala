@@ -145,11 +145,23 @@ private[graft] object ManifestStore {
   case object Recorded extends Committed
 
   /** Is `name` (`batch-<id>`) recorded as an absorbed replay id of
-    * `kind` in the live manifest? */
+    * `kind` in the live manifest? Rows are stamped `name@<seq>` since
+    * the r20 retention change; pre-stamp rows match exactly. */
   def recordedReplay(spark: SparkSession, storePath: String,
                      kind: String, name: String): Boolean =
     latestManifest(spark, storePath)
-      .exists(_._2.contains((replayKind(kind), name)))
+      .exists { case (_, m) => replayRecorded(m, kind, name) }
+
+  /** Replay-row lookup tolerant of the r20 retention stamp: a row is
+    * either the bare `batch-<id>` (pre-stamp generations) or
+    * `batch-<id>@<absorbSeq>`. */
+  private def replayRecorded(m: Map[(String, String), Boolean],
+                             kind: String, name: String): Boolean = {
+    val rk = replayKind(kind)
+    m.contains((rk, name)) || m.keysIterator.exists { case (k, n) =>
+      k == rk && n.startsWith(name + "@")
+    }
+  }
 
   /** The committed status of a batch id for one kind, if any. */
   def committedBatch(spark: SparkSession, storePath: String,
@@ -199,7 +211,8 @@ private[graft] object ManifestStore {
               eligible: Map[String, Seq[String]] => Map[String, Seq[String]]
                 = identity,
               staleMs: Long = 24L * 3600 * 1000,
-              moveGraceMs: Long = 0L): Unit = {
+              moveGraceMs: Long = 0L,
+              replayHorizonGens: Long = Long.MaxValue): Unit = {
     if (kinds.forall(k => !storeExists(spark, k.path))) return
     // finish a predecessor's pending reclaims first — or, under a
     // grace window, wait until in-flight readers of the older
@@ -228,8 +241,8 @@ private[graft] object ManifestStore {
     val prevRows = prev.map(_._2).getOrElse(Map.empty)
     val absorbedNow: Set[(String, String)] = toAbsorb.toSeq
       .flatMap { case (kn, dirs) => dirs.map(p => (kn, dirName(p))) }.toSet
-    // carry forward: previous replay ids (forever — they are the
-    // replay horizon), plus live rows of dirs not absorbed this round
+    // carry forward: previous replay ids (subject to the retention
+    // stamp below), plus live rows of dirs not absorbed this round
     // (a kind already at one compacted dir keeps its visibility)
     val carriedReplay = prevRows.keys
       .filter(_._1.startsWith("replay:")).toSeq
@@ -249,13 +262,40 @@ private[graft] object ManifestStore {
       case (kn, n) if n.startsWith("batch-") => (replayKind(kn), n)
     }
     val seq = prev.map(_._1).getOrElse(0L) + 1L
+    // Replay-id retention (r20 review): each replay row is stamped with
+    // the generation seq that recorded it (`batch-<id>@<seq>`), so the
+    // manifest can RETIRE ids older than `replayHorizonGens` generations
+    // instead of growing one row per batch ever ingested. Default keeps
+    // them forever (metadata-only rows — safe, just unbounded); an
+    // operator bounds it once no writer can still retry a batch that old
+    // — the same replay-horizon contract IncrementalDedup.compactStore
+    // documents. A retired id's re-submission would RE-INGEST, so the
+    // horizon must exceed the longest crash-retry window. Rows recorded
+    // by pre-horizon generations (no stamp) are stamped `seq - 1` at
+    // first carry, aging from their first post-upgrade compaction.
+    def stamped(rk: String, n: String, default: Long): (String, (String, Long)) =
+      n.lastIndexOf('@') match {
+        case -1 => (rk + " " + n) -> (n, default)
+        case i  => (rk + " " + n.substring(0, i)) ->
+          (n.substring(0, i), n.substring(i + 1).toLong)
+      }
+    val replayRows: Seq[(String, String)] =
+      (carriedReplay.map { case (rk, n) => stamped(rk, n, seq - 1) } ++
+        (newReplay ++ legacyParked).map { case (rk, n) => stamped(rk, n, seq) })
+        .groupBy(_._1).toSeq
+        .map { case (key, hits) =>
+          val rk = key.substring(0, key.indexOf(' '))
+          val (base, s) = hits.map(_._2).minBy(_._2)
+          (rk, s"$base@$s", s)
+        }
+        .collect { case (rk, n, s) if seq - s <= replayHorizonGens => (rk, n) }
+        .sortBy(identity)
     import spark.implicits._
     val rows: Seq[(String, String, Boolean)] =
       (toAbsorb.keys.toSeq.sorted.map(kn => (kn, snapName, true)) ++
         carriedLive.map { case (kn, n) => (kn, n, true) } ++
         absorbedNow.toSeq.map { case (kn, n) => (kn, n, false) } ++
-        (carriedReplay ++ newReplay ++ legacyParked).distinct
-          .map { case (rk, n) => (rk, n, false) }).distinct
+        replayRows.map { case (rk, n) => (rk, n, false) }).distinct
     appendAtomic(spark, rows.toDF("kind", "dir", "live"),
       manifestPath(storePath), f"gen-$seq%09d-$uuid")
     if (moveGraceMs <= 0) finishMoves(spark, storePath, kinds)
@@ -310,7 +350,7 @@ private[graft] object ManifestStore {
             val (fs, src) = hfs(spark, s"${k.path}/$name")
             if (fs.exists(src)) {
               if (name.startsWith("compact-") ||
-                  m.contains((replayKind(kind), name))) {
+                  replayRecorded(m, kind, name)) {
                 fs.delete(src, true); ()
               } else {
                 val dstDir = new org.apache.hadoop.fs.Path(s"${k.path}/.absorbed")
@@ -328,7 +368,7 @@ private[graft] object ManifestStore {
       // migration), and parked compact snapshots (never replay keys)
       kinds.foreach { k =>
         listDirs(spark, s"${k.path}/.absorbed").foreach { n =>
-          if (n.startsWith("compact-") || m.contains((replayKind(k.name), n))) {
+          if (n.startsWith("compact-") || replayRecorded(m, k.name, n)) {
             val (fs, p) = hfs(spark, s"${k.path}/.absorbed/$n")
             fs.delete(p, true); ()
           }

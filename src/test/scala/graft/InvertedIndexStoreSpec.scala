@@ -136,6 +136,44 @@ class InvertedIndexStoreSpec extends SparkTestBase {
     assert(InvertedIndexStore.readDocLens(spark, store).count() == docs.count())
   }
 
+  test("replay-id retention: default carries ids across generations; a " +
+    "bounded horizon retires them (metadata stays O(live), re-submission " +
+    "re-ingests as documented)") {
+    val thirds = (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i))
+    def stats(store: String) = InvertedIndexStore.termStats(spark, store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def buildTwoGens(store: String, horizon: Long): Unit = {
+      InvertedIndexStore.appendBatch(spark, thirds(0), store, "b0")
+      InvertedIndexStore.appendBatch(spark, thirds(1), store, "b1")
+      InvertedIndexStore.compact(spark, store) // gen1 records b0,b1 @1
+      InvertedIndexStore.appendBatch(spark, thirds(2), store, "b2")
+      InvertedIndexStore.compact(spark, store, // gen2: b2 @2; b0,b1 per horizon
+        replayHorizonGens = horizon)
+    }
+    // DEFAULT: ids carried across generations — replay of b0 (absorbed
+    // and reclaimed two generations ago) is still a no-op
+    val keep = freshStore("horizon-keep")
+    buildTwoGens(keep, Long.MaxValue)
+    val full = stats(keep)
+    assert(InvertedIndexStore.appendBatch(spark, thirds(0), keep, "b0")
+      .count() == 0, "default retention must keep the replay record")
+    assert(stats(keep) == full)
+    // HORIZON 0: gen2 retires the gen1-stamped ids; its own record
+    // (b2) survives, so a recent replay stays a no-op, while retired
+    // b0 RE-INGESTS — the documented hazard of a horizon shorter than
+    // the crash-retry window. Retention is metadata-only until then.
+    val bound = freshStore("horizon-bound")
+    buildTwoGens(bound, 0L)
+    assert(stats(bound) == full, "retention itself changes no data")
+    assert(InvertedIndexStore.appendBatch(spark, thirds(2), bound, "b2")
+      .count() == 0, "an id recorded BY the retiring compaction survives")
+    val reingested = InvertedIndexStore.appendBatch(
+      spark, thirds(0), bound, "b0")
+    assert(reingested.count() > 0,
+      "a retired replay id must be treated as new")
+    assert(stats(bound) != full, "the re-ingest really landed")
+  }
+
   test("legacy r19-era parked replay records migrate: the next compaction " +
     "records their ids in the manifest and reclaims the parked dirs") {
     val store = freshStore("legacy")
