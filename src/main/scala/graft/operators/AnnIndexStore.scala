@@ -181,6 +181,9 @@ object AnnIndexStore {
   def appendBatch(spark: SparkSession, vectors: DataFrame, storePath: String,
                   batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatch needs a stable batch id")
+    require(!batchId.contains('@'),
+      "batch ids may not contain '@' — it delimits the manifest's " +
+      "replay-retention stamp (batch-<id>@<seq>)")
     ManifestStore.committedBatch(spark, storePath,
         assignKind(storePath), batchId) match {
       case Some(ManifestStore.Stored(p)) => return spark.read.parquet(p)
@@ -458,6 +461,9 @@ object AnnIndexStore {
   def appendBatchPq(spark: SparkSession, vectors: DataFrame, storePath: String,
                     batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatchPq needs a stable batch id")
+    require(!batchId.contains('@'),
+      "batch ids may not contain '@' — it delimits the manifest's " +
+      "replay-retention stamp (batch-<id>@<seq>)")
     graft.functions.VectorExprs.register(spark)
     val (m, _) = pqParams(spark, storePath)
     def encodePlan(): DataFrame = {

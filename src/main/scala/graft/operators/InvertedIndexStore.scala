@@ -147,6 +147,9 @@ object InvertedIndexStore {
   def appendBatch(spark: SparkSession, docs: DataFrame, storePath: String,
                   batchId: String): DataFrame = {
     require(batchId.nonEmpty, "appendBatch needs a stable batch id")
+    require(!batchId.contains('@'),
+      "batch ids may not contain '@' — it delimits the manifest's " +
+      "replay-retention stamp (batch-<id>@<seq>)")
     ManifestStore.committedBatch(spark, storePath,
         kindOf(storePath, "postings"), batchId) match {
       case Some(ManifestStore.Stored(p)) => return spark.read.parquet(p)

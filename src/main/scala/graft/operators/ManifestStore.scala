@@ -158,8 +158,12 @@ private[graft] object ManifestStore {
   private def replayRecorded(m: Map[(String, String), Boolean],
                              kind: String, name: String): Boolean = {
     val rk = replayKind(kind)
+    // the suffix must be a NUMERIC stamp: a legacy id that itself
+    // contains '@' ("batch-x@y") must not make a lookup for "batch-x"
+    // answer committed
     m.contains((rk, name)) || m.keysIterator.exists { case (k, n) =>
-      k == rk && n.startsWith(name + "@")
+      k == rk && n.startsWith(name + "@") &&
+        n.substring(name.length + 1).toLongOption.isDefined
     }
   }
 
@@ -273,18 +277,23 @@ private[graft] object ManifestStore {
     // horizon must exceed the longest crash-retry window. Rows recorded
     // by pre-horizon generations (no stamp) are stamped `seq - 1` at
     // first carry, aging from their first post-upgrade compaction.
-    def stamped(rk: String, n: String, default: Long): (String, (String, Long)) =
-      n.lastIndexOf('@') match {
-        case -1 => (rk + " " + n) -> (n, default)
-        case i  => (rk + " " + n.substring(0, i)) ->
-          (n.substring(0, i), n.substring(i + 1).toLong)
+    // suffix parse is defensive: new batch ids reject '@' at append
+    // time, but a PRE-retention store could hold absorbed ids that
+    // contain one — a non-numeric tail is part of the id, not a stamp
+    def stamped(rk: String, n: String, default: Long): (String, (String, Long)) = {
+      val i = n.lastIndexOf('@')
+      val sec = if (i < 0) None else n.substring(i + 1).toLongOption
+      sec match {
+        case None    => (rk + " " + n) -> (n, default)
+        case Some(s) => (rk + " " + n.substring(0, i)) -> (n.substring(0, i), s)
       }
+    }
     val replayRows: Seq[(String, String)] =
       (carriedReplay.map { case (rk, n) => stamped(rk, n, seq - 1) } ++
         (newReplay ++ legacyParked).map { case (rk, n) => stamped(rk, n, seq) })
         .groupBy(_._1).toSeq
         .map { case (key, hits) =>
-          val rk = key.substring(0, key.indexOf(' '))
+          val rk = key.substring(0, key.indexOf(' '))
           val (base, s) = hits.map(_._2).minBy(_._2)
           (rk, s"$base@$s", s)
         }
