@@ -23,8 +23,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"
+  /** Escape hatch: `spark.graft.ckpt.eager=true` restores the pre-r21
+    * eager localCheckpoint (one materialization job per call). */
+  val EagerKey = "spark.graft.ckpt.eager"
 
-  def ckpt(df: DataFrame): DataFrame = {
+  /** Truncate lineage. `eager = false` (r21, guide §1.2/§2.4) opts a
+    * call site into LAZY localCheckpoint: the blocks are persisted
+    * DURING the first consuming action instead of by a dedicated
+    * materialization job, saving one full pass over the frame per
+    * checkpoint (measured 0.26 s per call on the BPE fixpoint corpus
+    * at sf0.1; at 100 TB the saved pass is a full corpus
+    * write+re-read). Correct ONLY where the first consuming job reads
+    * the frame through a SINGLE dependency branch (a loop hop whose
+    * convergence action follows immediately, e.g. hashMinLabels'
+    * lblSum, the BPE round's top-pair collect, Redirects' frontier
+    * count): with several concurrent consumer stages in one job —
+    * q_triangles' 3-way self-join, hashMinLabels' membership read by
+    * both sides of the hop — the racing map stages each recompute the
+    * un-materialized upstream (measured: q_dedup_cluster 2.1 s → 3.2 s
+    * when its membership checkpoint went lazy), so multi-consumer
+    * sites keep the default eager materialization. Semantics are
+    * unchanged either way: persist() registers the RDD at call time
+    * (getPersistentRDDs bookkeeping still sees it) and
+    * LocalRDDCheckpointData fills any partitions a partial first
+    * action skipped before truncating lineage.
+    * `spark.graft.ckpt.eager=true` forces eager everywhere. */
+  def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -33,7 +57,10 @@ object Checkpoints {
         if (!sc.getCheckpointDir.exists(_.contains(dir)))
           sc.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      case None =>
+        val forceEager =
+          spark.conf.getOption(EagerKey).exists(_.equalsIgnoreCase("true"))
+        df.localCheckpoint(eager = eager || forceEager)
     }
   }
 }

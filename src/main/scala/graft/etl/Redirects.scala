@@ -66,9 +66,11 @@ object Redirects {
     var iter = 0
     var remaining = 1L
     while (iter < maxIters && remaining > 0) {
+      // lazy ckpt (r21): the frontier.count() below is the single next
+      // consumer and materializes the hop in its own pass
       val step = Checkpoints.ckpt(frontier
         .join(tgt, col("cur") === col("c_title"), "left")
-        .join(edges, col("cur") === col("e_src"), "left"))
+        .join(edges, col("cur") === col("e_src"), "left"), eager = false)
       hits += step.filter(col("c_bid").isNotNull)
         .select(col("src"), col("c_bid").as("bid"))
       frontier = step // non-hits with an edge walk on; dead-ends drop

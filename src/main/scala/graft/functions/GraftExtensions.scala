@@ -87,6 +87,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorExprs.literalString(exprs(1), "graft_char_filter", "spec"),
         VectorExprs.literalBool(exprs(2), "graft_char_filter", "keepInside"))))
     e.injectFunction((
+      FunctionIdentifier("graft_paren_toks"),
+      new ExpressionInfo(classOf[ParenToks].getName, "graft_paren_toks"),
+      (exprs: Seq[Expression]) => ParenToks(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_pretok_gpt2"),
+      new ExpressionInfo(classOf[PretokGpt2].getName, "graft_pretok_gpt2"),
+      (exprs: Seq[Expression]) => PretokGpt2(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_letter_counts"),
+      new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
+      (exprs: Seq[Expression]) => LetterCounts(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(

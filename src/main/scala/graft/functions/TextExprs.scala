@@ -227,6 +227,87 @@ case class CharFilter(child: Expression, spec: String, keepInside: Boolean)
     copy(child = newChild)
 }
 
+/** Paren-encoded token extraction (`(a)(b)(c)` → [a, b, c]) as one
+  * byte scan per row — the codegen'd replacement for
+  * `regexp_extract_all(enc, '\(([^()]+)\)', 1)` on the BPE corpus
+  * encoding, which ran the regex machinery over the whole encoded
+  * corpus once per training round (8×) plus once per consumer
+  * (apply/fertility/probe). The scan implements the EXACT regex
+  * semantics (leftmost non-overlapping matches of `\(([^()]+)\)`),
+  * including degenerate inputs the encoder never produces — `()`,
+  * nested `((a))`, unterminated `(a` — so equality holds on ANY
+  * string, not just well-formed encodings (TextExprsSpec pins it).
+  * Parens are ASCII bytes, which never occur inside UTF-8 multi-byte
+  * sequences, so the byte scan is code-point safe. */
+case class ParenToks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_paren_toks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.parenToks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.parenToks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** GPT-2-class pretokenization (`\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\r]`)
+  * as one code-point scan per row — the codegen'd replacement for
+  * `regexp_extract_all(text, PretokRe, 0)`, the entry pass of the BPE
+  * family (encoder + fertility denominators). The scan replicates the
+  * regex's alternative order exactly: maximal letter runs (Unicode
+  * category L — `Character.isLetter` is the same getType data Java's
+  * `\p{L}` reads), maximal number runs (Nd|Nl|No), every other
+  * non-{space, tab, LF, CR} code point as a singleton. Supplementary
+  * code points are walked whole, so no mid-surrogate starts can arise
+  * (the only unmatched positions are the 4 single-unit ASCII
+  * whitespace chars). TextExprsSpec pins equality vs the regex on
+  * mixed-alphabet and astral input. */
+case class PretokGpt2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_pretok_gpt2"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.pretokGpt2(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.pretokGpt2($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-letter occurrence counts (a–z) in ONE byte scan — the codegen'd
+  * replacement for q_char_diversity's
+  * `transform(sequence(97, 122), c -> length(text) -
+  * length(replace(text, char(c), '')))`, which allocated 26 full
+  * replaced copies of every document per row. Counting ASCII bytes
+  * 0x61–0x7a equals counting those CODE POINTS (UTF-8 continuation
+  * bytes are >= 0x80), so the result is element-for-element equal to
+  * the replace-diff form on any input (TextExprsSpec pins it). */
+case class LetterCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_letter_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.letterCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.letterCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CdcStarts(child: Expression, gram: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -427,6 +508,85 @@ object TextExprs {
       .fromPrimitiveArray(buf.toArray)
   }
 
+  /** See [[ParenToks]]: exact automaton twin of leftmost
+    * non-overlapping `\(([^()]+)\)` matching. On a failed attempt the
+    * regex engine's next POSSIBLE match start is the next '(' (no other
+    * byte can begin a match), which is where the scan resumes. */
+  def parenToks(enc: UTF8String): ArrayData = {
+    val b = enc.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      if (b(i) == '(') {
+        var j = i + 1
+        while (j < n && b(j) != '(' && b(j) != ')') j += 1
+        if (j < n && b(j) == ')' && j > i + 1) {
+          out.add(UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(b, i + 1, j)))
+          i = j + 1
+        } else if (j < n && b(j) == '(') i = j
+        else i = j + 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  /** `\p{N}` = Nd | Nl | No — the exact category set Java's regex
+    * reads from the same Character data. */
+  private def isNumCat(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  /** See [[PretokGpt2]]. */
+  def pretokGpt2(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        val start = i
+        i += Character.charCount(cp)
+        while (i < n && Character.isLetter(s.codePointAt(i)))
+          i += Character.charCount(s.codePointAt(i))
+        out.add(UTF8String.fromString(s.substring(start, i)))
+      } else if (isNumCat(cp)) {
+        val start = i
+        i += Character.charCount(cp)
+        while (i < n && isNumCat(s.codePointAt(i)))
+          i += Character.charCount(s.codePointAt(i))
+        out.add(UTF8String.fromString(s.substring(start, i)))
+      } else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') {
+        i += 1
+      } else {
+        val w = Character.charCount(cp)
+        out.add(UTF8String.fromString(s.substring(i, i + w)))
+        i += w
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  /** See [[LetterCounts]]. */
+  def letterCounts(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val counts = new Array[Long](26)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+
   private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -476,6 +636,18 @@ object TextExprs {
         exprs.head,
         VectorExprs.literalString(exprs(1), "graft_char_filter", "spec"),
         VectorExprs.literalBool(exprs(2), "graft_char_filter", "keepInside")))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_paren_toks"),
+      new ExpressionInfo(classOf[ParenToks].getName, "graft_paren_toks"),
+      (exprs: Seq[Expression]) => ParenToks(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_pretok_gpt2"),
+      new ExpressionInfo(classOf[PretokGpt2].getName, "graft_pretok_gpt2"),
+      (exprs: Seq[Expression]) => PretokGpt2(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_letter_counts"),
+      new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
+      (exprs: Seq[Expression]) => LetterCounts(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "graft_cdc_starts"),

@@ -117,13 +117,19 @@ object Graph {
       // lineage would re-run the whole edge build a second time.
       var rank = emit.select(col("src").as("id")).distinct()
         .select(col("id"), lit(10000L).as("r"))
+      // lazy hop ckpts (r21): each hop's rank is read by exactly one
+      // downstream join whose map stage depends on this hop's aggregate
+      // shuffle (stages serialize), so the final action materializes
+      // all hops in one fused job — no per-hop materialization pass.
+      // emit above stays EAGER: all three hops' emit-side map stages
+      // are ready at job start and would race to recompute it.
       for (_ <- 1 to 3) {
         rank = graft.Checkpoints.ckpt(
           emit.join(rank.select(col("id").as("src"), col("r")), "src")
             .select(col("dst"), expr("r div outdeg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
             .select(col("dst").as("id"),
-              expr("1500 + (85 * in_c) div 100").as("r")))
+              expr("1500 + (85 * in_c) div 100").as("r")), eager = false)
       }
       rank.select(col("id"), col("r").as("rank_bp")).orderBy("id")
     }),

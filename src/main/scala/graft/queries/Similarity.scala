@@ -238,8 +238,13 @@ object Similarity {
     def persistentIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val membC = Checkpoints.ckpt(memb0)
     val preLabels = persistentIds
+    // lazy ckpt (r21): the prevSum aggregate below is the single next
+    // consumer and materializes the blocks in its own pass; membC above
+    // stays EAGER — the hop reads it through two concurrent join
+    // branches, which under a lazy checkpoint raced to recompute the
+    // shingle/minhash upstream (measured 2.1 s → 3.2 s)
     var labels = Checkpoints.ckpt(
-      docIds.select(col("doc_id"), col("doc_id").as("lbl")))
+      docIds.select(col("doc_id"), col("doc_id").as("lbl")), eager = false)
     // ids of the CURRENT labels hop's checkpoint blocks — superseded
     // hops are unpersisted eagerly below so per-hop copies don't pile
     // up in the block manager for the life of the loop (64 hops of
@@ -278,9 +283,11 @@ object Similarity {
       val docMin = membC.join(bucketMin, "bucket")
         .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
       val pre = persistentIds
+      // lazy ckpt (r21): lblSum(next) below is the materializing action
       val next = Checkpoints.ckpt(labels.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
+        eager = false)
       val nextIds = persistentIds -- pre
       val s2 = lblSum(next)
       converged = s2.compareTo(prevSum) == 0

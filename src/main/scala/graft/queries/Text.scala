@@ -307,17 +307,21 @@ object Text {
     // there are ZERO shuffles before the presentation sort. int64
     // envelope: n²·1e6 < 2⁶³ ⇔ n ≲ 3·10⁶ letters per doc — beyond
     // that, score fixed-size chunks (q_chunk_docs) instead.
-    "q_char_diversity" -> ((s, d) =>
+    "q_char_diversity" -> ((s, d) => {
+      // r21: graft_letter_counts is the one-byte-scan twin of the
+      // 26× replace-diff transform (which allocated 26 full copies of
+      // every document per row) — element-equal (TextExprsSpec)
+      graft.functions.TextExprs.register(s)
       load(s, d, "documents")
-        .withColumn("cnts", expr("transform(sequence(97, 122)," +
-          " c -> CAST(length(text) - length(replace(text, char(c), '')) AS BIGINT))"))
+        .withColumn("cnts", expr("graft_letter_counts(text)"))
         .withColumn("n_letters", expr("aggregate(cnts, 0L, (a, x) -> a + x)"))
         .withColumn("ssq", expr("aggregate(cnts, 0L, (a, x) -> a + x * x)"))
         .select(col("doc_id"), col("n_letters"),
           expr("CAST(size(filter(cnts, x -> x > 0)) AS BIGINT)").as("distinct_letters"),
           expr("(n_letters * n_letters - ssq) * 1000000" +
             " DIV greatest(n_letters * n_letters, 1)").as("simpson_ppm"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // UDTF shape (one row → many with ordinal): split each document into
     // sentence-ish chunks on the word 'table', keep the ordinal.
@@ -382,7 +386,10 @@ object Text {
     "q_bpe_apply" -> ((s, d) =>
       bpeDispatch(s, d, 8)._2
         .select(col("doc_id"),
-          expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
+          // r21: graft_paren_toks is the one-byte-scan twin of
+          // regexp_extract_all(enc, '\(([^()]+)\)', 1) — bit-equal
+          // (TextExprsSpec), registered by bpeDispatch's encoder pass
+          expr("graft_paren_toks(enc)").as("toks"))
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
@@ -438,7 +445,7 @@ object Text {
       }
       graft.operators.BpeVocabStore.applyMerges(s, bpeEncode(s, d), store)
         .select(col("doc_id"),
-          expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
+          expr("graft_paren_toks(enc)").as("toks"))
         .select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           md5(expr("array_join(toks, ' ')").cast("binary")).as("toks_md5"))
@@ -490,7 +497,7 @@ object Text {
     "q_tok_fertility" -> ((s, d) => {
       val bpe = bpeDispatch(s, d, 8)._2
         .select(col("doc_id"), expr(
-          "CAST(size(regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)) AS BIGINT)")
+          "CAST(size(graft_paren_toks(enc)) AS BIGINT)")
           .as("n_bpe"))
       val words = load(s, d, "documents")
         .select(col("doc_id"), pretokens(s).as("ws"))
@@ -571,12 +578,16 @@ object Text {
   : org.apache.spark.sql.Column = pretokMode(s) match {
     case "letters" => expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')")
     case "gpt2" =>
+      graft.functions.TextExprs.register(s)
       val guarded = when(
         col("text").contains(ParenL) || col("text").contains(ParenR),
         raise_error(lit("bpe pretokenizer: input text contains the " +
           "reserved paren-remap codepoints U+E000/U+E001")))
         .otherwise(col("text"))
-      regexp_extract_all(guarded, lit(PretokRe), lit(0))
+      // r21: one-code-point-scan twin of
+      // regexp_extract_all(text, PretokRe, 0) — bit-equal
+      // (TextExprsSpec); the regex stays the oracle-side definition
+      call_function("graft_pretok_gpt2", guarded)
     case other => throw new IllegalArgumentException(
       s"unknown $PretokConf mode '$other' (gpt2 | letters)")
   }
@@ -631,7 +642,9 @@ object Text {
                                     batchK: Int)
   : (Seq[(Int, String, String, String, Long)], DataFrame, Seq[Int]) = {
     require(batchK >= 1)
-    var enc = graft.Checkpoints.ckpt(bpeEncode(s, d))
+    // lazy ckpt (r21): the round's top-pair collect is the single next
+    // consumer and materializes the blocks in its own pass
+    var enc = graft.Checkpoints.ckpt(bpeEncode(s, d), eager = false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     val roundSizes = Seq.newBuilder[Int]
     var step = 1
@@ -641,7 +654,7 @@ object Text {
       // 4× headroom so the disjoint filter usually fills the batch; a
       // short round just leaves the rest to the next snapshot
       val top = enc
-        .select(expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("toks"))
+        .select(expr("graft_paren_toks(enc)").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
@@ -675,7 +688,8 @@ object Text {
         // job each), and the un-checkpointed hop is a single narrow
         // replace chain over the previous checkpoint — recompute is one
         // cheap pass, materialization cost halves
-        enc = if (rounds % 2 == 0) graft.Checkpoints.ckpt(next) else next
+        enc = if (rounds % 2 == 0) graft.Checkpoints.ckpt(next, eager = false)
+        else next
       }
     }
     (merges.result(), enc, roundSizes.result())

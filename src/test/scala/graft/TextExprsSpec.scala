@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, element_at, explode, expr, lit, md5, sum, when}
+import org.apache.spark.sql.functions.{col, element_at, explode, expr, lit, md5, regexp_extract_all, sum, when}
 
 /** graft_rollminhash must be bit-identical to the higher-order form it
   * replaced (`array_min(transform(sequence(1, len-w+1), i ->
@@ -166,5 +166,88 @@ class TextExprsSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT graft_char_filter('x', CAST(rand() AS STRING), true)").collect()
     }
+  }
+
+  test("graft_paren_toks == regexp_extract_all on well-formed AND degenerate input") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val fixtures = Seq(
+      "(a)(b)(c)",                       // canonical encoding
+      "(ab)(c" + "" + "d)",        // remapped-paren sentinel inside a token
+      "(héllo)(wörld)(😀)",              // multi-byte + astral tokens
+      "()",                              // empty group — no match
+      "((a))",                           // nested — inner only
+      "(()a)",                           // '(' inside — no match
+      "(a",                              // unterminated — no match
+      ")a(bc)",                          // leading junk
+      "x(a)y(b)z",                       // interleaved junk
+      "",                                // empty string
+      "(a)(b",                           // trailing unterminated
+      "((((zz))))")                      // deep nesting — inner only
+    val df = fixtures.toDF("e").select(col("e"),
+      expr("graft_paren_toks(e)").as("fast"),
+      expr("regexp_extract_all(e, '\\\\(([^()]+)\\\\)', 1)").as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch on '${r.getString(0)}'")
+    }
+    // real encoded corpus: both forms identical end to end
+    val enc = graft.queries.Text.bpeEncode(spark, sfDir)
+    val diff = enc.select(
+        expr("graft_paren_toks(enc)").as("fast"),
+        expr("regexp_extract_all(enc, '\\\\(([^()]+)\\\\)', 1)").as("ref"))
+      .filter(expr("fast <> ref")).count()
+    assert(diff == 0)
+  }
+
+  test("graft_pretok_gpt2 == regexp_extract_all(PretokRe) incl. unicode classes") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val fixtures = Seq(
+      "Hello, World! 42 times",
+      "héllo WÖRLD ünïcode",
+      "digits123mixed456runs",
+      "\ttabs\nand\rreturns mixed   spaces",
+      "Ⅷ roman ² super ½ vulgar",         // Nl and No number categories
+      "emoji 😀 astral 𝕊𝕦𝕡 letters 𝟘𝟙𝟚", // astral letters + astral Nd digits
+      "non breaking　spaces",     // unicode ws NOT in the ASCII set
+      "a(b)c{d}e",                         // parens/punct singletons
+      "", " \t\n\r", "日本語テキスト中文")
+    val df = fixtures.toDF("t").select(col("t"),
+      expr("graft_pretok_gpt2(t)").as("fast"),
+      regexp_extract_all(col("t"),
+        lit(graft.queries.Text.PretokRe), lit(0)).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch on '${r.getString(0)}'")
+    }
+    // whole corpus: zero divergent rows
+    val diff = Tables.load(spark, sfDir, "documents").select(
+        expr("graft_pretok_gpt2(text)").as("fast"),
+        regexp_extract_all(col("text"),
+          lit(graft.queries.Text.PretokRe), lit(0)).as("ref"))
+      .filter(expr("fast <> ref")).count()
+    assert(diff == 0)
+  }
+
+  test("graft_letter_counts == 26x replace-diff transform") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val refExpr = "transform(sequence(97, 122)," +
+      " c -> CAST(length(t) - length(replace(t, char(c), '')) AS BIGINT))"
+    val fixtures = Seq(
+      "abcxyz", "aaa bbb zzz", "UPPER lower 123", "", "héllo wörld",
+      "emoji 😀 and ascii az", "a" * 100 + "z")
+    val df = fixtures.toDF("t").select(col("t"),
+      expr("graft_letter_counts(t)").as("fast"), expr(refExpr).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"mismatch on '${r.getString(0)}'")
+    }
+    val diff = Tables.load(spark, sfDir, "documents")
+      .withColumnRenamed("text", "t").select(
+        expr("graft_letter_counts(t)").as("fast"), expr(refExpr).as("ref"))
+      .filter(expr("fast <> ref")).count()
+    assert(diff == 0)
   }
 }
