@@ -99,6 +99,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
       (exprs: Seq[Expression]) => LetterCounts(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_paren_pairs"),
+      new ExpressionInfo(classOf[ParenPairs].getName, "graft_paren_pairs"),
+      (exprs: Seq[Expression]) => ParenPairs(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_gram_md5s"),
+      new ExpressionInfo(classOf[GramMd5s].getName, "graft_gram_md5s"),
+      (exprs: Seq[Expression]) => GramMd5s(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_gram_md5s", "n").toInt)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "graft_minhash8"),
+      (exprs: Seq[Expression]) => MinHash8(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_minhash8", "n").toInt)))
+    e.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(

@@ -283,6 +283,92 @@ case class PretokGpt2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent paren-encoded token PAIRS (`(a)(b)(c)` → [(a,b), (b,c)])
+  * in one byte scan — the BPE training round's pair extraction without
+  * the intermediate token array, the two `slice` copies, and the
+  * interpreted `zip_with` lambda (HOFs are CodegenFallback). Element
+  * struct is (l, r), matching the named_struct the zip_with form
+  * produced; the token boundary scan is [[ParenToks]]'s. */
+case class ParenPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("r", StringType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "graft_paren_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.parenPairs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.parenPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5 hex of every positioned space-joined `n`-token gram of a token
+  * array, in one pass with a reused MessageDigest — the codegen'd
+  * replacement for `transform(sequence(1, size(toks) - (n-1)), k ->
+  * array_join(slice(toks, k, n), ' '))` followed by `md5(CAST(gram AS
+  * BINARY))`, which allocated every gram string and a fresh digest per
+  * gram. Returns the empty array when fewer than n tokens (matching
+  * the CASE guard); element i = md5 of the UTF-8 bytes of
+  * `toks[i] || ' ' || … || toks[i+n-1]`. TextExprsSpec pins equality
+  * on the real corpus. */
+case class GramMd5s(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_gram_md5s"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.gramMd5s(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.gramMd5s($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The 8-hash MinHash signature of a token array's space-joined
+  * `n`-grams in ONE row-local pass — the codegen'd replacement for the
+  * explode → 8 md5 columns → groupBy(doc_id) 8-way min aggregate
+  * (minhashSigs), which shuffled every (doc, gram) row to compute a
+  * per-DOC signature. Element i = MIN over grams g of
+  * `md5hex(i || '|' || g)` — the identical hash family, and min over
+  * the gram MULTISET equals min over the distinct set, so the
+  * `array_distinct` the exploded form applied is unnecessary here.
+  * Hex strings compare like their digests (hex digits are
+  * monotonically ordered in ASCII), so mins are taken on raw digests
+  * and only the 8 winners are rendered. NULL when the array has no
+  * n-gram — matching the exploded form, where such docs contribute no
+  * rows and thus no signature. TextExprsSpec pins equality on the
+  * real corpus for n = 1 and n = 4. */
+case class MinHash8(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash8"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.minhash8(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.minhash8($c, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-letter occurrence counts (a–z) in ONE byte scan — the codegen'd
   * replacement for q_char_diversity's
   * `transform(sequence(97, 122), c -> length(text) -
@@ -533,6 +619,64 @@ object TextExprs {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** See [[ParenPairs]]: the [[parenToks]] scan, emitting adjacent
+    * (l, r) structs instead of the token array. */
+  def parenPairs(enc: UTF8String): ArrayData = {
+    val b = enc.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[AnyRef]()
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (b(i) == '(') {
+        var j = i + 1
+        while (j < n && b(j) != '(' && b(j) != ')') j += 1
+        if (j < n && b(j) == ')' && j > i + 1) {
+          val tok = UTF8String.fromBytes(
+            java.util.Arrays.copyOfRange(b, i + 1, j))
+          if (prev != null) {
+            out.add(new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](prev, tok)))
+          }
+          prev = tok
+          i = j + 1
+        } else if (j < n && b(j) == '(') i = j
+        else i = j + 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  /** See [[GramMd5s]]. */
+  def gramMd5s(toks: ArrayData, n: Int): ArrayData = {
+    val count = toks.numElements() - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0))
+    val bytes = new Array[Array[Byte]](toks.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = Md5.get()
+    val out = new Array[AnyRef](count)
+    var k = 0
+    while (k < count) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes(k + j))
+        j += 1
+      }
+      out(k) = hexEncode(md.digest())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** `\p{N}` = Nd | Nl | No — the exact category set Java's regex
     * reads from the same Character data. */
   private def isNumCat(cp: Int): Boolean = {
@@ -571,6 +715,45 @@ object TextExprs {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  /** See [[MinHash8]]. */
+  def minhash8(toks: ArrayData, n: Int): ArrayData = {
+    val count = toks.numElements() - n + 1
+    if (count <= 0) return null
+    val bytes = new Array[Array[Byte]](toks.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = Md5.get()
+    val best = new Array[Array[Byte]](8)
+    val prefix = new Array[Byte](2)
+    prefix(1) = '|'
+    var k = 0
+    while (k < count) {
+      var h = 0
+      while (h < 8) {
+        prefix(0) = ('0' + h).toByte
+        md.reset()
+        md.update(prefix)
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(bytes(k + j))
+          j += 1
+        }
+        val d = md.digest()
+        if (best(h) == null || unsignedLt(d, best(h))) best(h) = d
+        h += 1
+      }
+      k += 1
+    }
+    val out = new Array[AnyRef](8)
+    var h = 0
+    while (h < 8) { out(h) = hexEncode(best(h)); h += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** See [[LetterCounts]]. */
@@ -644,6 +827,20 @@ object TextExprs {
       FunctionIdentifier("graft_pretok_gpt2"),
       new ExpressionInfo(classOf[PretokGpt2].getName, "graft_pretok_gpt2"),
       (exprs: Seq[Expression]) => PretokGpt2(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_paren_pairs"),
+      new ExpressionInfo(classOf[ParenPairs].getName, "graft_paren_pairs"),
+      (exprs: Seq[Expression]) => ParenPairs(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_gram_md5s"),
+      new ExpressionInfo(classOf[GramMd5s].getName, "graft_gram_md5s"),
+      (exprs: Seq[Expression]) => GramMd5s(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_gram_md5s", "n").toInt))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "graft_minhash8"),
+      (exprs: Seq[Expression]) => MinHash8(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_minhash8", "n").toInt))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_letter_counts"),
       new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),

@@ -225,8 +225,7 @@ object IncrementalDedup {
       case None => ()
     }
     import graft.queries.Similarity
-    val memb = Checkpoints.ckpt(
-      Similarity.lshBuckets(Similarity.fourGramShingles(delta)))
+    val memb = Checkpoints.ckpt(Similarity.lshBuckets(delta))
     // materialize BEFORE extending the store (same rationale as above)
     val kept = Checkpoints.ckpt(
       nearDupSurvivorPlan(spark, delta, memb, storePath, idCol))

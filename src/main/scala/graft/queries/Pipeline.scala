@@ -36,12 +36,16 @@ object Pipeline {
     * per doc. */
   private def substringRuns(s: SparkSession, d: String,
                             minShingles: Int): DataFrame = {
+    // r21: graft_gram_md5s hashes every positioned 4-gram in one pass
+    // with a reused digest — bit-equal to the transform+array_join+md5
+    // form (TextExprsSpec); position semantics of posexplode unchanged
+    graft.functions.TextExprs.register(s)
     val grams0 = load(s, d, "documents")
       .withColumn("toks", expr(tokens))
       .select(col("doc_id"),
-        posexplode(expr(Shingles.fourGramSql(distinct = false))))
+        posexplode(expr("graft_gram_md5s(toks, 4)")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(col("col").cast("binary")).as("gh"))
+        col("col").as("gh"))
     val grams = Checkpoints.ckpt(grams0)
     val shared = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -127,12 +131,14 @@ object Pipeline {
     * place. At 100 TB the checkpoint also halves the job: both the
     * eval and train branches read the materialized rows instead of
     * re-running the dominant tokenize/shingle CPU work. */
-  private def corpusGrams(s: SparkSession, d: String): DataFrame =
+  private def corpusGrams(s: SparkSession, d: String): DataFrame = {
+    // r21: one-pass gram hashing (see substringRuns)
+    graft.functions.TextExprs.register(s)
     Checkpoints.ckpt(load(s, d, "documents")
       .withColumn("toks", expr(tokens))
       .select(col("doc_id"),
-        explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
-      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
+        explode(expr("graft_gram_md5s(toks, 4)")).as("gh")))
+  }
 
   val queries: Map[String, Q] = Map(
     // RECIPROCAL RANK FUSION (hybrid retrieval, Cormack et al.'s RRF):
@@ -1043,12 +1049,14 @@ object Pipeline {
     // equals the flat join. The cleaned text still never hits the
     // driver.
     "q_substring_strip" -> ((s, d) => {
+      // r21: one-pass gram hashing (see substringRuns)
+      graft.functions.TextExprs.register(s)
       val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
       val grams0 = docs
         .select(col("doc_id"),
-          posexplode(expr(Shingles.fourGramSql(distinct = false))))
+          posexplode(expr("graft_gram_md5s(toks, 4)")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          md5(col("col").cast("binary")).as("gh"))
+          col("col").as("gh"))
       val grams = Checkpoints.ckpt(grams0)
       val shared = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1303,10 +1311,11 @@ object Pipeline {
       // q_decontaminate; eval docs AND any train doc sharing a gram drop
       val isEval = substring(md5(concat(col("doc_id").cast("string"),
         lit("|eval")).cast("binary")), 1, 1) < "1"
+      // r21: one-pass gram hashing (see substringRuns)
+      graft.functions.TextExprs.register(s)
       val grams = Checkpoints.ckpt(toksDf
         .select(col("doc_id"),
-          explode(expr(Shingles.fourGramSql(distinct = false))).as("gram"))
-        .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh")))
+          explode(expr("graft_gram_md5s(toks, 4)")).as("gh")))
       val evalGrams = grams.filter(isEval).select(col("gh")).distinct()
       val contaminated = grams.filter(!isEval).join(evalGrams, "gh")
         .select(col("doc_id")).distinct()
@@ -1315,8 +1324,7 @@ object Pipeline {
       // 3. near-dup canon among survivors: same LSH + hash-min CC as
       // q_dedup_cluster, restricted to the filtered doc set
       val labels = Similarity.hashMinLabels(
-        Similarity.lshBuckets(Similarity.fourGramShingles(
-          docs.join(survivors, "doc_id"))), survivors)
+        Similarity.lshBuckets(docs.join(survivors, "doc_id")), survivors)
       val canon = labels.filter(col("doc_id") === col("lbl"))
         .select(col("doc_id"))
       // 4. pack the canon set per-lang: same shard rule as q_pack_greedy

@@ -81,7 +81,8 @@ object Similarity {
     * estimate query reports). */
   private def minhashEstFrame(s: SparkSession, d: String): DataFrame = {
     val dw = docWords(s, d).filter(col("doc_id") < 100)
-    val sigs = minhashSigs(dw)
+    val sigs = minhashSigsLocal(
+      load(s, d, "documents").filter(col("doc_id") < 100), 1)
     val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
@@ -108,20 +109,28 @@ object Similarity {
       .select(col("doc_id"),
         explode(expr("array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("word"))
 
-  /** Per-document 8-hash MinHash signature. The md5(i|word) family is a
-    * pure function of (i, word), so it's computed INLINE on the exploded
-    * (doc_id, word) rows as 8 codegen'd columns — no vocabulary
-    * materialization, no broadcast (r1 materialized the distinct
-    * vocabulary and broadcast it back, which a 100 TB corpus vocabulary
-    * would OOM; VERDICT r1 "What's wrong" #2). One corpus-linear groupBy
-    * with 8 map-side-combining mins; the only shuffle is |docs| rows. */
-  private def minhashSigs(dw: DataFrame): DataFrame = {
-    val hashCols = (0 until 8).map(i =>
-      md5(concat(lit(i.toString), lit("|"), col("word")).cast("binary")).as(s"h$i"))
-    dw.select((col("doc_id") +: hashCols): _*)
-      .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("m0"),
-        (1 until 8).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  /** Per-document 8-hash MinHash signature over space-joined `gramN`-
+    * grams of the whitespace tokens. The md5(i|gram) family is a pure
+    * function of (i, gram), so the whole signature is ROW-LOCAL — r21
+    * (guide §2.4): the r1–r20 form exploded every (doc, gram) row into
+    * 8 codegen'd md5 columns and shuffled them through a groupBy(doc_id)
+    * 8-way min aggregate; `graft_minhash8` (functions.TextExprs) folds
+    * the identical hash family per document in one pass, so the
+    * corpus-wide shuffle for signature construction DISAPPEARS
+    * (measured: lshBuckets 1.9 s → row-local at sf0.1; at 100 TB the
+    * saved exchange is |grams| rows). Min over the gram multiset equals
+    * min over the distinct set, so skipping the exploded form's
+    * array_distinct changes nothing; docs with no gram yield NULL and
+    * are dropped, matching the exploded form's absence of rows
+    * (TextExprsSpec pins signature equality for n = 1 and n = 4). */
+  private def minhashSigsLocal(docs: DataFrame, gramN: Int): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        expr(s"graft_minhash8(filter(split(text, ' '), x -> x <> ''), $gramN)")
+          .as("ms"))
+      .filter(col("ms").isNotNull)
+      .select((col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("ms"), i + 1).as(s"m$i"))): _*)
   }
 
   /** 4 bands of 2 minhashes → per-band order-insensitive md5 signature. */
@@ -194,10 +203,13 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** (doc_id, bucket) LSH band-bucket membership from (doc_id, word)
-    * shingle rows — inline md5 hash family, no vocabulary broadcast. */
-  def lshBuckets(shingles: DataFrame): DataFrame =
-    minhashSigs(shingles)
+  /** (doc_id, bucket) LSH band-bucket membership over 4-gram shingles,
+    * computed row-locally from the docs frame (r21 — see
+    * [[minhashSigsLocal]]): signature construction shuffles NOTHING;
+    * the band explode and bucket concat stay row-local too, so the
+    * first exchange in the dedup family is the CC loop's own. */
+  def lshBuckets(docs: DataFrame): DataFrame =
+    minhashSigsLocal(docs, 4)
       .select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
       .select(col("doc_id"),
         concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
@@ -220,7 +232,7 @@ object Similarity {
   private def dedupLabels(s: SparkSession, d: String): DataFrame =
     graft.ArtifactCache.getOrCompute(s, s"dedup_labels|$d") {
       val docs = load(s, d, "documents")
-      val labels = hashMinLabels(lshBuckets(fourGramShingles(docs)), docs)
+      val labels = hashMinLabels(lshBuckets(docs), docs)
       if (graft.ArtifactCache.enabled(s)) graft.Checkpoints.ckpt(labels)
       else labels
     }
@@ -788,7 +800,7 @@ object Similarity {
     // minhashSigs) — no vocabulary table, no broadcast, no join; the
     // plan is explode → codegen'd md5 columns → one hash aggregate.
     "q_minhash_dedup" -> ((s, d) => {
-      val sigs = minhashSigs(docWords(s, d))
+      val sigs = minhashSigsLocal(load(s, d, "documents"), 1)
       sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
         .groupBy(col("band"), col("sig"))
@@ -802,7 +814,8 @@ object Similarity {
     // band signatures (bounded block so the oracle output stays small);
     // n_bands = how many of the 4 bands collide.
     "q_minhash_pairs" -> ((s, d) => {
-      val sigs = minhashSigs(docWords(s, d).filter(col("doc_id") < 100))
+      val sigs = minhashSigsLocal(
+        load(s, d, "documents").filter(col("doc_id") < 100), 1)
       val bands = sigs.select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))

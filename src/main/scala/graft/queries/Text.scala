@@ -653,12 +653,13 @@ object Text {
     while (step <= nMerges && !exhausted) {
       // 4× headroom so the disjoint filter usually fills the batch; a
       // short round just leaves the rest to the next snapshot
+      // r21: graft_paren_pairs emits the adjacent (l, r) structs in the
+      // same byte scan that extracted tokens — no intermediate array,
+      // no interpreted zip_with/slice (equality pinned in TextExprsSpec;
+      // docs with < 2 tokens yield an empty array, matching the old
+      // size >= 2 filter)
       val top = enc
-        .select(expr("graft_paren_toks(enc)").as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-            " (a, b) -> named_struct('l', a, 'r', b))")).as("p"))
+        .select(explode(expr("graft_paren_pairs(enc)")).as("p"))
         .groupBy(col("p.l").as("l_tok"), col("p.r").as("r_tok"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_tok"), col("r_tok"))

@@ -360,7 +360,7 @@ class PlanSpec extends SparkTestBase {
     // plan the second batch through the operator's OWN plan builder so
     // this assertion cannot drift from the shipped join shape
     val delta = docs.filter("doc_id >= 50")
-    val memb = Similarity.lshBuckets(Similarity.fourGramShingles(delta))
+    val memb = Similarity.lshBuckets(delta)
     val p = plan(graft.operators.IncrementalDedup
       .nearDupSurvivorPlan(spark, delta, memb, store, "doc_id"))
     assert(!p.contains("CartesianProduct"), p)

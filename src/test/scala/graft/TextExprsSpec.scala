@@ -230,6 +230,81 @@ class TextExprsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("graft_paren_pairs == zip_with-over-slices pair extraction") {
+    graft.functions.TextExprs.register(spark)
+    val enc = graft.queries.Text.bpeEncode(spark, sfDir)
+    val zipForm = "CASE WHEN size(toks) >= 2 THEN" +
+      " zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+      " (a, b) -> named_struct('l', a, 'r', b)) ELSE" +
+      " CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"
+    val diff = enc
+      .select(col("enc"), expr("graft_paren_toks(enc)").as("toks"))
+      .select(expr("graft_paren_pairs(enc)").as("fast"), expr(zipForm).as("ref"))
+      .filter(expr("fast <> ref")).count()
+    assert(diff == 0)
+    // degenerate: empty / one-token / junk inputs
+    import spark.implicits._
+    val edge = Seq("", "(a)", "x", "(a)(b)", "(a)junk(b)(c)").toDF("enc")
+      .select(col("enc"), expr("graft_paren_toks(enc)").as("toks"))
+      .select(col("enc"), expr("graft_paren_pairs(enc)").as("fast"),
+        expr(zipForm).as("ref"))
+    edge.collect().foreach { r =>
+      assert(r.getSeq[AnyRef](1) == r.getSeq[AnyRef](2),
+        s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  test("graft_gram_md5s == transform+array_join+md5 on the real corpus") {
+    graft.functions.TextExprs.register(spark)
+    val refExpr = "CASE WHEN size(toks) >= 4 THEN " +
+      "transform(transform(sequence(1, size(toks) - 3)," +
+      " k -> array_join(slice(toks, k, 4), ' ')), g -> md5(CAST(g AS BINARY)))" +
+      " ELSE CAST(array() AS ARRAY<STRING>) END"
+    val diff = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(expr("graft_gram_md5s(toks, 4)").as("fast"), expr(refExpr).as("ref"))
+      .filter(expr("fast <> ref")).count()
+    assert(diff == 0)
+    // sub-gram-length docs yield the empty array, like the CASE guard
+    import spark.implicits._
+    val short = Seq("a b c", "", "one").toDF("text")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(expr("size(graft_gram_md5s(toks, 4))")).collect()
+    assert(short.forall(_.getInt(0) == 0))
+  }
+
+  test("graft_minhash8 == exploded 8-column min-aggregate signature, n=1 and n=4") {
+    graft.functions.TextExprs.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    def refSigs(gramElems: String): Map[Long, Seq[String]] = {
+      val dw = docs
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(col("doc_id"), explode(expr(gramElems)).as("word"))
+      val hashCols = (0 until 8).map(i =>
+        md5(org.apache.spark.sql.functions.concat(
+          lit(i.toString), lit("|"), col("word")).cast("binary")).as(s"h$i"))
+      dw.select((col("doc_id") +: hashCols): _*)
+        .groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.min(col("h0")).as("m0"),
+          (1 until 8).map(i =>
+            org.apache.spark.sql.functions.min(col(s"h$i")).as(s"m$i")): _*)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 8).map(r.getString)).toMap
+    }
+    def fastSigs(n: Int): Map[Long, Seq[String]] = docs
+      .select(col("doc_id"),
+        expr(s"graft_minhash8(filter(split(text, ' '), x -> x <> ''), $n)").as("ms"))
+      .filter(col("ms").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // n = 1: the exploded form used array_distinct'd unigrams — min is
+    // distinct-insensitive, so the signatures must agree
+    assert(fastSigs(1) ==
+      refSigs("array_distinct(filter(split(text, ' '), x -> x <> ''))"))
+    // n = 4: the 4-gram shingle family of the dedup clusters
+    assert(fastSigs(4) ==
+      refSigs(graft.queries.Shingles.fourGramSql(distinct = true)))
+  }
+
   test("graft_letter_counts == 26x replace-diff transform") {
     graft.functions.TextExprs.register(spark)
     import spark.implicits._
