@@ -108,6 +108,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => GramMd5s(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_gram_md5s", "n").toInt)))
     e.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[Grams].getName, "graft_grams"),
+      (exprs: Seq[Expression]) => Grams(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_grams", "n").toInt)))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_counts"),
+      new ExpressionInfo(classOf[WordCounts].getName, "graft_word_counts"),
+      (exprs: Seq[Expression]) => WordCounts(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHash8].getName, "graft_minhash8"),
       (exprs: Seq[Expression]) => MinHash8(exprs.head,

@@ -369,6 +369,58 @@ case class MinHash8(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Space-joined n-grams of a token array in one pass — the codegen'd
+  * replacement for the interpreted
+  * `transform(sequence(1, size(toks) - (n-1)), k ->
+  * array_join(slice(toks, k, n), ' '))` chain (and for the bigram
+  * special case `concat(element_at(toks, k), ' ',
+  * element_at(toks, k+1))`), which allocated a lambda invocation and a
+  * slice copy per position. Returns the empty array when fewer than n
+  * tokens, matching the CASE guards at every call site. TextExprsSpec
+  * pins equality on the real corpus for n = 2, 3, 4. */
+case class Grams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.grams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word-count map (token → occurrences) in ONE hash pass — the
+  * codegen'd replacement for q_map_hof's
+  * `map_from_arrays(array_distinct(toks), transform(array_distinct(
+  * toks), w -> size(filter(toks, x -> x = w))))`, which rescanned the
+  * whole token array once per DISTINCT token (O(n·distinct) per row,
+  * all interpreted HOFs). Keys come out in first-occurrence order —
+  * exactly array_distinct's order — with INT counts, so the map is
+  * entry-for-entry the one the HOF form built; the map HOF consumers
+  * (map_filter / transform_values / map_entries) are untouched.
+  * TextExprsSpec pins equality of the derived outputs on the corpus. */
+case class WordCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+  override def prettyName: String = "graft_word_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.wordCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.wordCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-letter occurrence counts (a–z) in ONE byte scan — the codegen'd
   * replacement for q_char_diversity's
   * `transform(sequence(97, 122), c -> length(text) -
@@ -756,6 +808,67 @@ object TextExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[Grams]]. */
+  def grams(toks: ArrayData, n: Int): ArrayData = {
+    val count = toks.numElements() - n + 1
+    if (count <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0))
+    val bytes = new Array[Array[Byte]](toks.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[AnyRef](count)
+    var k = 0
+    while (k < count) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += bytes(k + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val b = bytes(k + j)
+        System.arraycopy(b, 0, buf, pos, b.length)
+        pos += b.length
+        j += 1
+      }
+      out(k) = UTF8String.fromBytes(buf)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[WordCounts]]. LinkedHashMap keeps first-occurrence order =
+    * array_distinct's key order. */
+  def wordCounts(toks: ArrayData)
+  : org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val n = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = toks.getUTF8String(i)
+      counts.put(w, counts.getOrDefault(w, 0) + 1)
+      i += 1
+    }
+    val keys = new Array[AnyRef](counts.size)
+    val vals = new Array[Any](counts.size)
+    var k = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(k) = e.getKey
+      vals(k) = e.getValue
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+  }
+
   /** See [[LetterCounts]]. */
   def letterCounts(text: UTF8String): ArrayData = {
     val b = text.getBytes
@@ -836,6 +949,15 @@ object TextExprs {
       new ExpressionInfo(classOf[GramMd5s].getName, "graft_gram_md5s"),
       (exprs: Seq[Expression]) => GramMd5s(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_gram_md5s", "n").toInt))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[Grams].getName, "graft_grams"),
+      (exprs: Seq[Expression]) => Grams(exprs.head,
+        VectorExprs.literalLong(exprs(1), "graft_grams", "n").toInt))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_word_counts"),
+      new ExpressionInfo(classOf[WordCounts].getName, "graft_word_counts"),
+      (exprs: Seq[Expression]) => WordCounts(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash8"),
       new ExpressionInfo(classOf[MinHash8].getName, "graft_minhash8"),

@@ -238,6 +238,7 @@ object Aggregates {
     // under-estimates, over_bp is the audited collision error).
     "q_agg_cms" -> ((s, d) => {
       graft.functions.CountMinSketch.register(s)
+      graft.functions.TextExprs.register(s) // graft_grams in fourGramSql (r21)
       val grams = load(s, d, "documents")
         .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
         .select(explode(expr(Shingles.fourGramSql(distinct = false))).as("word"))

@@ -502,12 +502,10 @@ object Pipeline {
     // state; a Zipf-heavy hot gram skews only the df aggregate, which
     // partial aggregation absorbs.
     "q_dup_ngrams" -> ((s, d) => {
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       val occ = load(s, d, "documents")
         .withColumn("toks", expr(tokens))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
-            " k -> array_join(slice(toks, k, 3), ' '))" +
-            " ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+        .select(col("doc_id"), explode(expr("graft_grams(toks, 3)")).as("g"))
       val dup = occ.select(col("doc_id"), col("g")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
@@ -524,16 +522,15 @@ object Pipeline {
 
     // Corpus-wide top-20 word bigrams WITH multiplicity (collocation
     // counts) — explode + one hash agg + TakeOrderedAndProject.
-    "q_ngram_top" -> ((s, d) =>
+    "q_ngram_top" -> ((s, d) => {
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       load(s, d, "documents")
         .withColumn("toks", expr(tokens))
-        .select(explode(expr(
-          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
-            " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1)))" +
-            " ELSE array() END")).as("bg"))
+        .select(explode(expr("graft_grams(toks, 2)")).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bg").asc)
-        .limit(20)),
+        .limit(20)
+    }),
 
     // Collocation mining by pointwise lift (the exponential of PMI, so
     // log-free): lift = p(xy) / (p(x)·p(y)) = c_xy·tU² / (tB·c_x·c_y),
@@ -550,13 +547,11 @@ object Pipeline {
     // tables are both map-side-combining aggs; the bigram side joins
     // the unigram table twice on word keys; scalars broadcast.
     "q_pmi_colloc" -> ((s, d) => {
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
       val uni = docs.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val bg = docs.select(explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
-          " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1)))" +
-          " ELSE array() END")).as("bg"))
+      val bg = docs.select(explode(expr("graft_grams(toks, 2)")).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
         .select(expr("element_at(split(bg, ' '), 1)").as("x"),
@@ -980,13 +975,11 @@ object Pipeline {
     // assembly (element_at over the token array, no self-join), then
     // two map-side-combining hash aggs — (lang, gram) then lang — the
     // canonical two-level vocabulary rollup that scales to any corpus.
-    "q_lexical_stats" -> ((s, d) =>
+    "q_lexical_stats" -> ((s, d) => {
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       load(s, d, "documents")
         .select(col("lang"), expr(tokens).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("gram"))
+        .select(col("lang"), explode(expr("graft_grams(toks, 2)")).as("gram"))
         .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("lang"))
         .agg(sum(col("cnt")).as("grams"), count(lit(1)).as("vocab"),
@@ -994,7 +987,8 @@ object Pipeline {
         .select(col("lang"), col("grams"), col("vocab"), col("hapax"),
           expr("vocab * 1000000 DIV grams").as("ttr_ppm"),
           expr("hapax * 1000000 DIV vocab").as("hapax_ppm"))
-        .orderBy("lang")),
+        .orderBy("lang")
+    }),
 
     // Cross-document repeated-substring detection — the sub-document
     // granularity the whole-body dedup family (exact md5, chunk, MinHash)

@@ -194,19 +194,24 @@ object Scalars {
     // the token array, filter/transform it, export as sorted entry
     // strings (DuckDB's map type differs — equivalence is on the
     // exported entries, like q_map_funcs).
-    "q_map_hof" -> ((s, d) =>
+    "q_map_hof" -> ((s, d) => {
+      // r21: graft_word_counts builds the same (first-occurrence-
+      // ordered, INT-valued) word-count map in one hash pass instead of
+      // rescanning the token array per distinct token (TextExprsSpec
+      // pins output equality); the map HOF consumers below are the
+      // query's declared surface and stay untouched
+      graft.functions.TextExprs.register(s)
       load(s, d, "documents")
         .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-        .withColumn("wc", expr(
-          "map_from_arrays(array_distinct(toks)," +
-            " transform(array_distinct(toks), w -> size(filter(toks, x -> x = w))))"))
+        .withColumn("wc", expr("graft_word_counts(toks)"))
         .select(col("doc_id"),
           expr("CAST(size(map_filter(wc, (k, v) -> v >= 3)) AS BIGINT)").as("n_frequent"),
           expr("array_join(array_sort(transform(map_entries(map_filter(wc, (k, v) -> v >= 5))," +
             " e -> concat(e.key, ':', CAST(e.value AS STRING)))), ',')").as("top_entries"),
           expr("CAST(aggregate(map_values(transform_values(wc, (k, v) -> v * v))," +
             " 0L, (a, x) -> a + x) AS BIGINT)").as("sum_sq_counts"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Spark-side exercises map construction/lookup; the oracle checks the
     // extracted values (DuckDB's MAP literal syntax differs, so the

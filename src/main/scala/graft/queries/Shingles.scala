@@ -5,10 +5,12 @@ package graft.queries
   * queries can never drift from each other on gram size or boundary
   * handling. Operates on a `toks` ARRAY<STRING> column. */
 object Shingles {
+  /** r21: the gram build is the codegen'd one-pass `graft_grams`
+    * (functions/TextExprs.scala) — bit-equal to the former
+    * transform+array_join(slice) chain incl. the empty-below-4-tokens
+    * guard (TextExprsSpec). Callers must have TextExprs registered. */
   def fourGramSql(distinct: Boolean): String = {
-    val core = "transform(sequence(1, size(toks) - 3)," +
-      " k -> array_join(slice(toks, k, 4), ' '))"
-    val body = if (distinct) s"array_distinct($core)" else core
-    s"CASE WHEN size(toks) >= 4 THEN $body ELSE CAST(array() AS ARRAY<STRING>) END"
+    val core = "graft_grams(toks, 4)"
+    if (distinct) s"array_distinct($core)" else core
   }
 }

@@ -141,10 +141,13 @@ object Similarity {
 
   /** distinct 4-token shingles per document — the near-dup unit
     * (unigram sets merge the whole corpus into one component). */
-  def fourGramShingles(docs: DataFrame): DataFrame = docs
-    .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-    .select(col("doc_id"),
-      explode(expr(Shingles.fourGramSql(distinct = true))).as("word"))
+  def fourGramShingles(docs: DataFrame): DataFrame = {
+    graft.functions.TextExprs.register(docs.sparkSession)
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"),
+        explode(expr(Shingles.fourGramSql(distinct = true))).as("word"))
+  }
 
   /** Verified SimHash band candidates `(a_id, b_id, hamming)` — ONE
     * definition shared by q_simhash_pairs and q_simhash_cluster so the
@@ -1466,7 +1469,12 @@ object Similarity {
     // prunes perfectly). That measurement is the 100 TB story: candidate
     // volume scales with rare-shingle collisions, never |docs|².
     "q_simjoin" -> ((s, d) => {
-      val dw = fourGramShingles(load(s, d, "documents")) // distinct (doc_id, word=shingle)
+      // r21 (guide §5): the positioned-shingle frame feeds the df
+      // count, the prefix rank join, AND the exact-Jaccard verify —
+      // eager-checkpoint the explode once instead of re-tokenizing and
+      // re-sharding the corpus per consumer
+      val dw = graft.Checkpoints.ckpt(
+        fourGramShingles(load(s, d, "documents"))) // distinct (doc_id, word=shingle)
       val dfc = dw.groupBy(col("word")).agg(count(lit(1)).as("dfc"))
       val wDoc = Window.partitionBy(col("doc_id"))
         .orderBy(col("dfc").asc, col("word").asc)
@@ -1495,13 +1503,12 @@ object Similarity {
       // the size >= 2 guard matters: sequence(1, 0) runs DESCENDING in
       // Spark and element_at(toks, 0) throws (DuckDB's RANGE is just
       // empty) — a <2-token doc must yield no bigrams, not an error
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       val bigrams = load(s, d, "documents")
         .filter(col("doc_id") < 40)
         .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(toks) >= 2 THEN array_distinct(transform(sequence(1, size(toks) - 1)," +
-            " k -> concat(element_at(toks, k), ' ', element_at(toks, k + 1))))" +
-            " ELSE array() END")).as("bg"))
+        .select(col("doc_id"),
+          explode(expr("array_distinct(graft_grams(toks, 2))")).as("bg"))
       val sizes = bigrams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = bigrams.select(col("doc_id").as("a_id"), col("bg"))
         .join(bigrams.select(col("doc_id").as("b_id"), col("bg")), "bg")

@@ -165,7 +165,12 @@ object Text {
     // scale, broadcast back), row_number only within (lang, score) —
     // never a per-lang global sort through one task.
     "q_ppl_bucket" -> ((s, d) => {
-      val sc = qualityScored(s, d).select(col("doc_id"), col("lang"), col("score_bp"))
+      // r21 (guide §5): the scored frame feeds three consumers (the
+      // values aggregate, the per-lang totals, and the final join) —
+      // eager-checkpoint it once instead of re-running the
+      // tokenize+regexp scoring scan per consumer
+      val sc = graft.Checkpoints.ckpt(
+        qualityScored(s, d).select(col("doc_id"), col("lang"), col("score_bp")))
       val vals = sc.groupBy(col("lang"), col("score_bp")).agg(count(lit(1)).as("c"))
       val offs = vals.as("a")
         .join(vals.as("b"), col("a.lang") === col("b.lang") &&
@@ -342,16 +347,15 @@ object Text {
     // map-side-combining aggregate on the pair, and the top-20 is a
     // TakeOrdered — at 100 TB the only data crossing the wire is the
     // partial pair counts.
-    "q_bpe_step" -> ((s, d) =>
+    "q_bpe_step" -> ((s, d) => {
+      graft.functions.TextExprs.register(s) // graft_grams (r21)
       load(s, d, "documents")
         .withColumn("toks", expr(tokens))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-            " (a, b) -> concat(a, ' ', b))")).as("pair"))
+        .select(explode(expr("graft_grams(toks, 2)")).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(20)),
+        .limit(20)
+    }),
 
     // Iterated BPE vocabulary LEARNING — the driver-loop fixpoint over
     // the q_bpe_step kernel (same pattern as the transitive redirect

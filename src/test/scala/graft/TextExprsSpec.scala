@@ -300,9 +300,56 @@ class TextExprsSpec extends SparkTestBase {
     // distinct-insensitive, so the signatures must agree
     assert(fastSigs(1) ==
       refSigs("array_distinct(filter(split(text, ' '), x -> x <> ''))"))
-    // n = 4: the 4-gram shingle family of the dedup clusters
-    assert(fastSigs(4) ==
-      refSigs(graft.queries.Shingles.fourGramSql(distinct = true)))
+    // n = 4: the 4-gram shingle family of the dedup clusters (ref is
+    // the pre-r21 transform+slice SQL, NOT Shingles.fourGramSql, which
+    // now routes through graft_grams itself)
+    assert(fastSigs(4) == refSigs(
+      "CASE WHEN size(toks) >= 4 THEN array_distinct(" +
+        "transform(sequence(1, size(toks) - 3), k -> array_join(slice(toks, k, 4), ' ')))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"))
+  }
+
+  test("graft_grams == transform+array_join(slice) for n = 2, 3, 4") {
+    graft.functions.TextExprs.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+    for (n <- Seq(2, 3, 4)) {
+      val ref = s"CASE WHEN size(toks) >= $n THEN " +
+        s"transform(sequence(1, size(toks) - ${n - 1}), k -> array_join(slice(toks, k, $n), ' '))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+      val diff = docs.select(
+          expr(s"graft_grams(toks, $n)").as("fast"), expr(ref).as("ref"))
+        .filter(expr("fast <> ref")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    // short/empty inputs yield the empty array
+    import spark.implicits._
+    val short = Seq("a", "", "x y").toDF("text")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(expr("size(graft_grams(toks, 3))")).collect()
+    assert(short.forall(_.getInt(0) == 0))
+  }
+
+  test("graft_word_counts == map_from_arrays(array_distinct, per-word rescan) form") {
+    graft.functions.TextExprs.register(spark)
+    val hofWc = "map_from_arrays(array_distinct(toks)," +
+      " transform(array_distinct(toks), w -> size(filter(toks, x -> x = w))))"
+    def derived(wc: String) = Seq(
+      s"CAST(size(map_filter($wc, (k, v) -> v >= 3)) AS BIGINT)",
+      s"array_join(array_sort(transform(map_entries(map_filter($wc, (k, v) -> v >= 5))," +
+        s" e -> concat(e.key, ':', CAST(e.value AS STRING)))), ',')",
+      s"CAST(aggregate(map_values(transform_values($wc, (k, v) -> v * v))," +
+        s" 0L, (a, x) -> a + x) AS BIGINT)",
+      // key ORDER must match array_distinct's first-occurrence order too
+      s"array_join(map_keys($wc), '')")
+    val base = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+    val fast = base.select(col("doc_id") +: derived("graft_word_counts(toks)")
+      .map(expr): _*).orderBy("doc_id").collect().map(_.toSeq)
+    val ref = base.select(col("doc_id") +: derived(hofWc).map(expr): _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(fast.length == ref.length)
+    fast.zip(ref).foreach { case (f, r) => assert(f == r) }
   }
 
   test("graft_letter_counts == 26x replace-diff transform") {
