@@ -510,23 +510,31 @@ object TextExprs {
     * md5(CAST(substring(text, i, w) AS BINARY))))`; null when
     * `length < width`. Exposed as a static JVM method so generated
     * code can call it. */
-  /** offs(i) = UTF-16 index where code point i starts (offs(cpCount) =
-    * length). Windows are WIDTH CODE POINTS, like Spark's substring()
-    * in the HOF form and DuckDB's SUBSTRING — String.substring on
-    * UTF-16 units would split surrogate pairs and miscount astral
-    * chars. Shared by [[rollMinHash]] and [[winnow]] so a fix to the
-    * walk applies to both. */
-  private def codePointOffsets(str: String): Array[Int] = {
-    val cpCount = str.codePointCount(0, str.length)
-    val offs = new Array[Int](cpCount + 1)
-    var ci = 0
+  /** BYTE offset where code point i starts, computed directly over the
+    * UTF-8 bytes (r21): a UTF-8 slice taken at code-point boundaries IS
+    * the UTF-8 encoding of that substring, so the digest loops can feed
+    * `md.update(bytes, off, len)` instead of allocating
+    * `String.substring(...).getBytes(UTF_8)` per gram — same windows,
+    * same digests, zero per-gram allocations. Leading-byte dispatch:
+    * 0xxxxxxx=1, 110xxxxx=2, 1110xxxx=3, 11110xxx=4. */
+  private def cpByteOffsets(b: Array[Byte]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xff
+      i += (if (x < 0x80) 1 else if (x < 0xe0) 2 else if (x < 0xf0) 3 else 4)
+      n += 1
+    }
+    val offs = new Array[Int](n + 1)
+    i = 0
     var cp = 0
-    while (ci < str.length) {
-      offs(cp) = ci
-      ci += Character.charCount(str.codePointAt(ci))
+    while (i < b.length) {
+      offs(cp) = i
+      val x = b(i) & 0xff
+      i += (if (x < 0x80) 1 else if (x < 0xe0) 2 else if (x < 0xf0) 3 else 4)
       cp += 1
     }
-    offs(cpCount) = str.length
+    offs(n) = b.length
     offs
   }
 
@@ -542,17 +550,17 @@ object TextExprs {
   }
 
   def rollMinHash(text: UTF8String, width: Int): UTF8String = {
-    val str = text.toString
-    val offs = codePointOffsets(str)
+    val bytes = text.getBytes
+    val offs = cpByteOffsets(bytes)
     val n = offs.length - width
     if (n <= 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     var best: Array[Byte] = null
     var i = 0
     while (i < n) {
       md.reset()
-      val d = md.digest(str.substring(offs(i), offs(i + width))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, offs(i), offs(i + width) - offs(i))
+      val d = md.digest()
       if (best == null || unsignedLt(d, best)) best = d
       i += 1
     }
@@ -566,18 +574,18 @@ object TextExprs {
     * Static so generated code can call it. */
   def winnow(text: UTF8String, width: Int, win: Int)
   : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val str = text.toString
-    val offs = codePointOffsets(str)
+    val bytes = text.getBytes
+    val offs = cpByteOffsets(bytes)
     val nGrams = offs.length - width
     val nAnchors = nGrams - win + 1
     if (nAnchors <= 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     val digests = new Array[Array[Byte]](nGrams)
     var i = 0
     while (i < nGrams) {
       md.reset()
-      digests(i) = md.digest(str.substring(offs(i), offs(i + width))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, offs(i), offs(i + width) - offs(i))
+      digests(i) = md.digest()
       i += 1
     }
     val sel = new java.util.TreeSet[Array[Byte]](
@@ -626,8 +634,8 @@ object TextExprs {
     * md5 of the gram starting there leads with hex '0'. Code-point
     * walk matches `substring`'s char semantics for non-ASCII input. */
   def cdcStarts(text: UTF8String, gram: Int): ArrayData = {
-    val str = text.toString
-    val offs = codePointOffsets(str)
+    val bytes = text.getBytes
+    val offs = cpByteOffsets(bytes)
     val n = offs.length - 1
     if (n < gram) return null
     val md = Md5.get()
@@ -637,8 +645,8 @@ object TextExprs {
     val last = n - gram + 1
     while (i <= last) {
       md.reset()
-      val d = md.digest(str.substring(offs(i - 1), offs(i - 1 + gram))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(bytes, offs(i - 1), offs(i - 1 + gram) - offs(i - 1))
+      val d = md.digest()
       if ((d(0) & 0xf0) == 0) buf += i
       i += 1
     }

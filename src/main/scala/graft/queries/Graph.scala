@@ -102,9 +102,18 @@ object Graph {
         .select((col("l_orderkey") * 2).as("o"),
           (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
         .distinct()
-      val edges = pairs.select(col("o").as("src"), col("sp").as("dst"))
-        .union(pairs.select(col("sp").as("src"), col("o").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // r21 (guide §2.4): both edge directions come out of ONE pass
+      // over the deduped pairs — the former union of two selects of
+      // `pairs` re-ran the distinct's whole shuffle per branch
+      val edges = pairs.select(explode(array(
+          struct(col("o").as("src"), col("sp").as("dst")),
+          struct(col("sp").as("src"), col("o").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // deg is checkpointed too (r21): it already has one row per node,
+      // so rank0 reads it directly instead of re-shuffling a distinct
+      // over the edge-sized emit table
+      val deg = graft.Checkpoints.ckpt(
+        edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
       // (src, dst, outdeg) materialized ONCE — every hop joins only the
       // node-sized rank state against this checkpointed emit table
       val emit = graft.Checkpoints.ckpt(edges.join(deg, "src"))
@@ -112,11 +121,8 @@ object Graph {
       // least one in-edge, so the src side of emit IS the node set and
       // the per-hop inflow aggregate already covers every node — no
       // left join back to a node list is needed (the oracle keeps one,
-      // defensively; the results are identical on this graph). rank0
-      // derives from the CHECKPOINTED emit, not from deg, whose
-      // lineage would re-run the whole edge build a second time.
-      var rank = emit.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(10000L).as("r"))
+      // defensively; the results are identical on this graph).
+      var rank = deg.select(col("src").as("id"), lit(10000L).as("r"))
       // lazy hop ckpts (r21): each hop's rank is read by exactly one
       // downstream join whose map stage depends on this hop's aggregate
       // shuffle (stages serialize), so the final action materializes

@@ -49,7 +49,15 @@ object Relational {
         .orderBy("o_orderkey")),
 
     "q_project_expr" -> ((s, d) =>
+      // r21 (guide §1.2): the global orderBy's range exchange SAMPLES
+      // its child with a full pass, so projecting before the sort
+      // computed the decimal/string expressions twice. Sorting the raw
+      // scan first and projecting ABOVE the Sort (Catalyst prunes
+      // columns downward but never pushes projections below a Sort)
+      // evaluates them once; row order and output are identical — the
+      // sort keys are the same two scan columns.
       load(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           // exact decimal arithmetic end-to-end: the inputs are 2-decimal
@@ -63,8 +71,7 @@ object Relational {
           when(col("l_quantity") > 30, "bulk")
             .when(col("l_quantity") > 10, "mid")
             .otherwise("small").as("bucket"),
-          col("l_partkey").cast("string").as("pk_str"))
-        .orderBy("l_orderkey", "l_linenumber")),
+          col("l_partkey").cast("string").as("pk_str"))),
 
     "q_filter_regex" -> ((s, d) =>
       load(s, d, "documents")

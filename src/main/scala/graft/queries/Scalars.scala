@@ -47,13 +47,16 @@ object Scalars {
     // DuckDB's NULLIF/TRY_CAST equivalents.
     "q_try_funcs" -> ((s, d) => {
       graft.functions.TryExprs.register(s)
+      // r21: sort the raw scan, project above the Sort (q_project_expr
+      // pattern) — the range exchange's sampling pass no longer
+      // evaluates the try/parse expressions twice
       load(s, d, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           expr("try_divide(l_extendedprice, l_quantity - 25)").as("per_unit_off25"),
           expr("graft_try_long(concat('x', CAST(l_partkey AS STRING)))").as("bad_cast"),
           expr("graft_try_long(CAST(l_partkey AS STRING))").as("good_cast"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Fuzzy matching via edit distance (data-cleaning staple): bounded
@@ -86,15 +89,16 @@ object Scalars {
         .orderBy("doc_id")),
 
     "q_date_funcs" -> ((s, d) =>
+      // r21: sort first, project above (q_project_expr pattern)
       load(s, d, "orders")
+        .orderBy("o_orderkey")
         .select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("yr"),
           month(col("o_orderdate")).cast("long").as("mo"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
           date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
           datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
-            .cast("long").as("days_to_99"))
-        .orderBy("o_orderkey")),
+            .cast("long").as("days_to_99"))),
 
     "q_math_funcs" -> ((s, d) =>
       load(s, d, "part")
@@ -138,11 +142,13 @@ object Scalars {
         .orderBy("vec_id")),
 
     "q_json_funcs" -> ((s, d) =>
+      // r21: sort first, project above (q_project_expr pattern) — the
+      // JSON parse no longer runs in the range-sampling pass too
       load(s, d, "events")
+        .orderBy("event_id")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
-          get_json_object(col("props"), "$.k").as("k_str"))
-        .orderBy("event_id")),
+          get_json_object(col("props"), "$.k").as("k_str"))),
 
     // Null-handling battery: coalesce/nullif/nvl2/IS DISTINCT FROM over
     // the outer-join null pattern (customers without orders).

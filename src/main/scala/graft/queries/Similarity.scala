@@ -179,11 +179,15 @@ object Similarity {
     * via bit_count(xor) on the four full elements. */
   private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExprs.register(s)
-    val bands = load(s, d, "documents")
+    // r21 (guide §5): this frame feeds FOUR consumers (probe explode,
+    // anchor side, and both signature re-attach sides), each of which
+    // re-ran the per-doc shingle simhash fold — eager-checkpoint the
+    // signatures once
+    val bands = graft.Checkpoints.ckpt(load(s, d, "documents")
       .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
       .filter(col("hb").isNotNull)
       .select((col("doc_id") +:
-        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
+        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*))
     // anchor: one exact 16-bit band value per (doc, band)
     val anchor = bands.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
@@ -929,8 +933,13 @@ object Similarity {
         .filter(col("hamming") <= 6)
         .select(col("a_id"), col("b_id"))
       val bucket = concat(col("a_id").cast("string"), lit("|"), col("b_id").cast("string"))
-      val memb = pairs.select(col("a_id").as("doc_id"), bucket.as("bucket"))
-        .union(pairs.select(col("b_id").as("doc_id"), bucket.as("bucket")))
+      // r21 (guide §2.4): both memberships of a pair-bucket come out of
+      // ONE pass — the former union of two selects of `pairs` re-ran
+      // the candidate-pair subtree per branch
+      val memb = pairs
+        .select(bucket.as("bucket"),
+          explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .select(col("doc_id"), col("bucket"))
       val ids = load(s, d, "documents").select(col("doc_id"))
       hashMinLabels(memb, ids)
         .select(col("doc_id"), col("lbl").as("cluster"),
@@ -1255,8 +1264,13 @@ object Similarity {
         .filter(col("cosine") >= 0.35)
         .select(col("a_id"), col("b_id"))
       val bucket = concat(col("a_id").cast("string"), lit("|"), col("b_id").cast("string"))
-      val memb = pairs.select(col("a_id").as("doc_id"), bucket.as("bucket"))
-        .union(pairs.select(col("b_id").as("doc_id"), bucket.as("bucket")))
+      // r21 (guide §2.4): both memberships of a pair-bucket come out of
+      // ONE pass — the former union of two selects of `pairs` re-ran
+      // the candidate-pair subtree per branch
+      val memb = pairs
+        .select(bucket.as("bucket"),
+          explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .select(col("doc_id"), col("bucket"))
       val ids = load(s, d, "embeddings").select(col("vec_id").as("doc_id"))
       hashMinLabels(memb, ids)
         .select(col("doc_id").as("vec_id"), col("lbl").as("cluster"),

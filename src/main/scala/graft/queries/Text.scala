@@ -294,7 +294,13 @@ object Text {
             " (a, b) -> named_struct('w', a, 'c', b, 'dist', CAST(k AS BIGINT)))" +
             " ELSE array() END))")).as("p"))
         .select(col("p.w").as("w"), col("p.c").as("c"), col("p.dist").as("dist"))
-      p.union(p.select(col("c").as("w"), col("w").as("c"), col("dist")))
+      // r21 (guide §2.4): both directions of every pair come out of ONE
+      // pass — the former union of two selects of `p` re-ran the corpus
+      // scan + pair explode per branch
+      p.select(explode(array(
+          struct(col("w"), col("c"), col("dist")),
+          struct(col("c").as("w"), col("w").as("c"), col("dist")))).as("e"))
+        .select(col("e.w").as("w"), col("e.c").as("c"), col("e.dist").as("dist"))
         .groupBy(col("w"), col("c"), col("dist"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("w"), col("c"), col("dist"))
