@@ -777,7 +777,11 @@ object TextExprs {
       out.toArray(new Array[AnyRef](out.size)))
   }
 
-  /** See [[MinHash8]]. */
+  /** See [[MinHash8]]. Duplicate grams are hashed ONCE (the min over
+    * the multiset equals the min over the set): with a small
+    * vocabulary a document repeats most grams, and hashing every
+    * occurrence 8× regressed the unigram family 1.3× vs the exploded
+    * form, whose array_distinct had the same effect. */
   def minhash8(toks: ArrayData, n: Int): ArrayData = {
     val count = toks.numElements() - n + 1
     if (count <= 0) return null
@@ -791,22 +795,33 @@ object TextExprs {
     val best = new Array[Array[Byte]](8)
     val prefix = new Array[Byte](2)
     prefix(1) = '|'
+    val seen = new java.util.HashSet[UTF8String](count * 2)
     var k = 0
     while (k < count) {
-      var h = 0
-      while (h < 8) {
-        prefix(0) = ('0' + h).toByte
-        md.reset()
-        md.update(prefix)
-        var j = 0
-        while (j < n) {
-          if (j > 0) md.update(' '.toByte)
-          md.update(bytes(k + j))
-          j += 1
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += bytes(k + j).length; j += 1 }
+      val gram = new Array[Byte](len)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { gram(pos) = ' '; pos += 1 }
+        val b = bytes(k + j)
+        System.arraycopy(b, 0, gram, pos, b.length)
+        pos += b.length
+        j += 1
+      }
+      if (seen.add(UTF8String.fromBytes(gram))) {
+        var h = 0
+        while (h < 8) {
+          prefix(0) = ('0' + h).toByte
+          md.reset()
+          md.update(prefix)
+          md.update(gram)
+          val d = md.digest()
+          if (best(h) == null || unsignedLt(d, best(h))) best(h) = d
+          h += 1
         }
-        val d = md.digest()
-        if (best(h) == null || unsignedLt(d, best(h))) best(h) = d
-        h += 1
       }
       k += 1
     }
