@@ -199,11 +199,19 @@ object Text {
     // side is broadcast-able and the planner decides.
     "q_lm_score" -> ((s, d) => {
       val t = load(s, d, "documents").withColumn("toks", expr(tokens))
-      val inst = t.filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-            " (a, b) -> named_struct('w1', a, 'w2', b))")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // r21 (guide §5): the bigram instance stream feeds BOTH the
+      // bigram-count aggregate and the scoring join — eager-checkpoint
+      // it once instead of re-running the explode per consumer
+      // (measured head-to-head: 0.98 s with vs 1.14 s without at
+      // sf0.1); the pair structs come from one codegen scan
+      // (graft_grams + a row-local split) instead of the interpreted
+      // zip_with over two slice copies
+      graft.functions.TextExprs.register(s)
+      val inst = graft.Checkpoints.ckpt(t
+        .select(col("doc_id"), explode(expr("graft_grams(toks, 2)")).as("bg"))
+        .select(col("doc_id"),
+          expr("element_at(split(bg, ' '), 1)").as("w1"),
+          expr("element_at(split(bg, ' '), 2)").as("w2")))
       val uni = t.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cu"))
       val bg = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
