@@ -115,7 +115,14 @@ object Graph {
       val deg = graft.Checkpoints.ckpt(
         edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
       // (src, dst, outdeg) materialized ONCE — every hop joins only the
-      // node-sized rank state against this checkpointed emit table
+      // node-sized rank state against this checkpointed emit table.
+      // Measured and REJECTED (r21): persist()+count instead of the
+      // localCheckpoint, hoping the InMemoryTableScan's preserved
+      // HashPartitioning(src) would drop the per-hop emit exchange —
+      // the cached-plan read path cost MORE than the saved shuffle here
+      // (2.4 s → ~2.6 s era-adjusted at sf0.1); at 100 TB the same goal
+      // is met by the bucketed-by-src emit table the scaladoc above
+      // describes, without a per-run cache fill.
       val emit = graft.Checkpoints.ckpt(edges.join(deg, "src"))
       // undirected graph: every node is a src (outdeg >= 1) AND has at
       // least one in-edge, so the src side of emit IS the node set and

@@ -310,18 +310,17 @@ object Pipeline {
     // (N·10⁴ DIV df — log-free so both engines agree bit-for-bit):
     // top-3 terms per document. The df side is one word-keyed shuffle;
     // N is a broadcast scalar — the classic IR shape that scales.
-    // Deliberate: `toks` is traversed twice (tf and df) rather than
-    // checkpointed — the exploded token stream is the same order of
-    // magnitude as the corpus itself, so materializing it costs about
-    // what the second tokenize pass costs (unlike q_decontaminate,
-    // whose shared pass reduces to compact doc-id+hash rows).
+    // r21 (guide §2.4): df is DERIVED from the tf aggregate — tf has
+    // exactly one row per (doc, word), so df = tf's row count per word;
+    // the former second tokenize+explode pass and its distinct shuffle
+    // are gone. The checkpoint materializes the postings-sized tf frame
+    // once for its two consumers (df derivation + scoring join).
     "q_tfidf" -> ((s, d) => {
       val toks = load(s, d, "documents")
         .select(col("doc_id"), explode(expr(tokens)).as("word"))
-      val tf = toks.groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("word")).distinct()
-        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val tf = Checkpoints.ckpt(toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = load(s, d, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("weight").desc, col("word").asc)
@@ -350,19 +349,23 @@ object Pipeline {
     "q_bm25" -> ((s, d) => {
       val toks = load(s, d, "documents")
         .select(col("doc_id"), explode(expr(tokens)).as("word"))
-      val df = toks.select(col("doc_id"), col("word")).distinct()
-        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // r21 (guide §2.4, the q_tfidf treatment): ONE tokenize+explode
+      // pass builds the postings-sized (doc, word, tf) frame; df is
+      // derived from it (one row per (doc, word), so df = rows per
+      // word) and the query-term tf side reads the same checkpoint —
+      // the former second explode pass and its distinct shuffle are
+      // gone
+      val tfAll = Checkpoints.ckpt(toks
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+      val df = tfAll.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val qterms = df.orderBy(col("df").desc, col("word").asc).limit(3)
       // dl from the row-local size() (TokenCountRewrite: one primitive
-      // byte scan) and T = Σdl from the same frame — the exploded token
-      // stream is traversed exactly twice (df, tf), q_tfidf economics
+      // byte scan) and T = Σdl from the same frame
       val dl = load(s, d, "documents")
         .select(col("doc_id"), expr(s"CAST(size($tokens) AS BIGINT)").as("dl"))
       // both scalars from the one dl pass — no second documents scan
       val scal = dl.agg(sum(col("dl")).as("t"), count(lit(1)).as("n"))
-      toks.join(broadcast(qterms), "word")
-        .groupBy(col("doc_id"), col("word"), col("df"))
-        .agg(count(lit(1)).as("tf"))
+      tfAll.join(broadcast(qterms.select(col("word"), col("df"))), "word")
         .join(dl, "doc_id")
         .crossJoin(broadcast(scal))
         .select(col("doc_id"),
@@ -1290,7 +1293,12 @@ object Pipeline {
     // no cartesian anywhere, no global sort except presentation.
     "q_pipeline_e2e" -> ((s, d) => {
       val docs = load(s, d, "documents")
-      val toksDf = docs.withColumn("toks", expr(tokens))
+      // r21 (guide §5): the tokenized corpus feeds THREE consumers (the
+      // quality gate, the 4-gram decontamination hashes, and the final
+      // packing join) — checkpoint the (doc_id, lang, toks) projection
+      // once instead of re-running the tokenize scan per consumer
+      val toksDf = Checkpoints.ckpt(docs
+        .select(col("doc_id"), col("lang"), expr(tokens).as("toks")))
       // 1. quality: same thresholds as q_gopher_quality
       val quality = toksDf
         .select(col("doc_id"), explode(col("toks")).as("word"))

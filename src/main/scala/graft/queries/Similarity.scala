@@ -177,17 +177,25 @@ object Similarity {
     * a_id < b_id join predicate picks the single surviving direction.
     * The exact 64-bit Hamming distance then verifies each candidate
     * via bit_count(xor) on the four full elements. */
-  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
+  /** Pre-checkpoint signature frame (doc_id, hb0..hb3) — exposed
+    * private[graft] so PlanSpec can assert the row-local `graft_simhash`
+    * fold on the subtree the checkpoint otherwise hides behind a
+    * `Scan ExistingRDD` in the consuming queries' plans. */
+  private[graft] def simhashBandsFrame(s: SparkSession, d: String): DataFrame = {
     graft.functions.TextExprs.register(s)
+    load(s, d, "documents")
+      .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
+      .filter(col("hb").isNotNull)
+      .select((col("doc_id") +:
+        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*)
+  }
+
+  private def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     // r21 (guide §5): this frame feeds FOUR consumers (probe explode,
     // anchor side, and both signature re-attach sides), each of which
     // re-ran the per-doc shingle simhash fold — eager-checkpoint the
     // signatures once
-    val bands = graft.Checkpoints.ckpt(load(s, d, "documents")
-      .select(col("doc_id"), expr("graft_simhash(text)").as("hb"))
-      .filter(col("hb").isNotNull)
-      .select((col("doc_id") +:
-        (0 until 4).map(b => element_at(col("hb"), b + 1).as(s"hb$b"))): _*))
+    val bands = graft.Checkpoints.ckpt(simhashBandsFrame(s, d))
     // anchor: one exact 16-bit band value per (doc, band)
     val anchor = bands.select(col("doc_id"),
         posexplode(array((0 until 4).map(b => col(s"hb$b")): _*)))
@@ -1101,7 +1109,10 @@ object Similarity {
     // lets the DuckDB oracle unroll exactly 3 hops as CTEs, the
     // q_bpe_train pattern).
     "q_label_prop_multi" -> ((s, d) => {
-      val q = quantized(s, d)
+      // r21 (guide §5): q feeds six subtrees (both band sides, both
+      // vector re-attach sides, the seed set, the truth join) —
+      // checkpoint the scan+quantize once
+      val q = Checkpoints.ckpt(quantized(s, d))
       val bl = lshBandRows32(q)
       val adj = bl.as("a").join(bl.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -1167,6 +1178,10 @@ object Similarity {
     // pass, and the conditional aggregate pivots the two rank-1 rows
     // per anchor into one output row.
     "q_hard_negatives" -> ((s, d) => {
+      // r21: checkpointing q (the q_knn_graph treatment) measured a
+      // small LOSS here (0.66 s → 0.75 s at sf0.1) — the single
+      // candidate chain pays the materialization job without a second
+      // heavy consumer to amortize it, so the plain frame stays
       val q = quantized(s, d)
       val bl = lshBandRows32(q)
       val cands = bl.as("a").join(bl.as("b"),
@@ -1226,10 +1241,14 @@ object Similarity {
     // O(members·log) through one task.
     "q_dedup_survivor" -> ((s, d) => {
       val docs = load(s, d, "documents")
-      val mem = dedupLabels(s, d)
+      // r21 (guide §5): the membership frame feeds THREE consumers (the
+      // per-cluster aggregate, the survivor pick, and the final join) —
+      // eager-checkpoint it once instead of re-running the labels⋈docs
+      // join per consumer (at 100 TB: one corpus-sized join, not three)
+      val mem = Checkpoints.ckpt(dedupLabels(s, d)
         .join(docs.select(col("doc_id"),
           coalesce(col("n_chars").cast("long"), lit(0L)).as("nc")), "doc_id")
-        .select(col("doc_id"), col("lbl").as("cluster"), col("nc"))
+        .select(col("doc_id"), col("lbl").as("cluster"), col("nc")))
       val grp = mem.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"), max(col("nc")).as("maxc"))
       val surv = mem.join(grp, "cluster")
@@ -1253,7 +1272,11 @@ object Similarity {
     // (block-local pairs, never all-pairs); at 100 TB the label blocks
     // would come from a coarse quantizer (q_ann_ivf's assignment pass).
     "q_semdedup_cluster" -> ((s, d) => {
-      val q = quantized(s, d)
+      // r21 (guide §5): the quantized frame is read by BOTH sides of the
+      // block-local pair join — checkpoint it once instead of re-running
+      // the scan+quantize per side (at 100 TB: one embedding-corpus
+      // pass, not two)
+      val q = Checkpoints.ckpt(quantized(s, d))
       val a = q.select(col("label").as("la"), col("vec_id").as("a_id"),
         col("qv").as("qa"), col("nq").as("na"))
       val b = q.select(col("label").as("lb"), col("vec_id").as("b_id"),
@@ -1407,7 +1430,9 @@ object Similarity {
     // source, and a pair self-join marks MUTUAL edges (the symmetric
     // k-NN graph clustering actually wants).
     "q_knn_graph" -> ((s, d) => {
-      val q = quantized(s, d)
+      // r21 (guide §5): q feeds four subtrees (both band sides, both
+      // vector re-attach sides) — checkpoint the scan+quantize once
+      val q = Checkpoints.ckpt(quantized(s, d))
       val bl = lshBandRows32(q)
       val cands = bl.as("a").join(bl.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -1418,11 +1443,15 @@ object Similarity {
       val vb = q.select(col("vec_id").as("b_id"), col("qv").as("qb"), col("nq").as("nb"))
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cosine").desc, col("b_id").asc)
-      val knn = cands.join(va, "a_id").join(vb, "b_id")
+      // r21 (guide §5): the top-3 edge list is read TWICE (its own rows
+      // + the reversed copy probing mutuality) — without the checkpoint
+      // the whole candidate-join + window subtree evaluated once per
+      // branch
+      val knn = Checkpoints.ckpt(cands.join(va, "a_id").join(vb, "b_id")
         .select(col("a_id"), col("b_id"),
           cosine(dotQ("qa", "qb"), col("na"), col("nb")).as("cosine"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
+        .filter(col("rn") <= 3))
       val rev = knn.select(col("a_id").as("r_a"), col("b_id").as("r_b"))
       knn.join(rev, col("a_id") === col("r_b") && col("b_id") === col("r_a"), "left")
         .select(col("a_id"), col("rn").cast("long").as("rn"), col("b_id"),

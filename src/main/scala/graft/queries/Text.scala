@@ -205,7 +205,10 @@ object Text {
       // (measured head-to-head: 0.98 s with vs 1.14 s without at
       // sf0.1); the pair structs come from one codegen scan
       // (graft_grams + a row-local split) instead of the interpreted
-      // zip_with over two slice copies
+      // zip_with over two slice copies. Measured and REJECTED (this
+      // round): pre-aggregating to (doc, w1, w2, k) before the joins —
+      // bigrams inside a doc are mostly unique on this corpus, so the
+      // extra shuffle+agg bought nothing and cost 0.65 s → 0.98 s.
       graft.functions.TextExprs.register(s)
       val inst = graft.Checkpoints.ckpt(t
         .select(col("doc_id"), explode(expr("graft_grams(toks, 2)")).as("bg"))

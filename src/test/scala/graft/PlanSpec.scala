@@ -421,12 +421,19 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Similarity.queries("q_simhash_pairs")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // r21: the signature frame is checkpointed once for its four
+    // consumers, so the query plan reads it back as an ExistingRDD scan
+    // instead of re-deriving the fold per consumer
+    assert(p.contains("ExistingRDD"),
+      s"signature frame no longer checkpointed for its consumers:\n$p")
     // signature build is the codegen'd row-local fold — no explode, no
-    // 64-column aggregation; the first shuffle is the 4-rows-per-doc
-    // banding
-    assert(p.contains("graft_simhash"), s"signature not the row-local fold:\n$p")
-    assert(!p.contains("Generate explode(transform"),
-      s"shingle explode returned to the signature path:\n$p")
+    // 64-column aggregation (asserted on the pre-checkpoint subtree,
+    // which the ExistingRDD scan hides from the query plan)
+    val sig = plan(Similarity.simhashBandsFrame(spark, sfDir))
+    assert(sig.contains("graft_simhash"),
+      s"signature not the row-local fold:\n$sig")
+    assert(!sig.contains("Generate"),
+      s"shingle explode returned to the signature path:\n$sig")
   }
 
   test("kNN graph candidates bucket-join; the 32-plane signature is row-local") {
