@@ -444,10 +444,25 @@ object Bench {
     // TAIL — r2 truncated it mid-line ("parsed": null). Emit a short
     // summary line LAST so it survives any front-truncation; full
     // per-query detail (incl. raw runs) stays in the file below.
+    // Per-core-count sibling artifact (r22, VERDICT r21 #2): the driver
+    // runs the battery at two core counts back to back, and both used to
+    // write the SAME default file — the 8-core scaling run overwrote the
+    // 32-core per-query record, which is why PERF_r21.per_query and the
+    // scaling block came out empty. The full JSON now ALSO lands in
+    // `<out>_c<cpus>.json`, so consecutive runs at different core counts
+    // can never clobber each other; `bench_out.json` keeps its
+    // last-run-wins contract for anything that depends on it.
+    val outPathC = {
+      val dot = outPath.lastIndexOf('.')
+      if (dot > 0) outPath.substring(0, dot) + s"_c$cpus" + outPath.substring(dot)
+      else s"${outPath}_c$cpus"
+    }
     val gateLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${retriedNames.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_gate":"$gateStr"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","queries_file_cpus":"$outPathC","cpus":$cpus,"n_queries":${results.size},"n_failed":${failed.size},"failed_queries":${strArr(failed.keys.toSeq)},"n_retried":${retriedNames.size},"reps":$reps,"n_unstable":${warnings.size},"total_vs_baseline":${dec(totalVs, 4)},"era_drift":${dec(eraDrift, 3)},"total_vs_norm":${dec(if (eraDrift > 0) totalVs / eraDrift else totalVs, 4)},"n_baseline_warn":${baseWarn.size},"n_baseline_fail":${baseFail.size},"baseline_warn":${strArr(baseWarn)},"baseline_fail":${strArr(baseFail)},"baseline_gate":"$gateStr"}"""
     println(gateLine)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPathC),
       (json + "\n").getBytes("UTF-8"))
     // Machine-readable gate summary at a well-known path (ADVICE r13):
     // the driver's BENCH_r*.json wrapper records only a stdout tail and

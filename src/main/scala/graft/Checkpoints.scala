@@ -48,6 +48,21 @@ object Checkpoints {
     * LocalRDDCheckpointData fills any partitions a partial first
     * action skipped before truncating lineage.
     * `spark.graft.ckpt.eager=true` forces eager everywhere. */
+  /** LAZY checkpoint with a NAMED sole consumer (r22, VERDICT r21 #7).
+    * The lazy mode is correct ONLY while the first consuming job reads
+    * the frame through a single dependency branch — a property the r21
+    * sites enforced by comment alone. Every lazy call site must route
+    * through this helper and name the single consuming action; a
+    * refactor that adds a second concurrent consumer has to touch this
+    * call (and its named contract) to compile, instead of silently
+    * reintroducing the measured 1.5× recompute race. `soleConsumer` is
+    * the documentation-of-record; CheckpointsSpec pins the helper's
+    * semantics (lazy persistence, identical frame). */
+  def ckptLazy(df: DataFrame, soleConsumer: String): DataFrame = {
+    require(soleConsumer.nonEmpty, "ckptLazy requires the sole consumer's name")
+    ckpt(df, eager = false)
+  }
+
   def ckpt(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {

@@ -68,9 +68,10 @@ object Redirects {
     while (iter < maxIters && remaining > 0) {
       // lazy ckpt (r21): the frontier.count() below is the single next
       // consumer and materializes the hop in its own pass
-      val step = Checkpoints.ckpt(frontier
+      val step = Checkpoints.ckptLazy(frontier
         .join(tgt, col("cur") === col("c_title"), "left")
-        .join(edges, col("cur") === col("e_src"), "left"), eager = false)
+        .join(edges, col("cur") === col("e_src"), "left"),
+        soleConsumer = "frontier.count() — the hop's remaining-walkers probe")
       hits += step.filter(col("c_bid").isNotNull)
         .select(col("src"), col("c_bid").as("bid"))
       frontier = step // non-hits with an edge walk on; dead-ends drop

@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHash8(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_minhash8", "n").toInt)))
     e.injectFunction((
+      FunctionIdentifier("graft_toks"),
+      new ExpressionInfo(classOf[Toks].getName, "graft_toks"),
+      (exprs: Seq[Expression]) => Toks(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CountMinSketch].getName, "graft_cms"),
       (exprs: Seq[Expression]) => CountMinSketch(

@@ -446,6 +446,40 @@ case class LetterCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-space tokenization in ONE byte scan — the codegen'd
+  * replacement for the engine's canonical tokenizer
+  * `filter(split(text, ' '), x -> x <> '')` (ArrayFilter is a
+  * CodegenFallback HOF, so the whole subtree — regex split included —
+  * evaluated interpreted at every one of its ~35 call sites). `split`
+  * on the single-space regex with limit -1 yields one empty string per
+  * extra separator and the filter drops them, so the result is exactly
+  * the maximal runs of non-0x20 bytes, in order (no UTF-8 continuation
+  * byte equals 0x20, so a byte scan is code-point-safe — the
+  * TokenCountRewrite argument). Tokens are zero-copy views over one
+  * byte array obtained via `getBytes` (which copies out of any shared
+  * row buffer). dataType matches the replaced chain bit-for-bit:
+  * StringSplit declares ArrayType(StringType, containsNull = false)
+  * and ArrayFilter preserves it. TextExprsSpec pins equality on the
+  * real corpus plus degenerate fixtures (empty, all-space, leading/
+  * trailing/multi-space, astral). Installed two ways: callable as
+  * `graft_toks(text)`, and injected by [[TokenCountRewrite]] over the
+  * analyzed HOF form so every existing call site gets it. */
+case class Toks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_toks"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.toks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextExprs.toks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CdcStarts(child: Expression, gram: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -865,6 +899,35 @@ object TextExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[Toks]]. One `getBytes` (copies out of shared row buffers;
+    * an exactly-sized owned array is returned as-is, which is safe —
+    * owned arrays are never mutated), then zero-copy token views. */
+  def toks(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    var i = 0
+    var cnt = 0
+    var in = false
+    while (i < n) {
+      if (b(i) == 0x20) in = false
+      else { if (!in) cnt += 1; in = true }
+      i += 1
+    }
+    val out = new Array[AnyRef](cnt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (b(i) == 0x20) i += 1
+      else {
+        val start = i
+        while (i < n && b(i) != 0x20) i += 1
+        out(k) = UTF8String.fromBytes(b, start, i - start)
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** See [[WordCounts]]. LinkedHashMap keeps first-occurrence order =
     * array_distinct's key order. */
   def wordCounts(toks: ArrayData)
@@ -990,6 +1053,10 @@ object TextExprs {
       FunctionIdentifier("graft_letter_counts"),
       new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
       (exprs: Seq[Expression]) => LetterCounts(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_toks"),
+      new ExpressionInfo(classOf[Toks].getName, "graft_toks"),
+      (exprs: Seq[Expression]) => Toks(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cdc_starts"),
       new ExpressionInfo(classOf[CdcStarts].getName, "graft_cdc_starts"),

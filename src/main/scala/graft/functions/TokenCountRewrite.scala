@@ -81,5 +81,18 @@ object TokenCountRewrite extends Rule[LogicalPlan] {
           false)
         if sp == Space && str.dataType == StringType && isNotEmptyCheck(cond, v) =>
       TokenCount(str)
+    // r22: the same tree WITHOUT the size — the engine's canonical
+    // tokenizer itself — becomes the one-pass codegen'd TextExprs.Toks.
+    // Every `filter(split(text, ' '), x -> x <> '')` call site (about
+    // 35 across the query surface) stops paying the interpreted
+    // ArrayFilter-over-regex-split path. dataType is identical
+    // (ArrayType(StringType, containsNull = false)), so the plan
+    // schema is unchanged. Matched top-down, so the Size form above
+    // wins where it applies.
+    case ArrayFilter(
+          StringSplit(str, Literal(sp: UTF8String, StringType), Literal(-1, IntegerType)),
+          LambdaFunction(cond, Seq(v: NamedLambdaVariable), _))
+        if sp == Space && str.dataType == StringType && isNotEmptyCheck(cond, v) =>
+      Toks(str)
   }
 }

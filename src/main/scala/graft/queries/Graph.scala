@@ -82,21 +82,18 @@ object Graph {
     // q_label_prop_multi convention for driver-loop operators).
     //
     // Scale shape per hop: ONE equi-join of the node-sized rank state
-    // against the pre-materialized (src, dst, outdeg) emit table
-    // (hashed on src), then one map-side-combining aggregate of
-    // contributions by dst — the minimal two-shuffle power-iteration
-    // kernel. Rank is never broadcast, and each hop is checkpointed so
-    // lineage stays flat at any iteration count (the CC-kernel
-    // pattern); the emit table is checkpointed once and reused by all
-    // hops.
+    // against the (src, dst, outdeg) emit table — already partitioned
+    // by src because the emit join itself hashes on src — then one
+    // map-side-combining aggregate of contributions by dst. The emit
+    // subtree is computed ONCE (exchange reuse across the unrolled
+    // hops); the only per-hop exchange is the node-bound combined
+    // contribution stream. Rank is never broadcast by construction.
     //
-    // At 100 TB the emit table would be written once as a parquet
-    // table BUCKETED BY src: every hop's join then co-locates against
-    // the bucket layout and only the node-sized rank vector moves per
-    // hop (the GraphX partitioning strategy expressed in storage).
-    // local[32] has no bucket-pruning benefit worth the write, so the
-    // checkpointed in-memory form is used here; the per-hop plan is
-    // identical either way.
+    // At 100 TB with a persisted graph the same co-location comes from
+    // writing the emit table bucketed by src (the GraphX partitioning
+    // strategy expressed in storage); within one run, keeping the hops
+    // in one compiled plan gives the identical property for free via
+    // ReuseExchange/AQE stage reuse — see the r22 note in the body.
     "q_pagerank_multi" -> ((s, d) => {
       val pairs = load(s, d, "lineitem")
         .select((col("l_orderkey") * 2).as("o"),
@@ -109,40 +106,49 @@ object Graph {
           struct(col("o").as("src"), col("sp").as("dst")),
           struct(col("sp").as("src"), col("o").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // deg is checkpointed too (r21): it already has one row per node,
-      // so rank0 reads it directly instead of re-shuffling a distinct
-      // over the edge-sized emit table
-      val deg = graft.Checkpoints.ckpt(
-        edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
-      // (src, dst, outdeg) materialized ONCE — every hop joins only the
-      // node-sized rank state against this checkpointed emit table.
-      // Measured and REJECTED (r21): persist()+count instead of the
-      // localCheckpoint, hoping the InMemoryTableScan's preserved
-      // HashPartitioning(src) would drop the per-hop emit exchange —
-      // the cached-plan read path cost MORE than the saved shuffle here
-      // (2.4 s → ~2.6 s era-adjusted at sf0.1); at 100 TB the same goal
-      // is met by the bucketed-by-src emit table the scaladoc above
-      // describes, without a per-run cache fill.
-      val emit = graft.Checkpoints.ckpt(edges.join(deg, "src"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      // r22 (guide §2.4, VERDICT r21 #2): NO checkpoints — the three
+      // hops unroll into ONE compiled plan, where (a) the emit-side
+      // join (edges ⋈ deg on src) is ALREADY hash-partitioned by src,
+      // so each hop's rank join adds no emit-side Exchange at all, and
+      // (b) the emit subtree's exchanges (distinct / deg / edges) are
+      // canonically identical across the three hop references, so
+      // AQE's stage cache / ReuseExchange materializes each ONCE and
+      // the other two hops read ReusedExchange. The r21 form
+      // checkpointed emit to ExistingRDD, which LOSES the Catalyst
+      // partitioning and re-shuffled the edge-sized emit table every
+      // hop (the 66 MB/hop 100 TB hazard in VERDICT r21 #2). Per-hop
+      // wire traffic is now exactly the map-side-combined contribution
+      // aggregate keyed by dst — the minimal power-iteration kernel;
+      // rank is still never broadcast by construction (AQE may choose
+      // to broadcast the node-sized side locally, which is the
+      // size-adaptive choice, not a hardcode). Lineage depth is fixed
+      // (3 hops), so the ckpt-per-hop lineage discipline of unbounded
+      // loops does not apply.
+      //
       // undirected graph: every node is a src (outdeg >= 1) AND has at
       // least one in-edge, so the src side of emit IS the node set and
       // the per-hop inflow aggregate already covers every node — no
       // left join back to a node list is needed (the oracle keeps one,
       // defensively; the results are identical on this graph).
+      //
+      // Join strategy pinned (guide §3.1): unhinted, Catalyst's
+      // post-explode size estimates picked a broadcast of the
+      // EDGE-sized side (measured 66 MiB / 1.2M-row hash relation at
+      // sf0.1, built again for two of the three hops — broadcast-stage
+      // reuse only caught one). SHUFFLE_HASH building the NODE-sized
+      // deg side keeps the build bounded (outdeg rows per partition),
+      // makes emit's output hash-partitioned by src so the hop joins
+      // add no emit-side exchange, and leaves both input exchanges
+      // canonically identical across hops for AQE stage reuse.
+      val emit = edges.join(deg.hint("shuffle_hash"), "src")
       var rank = deg.select(col("src").as("id"), lit(10000L).as("r"))
-      // lazy hop ckpts (r21): each hop's rank is read by exactly one
-      // downstream join whose map stage depends on this hop's aggregate
-      // shuffle (stages serialize), so the final action materializes
-      // all hops in one fused job — no per-hop materialization pass.
-      // emit above stays EAGER: all three hops' emit-side map stages
-      // are ready at job start and would race to recompute it.
       for (_ <- 1 to 3) {
-        rank = graft.Checkpoints.ckpt(
-          emit.join(rank.select(col("id").as("src"), col("r")), "src")
-            .select(col("dst"), expr("r div outdeg").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
-            .select(col("dst").as("id"),
-              expr("1500 + (85 * in_c) div 100").as("r")), eager = false)
+        rank = emit.join(rank.select(col("id").as("src"), col("r")), "src")
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+          .select(col("dst").as("id"),
+            expr("1500 + (85 * in_c) div 100").as("r"))
       }
       rank.select(col("id"), col("r").as("rank_bp")).orderBy("id")
     }),

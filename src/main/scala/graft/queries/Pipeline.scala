@@ -40,12 +40,18 @@ object Pipeline {
     // with a reused digest — bit-equal to the transform+array_join+md5
     // form (TextExprsSpec); position semantics of posexplode unchanged
     graft.functions.TextExprs.register(s)
+    // r22 (guide §2.3 narrower types, VERDICT r21 #4): the shingle hash
+    // is equality-keyed ONLY (shared-marking aggregate + join-back) and
+    // never reaches any output, so carry it as the 16-BYTE unhex of the
+    // same md5 instead of the 32-char hex string — a bijection, zero
+    // collision change, and it halves the key bytes in the checkpoint
+    // and both gh-keyed exchanges of the family's dominant stream.
     val grams0 = load(s, d, "documents")
       .withColumn("toks", expr(tokens))
       .select(col("doc_id"),
         posexplode(expr("graft_gram_md5s(toks, 4)")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("col").as("gh"))
+        unhex(col("col")).as("gh"))
     val grams = Checkpoints.ckpt(grams0)
     val shared = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1049,11 +1055,13 @@ object Pipeline {
       // r21: one-pass gram hashing (see substringRuns)
       graft.functions.TextExprs.register(s)
       val docs = load(s, d, "documents").withColumn("toks", expr(tokens))
+      // r22: 16-byte binary gh — same narrowing as substringRuns (the
+      // hash is internal equality-only; unhex is a bijection)
       val grams0 = docs
         .select(col("doc_id"),
           posexplode(expr("graft_gram_md5s(toks, 4)")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("gh"))
+          unhex(col("col")).as("gh"))
       val grams = Checkpoints.ckpt(grams0)
       val shared = grams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1420,13 +1428,18 @@ object Pipeline {
     // exactly: row-local zip_with pair extraction (no self-join), then
     // two map-side-combining aggregates, (doc,gram) then doc — the only
     // wire traffic is partial counts.
-    "q_rep_bigram" -> ((s, d) =>
+    "q_rep_bigram" -> ((s, d) => {
+      graft.functions.TextExprs.register(s)
       load(s, d, "documents")
         .withColumn("toks", expr(tokens))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
-            " (a, b) -> concat(a, ' ', b))")).as("gram"))
+        // r22 (guide §1.2 per-task work): graft_grams(toks, 2) emits the
+        // identical space-joined bigrams in one codegen pass — the
+        // former zip_with-over-two-slices chain was an interpreted HOF
+        // allocating two slice copies per document (TextExprsSpec pins
+        // graft_grams == the slice/join form for n=2); the size>=2
+        // guard is preserved (graft_grams is empty below n anyway).
+        .select(col("doc_id"), explode(expr("graft_grams(toks, 2)")).as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_grams"),
@@ -1435,7 +1448,8 @@ object Pipeline {
         .select(col("doc_id"), col("n_grams"), col("n_distinct"),
           expr("dup_slots * 10000 DIV n_grams").as("dup_bp"),
           expr("dup_slots * 10000 DIV n_grams <= 900").as("keep"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Tokenizer-vocabulary sizing: the cumulative token-coverage curve
     // by word rank — "the smallest vocab covering X% of corpus tokens",

@@ -414,8 +414,17 @@ object Relational {
           col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
       val o = load(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice"))
-      graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
-        .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+      // r22 (guide §2.4 / VERDICT r21 #3): the global presentation sort
+      // is a RANGE exchange whose bounds come from a sampling pass over
+      // its child — and the child segment since the previous exchanges
+      // is the whole salted-join merge (both sort-merge sorts included),
+      // so the join ran TWICE per execution. Checkpointing the join
+      // output materializes the merge once; the sampling pass and the
+      // range shuffle then read cheap local blocks. Rows are identical —
+      // the checkpoint is a lineage cut, not a transformation.
+      graft.Checkpoints.ckpt(
+        graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
+          .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice")))
         .orderBy("k", "l_linenumber")
     }),
 
@@ -431,8 +440,12 @@ object Relational {
           col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
       val o = load(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice"))
-      graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
-        .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice"))
+      // r22: same checkpoint-before-presentation-sort as q_join_salted
+      // (the skewed variant pays the same double join evaluation under
+      // the range-sampling pass)
+      graft.Checkpoints.ckpt(
+        graft.operators.JoinStrategies.saltedJoin(li, o, "k", col("l_linenumber"), 8)
+          .select(col("k"), col("l_linenumber"), col("l_quantity"), col("o_totalprice")))
         .orderBy("k", "l_linenumber", "l_quantity", "o_totalprice")
     }),
 

@@ -270,8 +270,9 @@ object Similarity {
     // stays EAGER — the hop reads it through two concurrent join
     // branches, which under a lazy checkpoint raced to recompute the
     // shingle/minhash upstream (measured 2.1 s → 3.2 s)
-    var labels = Checkpoints.ckpt(
-      docIds.select(col("doc_id"), col("doc_id").as("lbl")), eager = false)
+    var labels = Checkpoints.ckptLazy(
+      docIds.select(col("doc_id"), col("doc_id").as("lbl")),
+      soleConsumer = "lblSum(labels) — the pre-loop convergence sum")
     // ids of the CURRENT labels hop's checkpoint blocks — superseded
     // hops are unpersisted eagerly below so per-hop copies don't pile
     // up in the block manager for the life of the loop (64 hops of
@@ -311,10 +312,10 @@ object Similarity {
         .groupBy(col("doc_id")).agg(min(col("bl")).as("nl"))
       val pre = persistentIds
       // lazy ckpt (r21): lblSum(next) below is the materializing action
-      val next = Checkpoints.ckpt(labels.join(docMin, Seq("doc_id"), "left")
+      val next = Checkpoints.ckptLazy(labels.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")),
-        eager = false)
+        soleConsumer = "lblSum(next) — the hop's convergence sum")
       val nextIds = persistentIds -- pre
       val s2 = lblSum(next)
       converged = s2.compareTo(prevSum) == 0
@@ -995,9 +996,17 @@ object Similarity {
       probe.join(anchor, Seq("blk", "band"))
         .filter(col("a_id") < col("b_id") &&
           abs(col("la") - col("lb")) <= 12)
+        // r22 (guide §1.2 per-task work): thresholded levenshtein — the
+        // built-in 3-arg form runs the BANDED O(n·k) DP with early exit
+        // instead of the full O(n·m) matrix, returning the EXACT
+        // distance when <= 12 and -1 otherwise; `dist BETWEEN 0 AND 12`
+        // therefore keeps exactly the rows `dist <= 12` kept before,
+        // with identical dist values (the -1 rows are the former
+        // dist > 12 rows). Oracle SQL unchanged — DuckDB computes the
+        // unbounded distance and applies the same <= 12 cut.
         .select(col("a_id"), col("b_id"),
-          levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
-        .filter(col("dist") <= 12)
+          levenshtein(col("sa"), col("sb"), 12).cast("long").as("dist"))
+        .filter(col("dist").between(0, 12))
         .orderBy("a_id", "b_id")
     }),
 

@@ -665,7 +665,8 @@ object Text {
     require(batchK >= 1)
     // lazy ckpt (r21): the round's top-pair collect is the single next
     // consumer and materializes the blocks in its own pass
-    var enc = graft.Checkpoints.ckpt(bpeEncode(s, d), eager = false)
+    var enc = graft.Checkpoints.ckptLazy(bpeEncode(s, d),
+      soleConsumer = "the first round's top-pair collect")
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     val roundSizes = Seq.newBuilder[Int]
     var step = 1
@@ -710,7 +711,8 @@ object Text {
         // job each), and the un-checkpointed hop is a single narrow
         // replace chain over the previous checkpoint — recompute is one
         // cheap pass, materialization cost halves
-        enc = if (rounds % 2 == 0) graft.Checkpoints.ckpt(next, eager = false)
+        enc = if (rounds % 2 == 0) graft.Checkpoints.ckptLazy(next,
+          soleConsumer = "the next round's top-pair collect")
         else next
       }
     }

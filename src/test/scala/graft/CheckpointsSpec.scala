@@ -89,6 +89,37 @@ class CheckpointsSpec extends SparkTestBase {
     }
   }
 
+  test("ckptLazy: lazy persistence with a named sole consumer; raw lazy " +
+    "call sites are confined to Checkpoints (VERDICT r21 #7 tripwire)") {
+    // semantics: identical frame, blocks persisted by the FIRST action
+    // rather than a dedicated job (storage level registered at call time)
+    val df = spark.range(0, 1000, 1, 4).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lazyDf = Checkpoints.ckptLazy(df, soleConsumer = "the count below")
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(newIds.nonEmpty, "lazy ckpt must register its RDD at call time")
+    assert(lazyDf.count() == 1000L)
+    newIds.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    intercept[IllegalArgumentException] { Checkpoints.ckptLazy(df, "") }
+
+    // tripwire: the single-dependency-branch contract of lazy
+    // checkpointing is enforced by routing every lazy site through
+    // ckptLazy (which names the sole consumer). A refactor that calls
+    // ckpt(..., eager = false) directly bypasses the contract — fail it
+    // here at the source level.
+    import scala.jdk.CollectionConverters._
+    val offenders = Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.toString.endsWith("Checkpoints.scala"))
+      .filter(p => Files.readString(p).matches(
+        "(?s).*ckpt\\([^)]*eager\\s*=\\s*false.*"))
+      .toList
+    assert(offenders.isEmpty,
+      s"raw lazy ckpt call sites outside Checkpoints.ckptLazy: $offenders")
+  }
+
   test("redirect resolution works under reliable checkpointing") {
     import spark.implicits._
     val redirects = Seq(("A", "B"), ("B", "C"), ("L1", "L2"), ("L2", "L1"))

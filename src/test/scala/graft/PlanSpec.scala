@@ -423,9 +423,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // r21: the signature frame is checkpointed once for its four
     // consumers, so the query plan reads it back as an ExistingRDD scan
-    // instead of re-deriving the fold per consumer
-    assert(p.contains("ExistingRDD"),
-      s"signature frame no longer checkpointed for its consumers:\n$p")
+    // instead of re-deriving the fold per consumer. r22 (ADVICE r21):
+    // pin the scan to the SIGNATURE frame — the assertion must not be
+    // satisfiable by some other checkpointed subtree.
+    // formatted mode: the scan's schema is the `Output [...]` line right
+    // under its `(n) Scan ExistingRDD` detail header
+    val sigScan = "\\(\\d+\\) Scan ExistingRDD\\s*\\nOutput \\[\\d+\\]: \\[[^\\]]*hb0[^\\]]*hb3".r
+    assert(sigScan.findFirstIn(p).isDefined,
+      s"no ExistingRDD scan of the hb0..hb3 signature frame:\n$p")
     // signature build is the codegen'd row-local fold — no explode, no
     // 64-column aggregation (asserted on the pre-checkpoint subtree,
     // which the ExistingRDD scan hides from the query plan)

@@ -330,6 +330,32 @@ class TextExprsSpec extends SparkTestBase {
     assert(short.forall(_.getInt(0) == 0))
   }
 
+  test("graft_toks == filter(split(t, ' '), x -> x <> '') on corpus and edge fixtures") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    // Reference computed DRIVER-side (Java split semantics are the
+    // HOF form's exactly: regex-split on the literal space, limit -1,
+    // empties dropped) — the in-engine HOF form is itself rewritten to
+    // Toks by TokenCountRewrite in this session, so it can't serve as
+    // the reference.
+    val fixtures = Seq(
+      "", " ", "   ", "a", " a ", "a b", "a  b", "  x   y  z ",
+      "a\tb", "a\nb", "héllo wörld", "日本 語  テスト ",
+      "emoji 😀 inside 🚀 the text", "𝕊𝕦𝕡𝕡𝕝𝕖𝕞𝕖𝕟𝕥𝕒𝕣𝕪 𝕡𝕝𝕒𝕟𝕖", "a ", " a")
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    val rows = (fixtures ++ corpus).toDF("t").repartition(2)
+      .select(col("t"), expr("graft_toks(t)").as("toks")).collect()
+    assert(rows.length == fixtures.length + corpus.length)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[String](1).toList == t.split(" ", -1).filter(_.nonEmpty).toList,
+        s"mismatch on '${t.take(60)}'")
+    }
+    // null in → null out, matching the HOF form
+    assert(spark.sql("SELECT graft_toks(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("graft_word_counts == map_from_arrays(array_distinct, per-word rescan) form") {
     graft.functions.TextExprs.register(spark)
     val hofWc = "map_from_arrays(array_distinct(toks)," +

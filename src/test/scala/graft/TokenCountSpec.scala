@@ -51,7 +51,36 @@ class TokenCountSpec extends SparkTestBase {
     val opt = df.queryExecution.optimizedPlan
     assert(opt.expressions.flatMap(_.collect { case tc: TokenCount => tc }).isEmpty,
       s"over-eager rewrite:\n$opt")
+    assert(opt.expressions.flatMap(_.collect { case t: graft.functions.Toks => t }).isEmpty,
+      s"over-eager toks rewrite:\n$opt")
     assert(df.collect().head.toSeq == Seq(1, 2, 1))
+  }
+
+  test("bare filter∘split tokenizer is rewritten to Toks and evaluates identically") {
+    import spark.implicits._
+    val df = (fixtures :+ null).toDF("t").repartition(2)
+      .select(col("t"), expr("filter(split(t, ' '), x -> x <> '')").as("toks"))
+    val opt = df.queryExecution.optimizedPlan
+    val toks = opt.expressions.flatMap(_.collect { case t: graft.functions.Toks => t })
+    assert(toks.nonEmpty, s"tokenizer not rewritten:\n$opt")
+    assert(!opt.toString.contains("array_filter"), opt.toString)
+    df.collect().foreach { r =>
+      Option(r.getString(0)) match {
+        case None    => assert(r.isNullAt(1))
+        case Some(s) =>
+          assert(r.getSeq[String](1).toList == s.split(" ", -1).filter(_.nonEmpty).toList,
+            s"'$s'")
+      }
+    }
+  }
+
+  test("Toks rewrite fires inside a registered tokenize-heavy query") {
+    val q = graft.queries.Pipeline.queries("q_gopher_quality")
+    val opt = q(spark, sfDir).queryExecution.optimizedPlan
+    val hits = opt.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.collect { case t: graft.functions.Toks => t }).size
+    }.sum
+    assert(hits > 0, s"Toks rewrite did not fire:\n$opt")
   }
 
   test("rule fires inside the registered token-counting queries") {
