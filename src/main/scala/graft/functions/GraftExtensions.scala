@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHash8(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_minhash8", "n").toInt)))
     e.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+      (exprs: Seq[Expression]) => CountIn(exprs.head,
+        VectorExprs.literalString(exprs(1), "graft_count_in", "spec"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_len_sum"),
+      new ExpressionInfo(classOf[LenSum].getName, "graft_len_sum"),
+      (exprs: Seq[Expression]) => LenSum(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_toks"),
       new ExpressionInfo(classOf[Toks].getName, "graft_toks"),
       (exprs: Seq[Expression]) => Toks(exprs.head)))

@@ -480,6 +480,58 @@ case class Toks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** COUNT of elements equal to any member of a small LITERAL set — the
+  * codegen'd replacement for the interpreted
+  * `CAST(size(filter(toks, x -> x IN ('a','b',...))) AS BIGINT)`
+  * stopword/marker counters (ArrayFilter is a CodegenFallback HOF, so
+  * the per-token IN scan ran interpreted at every quality/lang-id call
+  * site). `members` is the comma-split of the literal spec — the served
+  * sets are single words, never containing commas. Equality is
+  * UTF8String equality, exactly the IN-list's; the token arrays carry
+  * no null elements. TextExprsSpec pins bit-equality on the corpus. */
+case class CountIn(child: Expression, spec: String) extends UnaryExpression {
+  private val members: Array[UTF8String] =
+    spec.split(',').map(UTF8String.fromString)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_count_in"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.countIn(input.asInstanceOf[ArrayData], members)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("inset", members,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.countIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ length(element) over a string array in one pass — the codegen'd
+  * replacement for the interpreted
+  * `aggregate(arr, 0L, (a, x) -> a + length(x))` fold (and its
+  * `aggregate(transform(arr, length), ...)` variant): ArrayAggregate is
+  * a CodegenFallback HOF, so each per-row fold ran interpreted with a
+  * lambda invocation per element. length() counts code POINTS
+  * (UTF8String.numChars) — matched exactly. Empty array → 0, matching
+  * the fold's seed; the token arrays it serves never contain null
+  * elements (containsNull = false upstream). TextExprsSpec pins
+  * bit-equality on the corpus + astral fixtures. */
+case class LenSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_len_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.lenSum(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.lenSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CdcStarts(child: Expression, gram: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -899,6 +951,36 @@ object TextExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[CountIn]]. Linear membership scan — the sets are ≤ 7
+    * entries, below any hash-set crossover. */
+  def countIn(arr: ArrayData, members: Array[UTF8String]): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      var k = 0
+      while (k < members.length) {
+        if (members(k).equals(w)) { c += 1; k = members.length }
+        else k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** See [[LenSum]]. */
+  def lenSum(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      s += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    s
+  }
+
   /** See [[Toks]]. One `getBytes` (copies out of shared row buffers;
     * an exactly-sized owned array is returned as-is, which is safe —
     * owned arrays are never mutated), then zero-copy token views. */
@@ -1053,6 +1135,15 @@ object TextExprs {
       FunctionIdentifier("graft_letter_counts"),
       new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
       (exprs: Seq[Expression]) => LetterCounts(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+      (exprs: Seq[Expression]) => CountIn(exprs.head,
+        VectorExprs.literalString(exprs(1), "graft_count_in", "spec")))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_len_sum"),
+      new ExpressionInfo(classOf[LenSum].getName, "graft_len_sum"),
+      (exprs: Seq[Expression]) => LenSum(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_toks"),
       new ExpressionInfo(classOf[Toks].getName, "graft_toks"),

@@ -174,8 +174,8 @@ object Pipeline {
           .select(col("doc_id"), col(rank))
       }
       val lex = rankedHead(docs.select(col("doc_id"),
-        expr("CAST(size(filter(toks, x -> x IN ('join','hash','scan'))) AS BIGINT)")
-          .as("s")), "rank_lex")
+        // r22: graft_count_in replaces the interpreted IN filter
+        expr("graft_count_in(toks, 'join,hash,scan')").as("s")), "rank_lex")
       val voc = rankedHead(docs.select(col("doc_id"),
         expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("s")), "rank_voc")
       lex.join(voc, Seq("doc_id"), "full_outer")
@@ -1332,9 +1332,14 @@ object Pipeline {
       val survivors = quality.filter(!isEval)
         .join(contaminated, Seq("doc_id"), "left_anti")
       // 3. near-dup canon among survivors: same LSH + hash-min CC as
-      // q_dedup_cluster, restricted to the filtered doc set
+      // q_dedup_cluster, restricted to the filtered doc set. r22: the
+      // buckets come from the CHECKPOINTED tokenized frame
+      // (lshBucketsFromToks) — the former lshBuckets(docs.join(...))
+      // re-read the raw corpus and re-tokenized it a second time.
       val labels = Similarity.hashMinLabels(
-        Similarity.lshBuckets(docs.join(survivors, "doc_id")), survivors)
+        Similarity.lshBucketsFromToks(
+          toksDf.join(survivors, "doc_id").select(col("doc_id"), col("toks"))),
+        survivors)
       val canon = labels.filter(col("doc_id") === col("lbl"))
         .select(col("doc_id"))
       // 4. pack the canon set per-lang: same shard rule as q_pack_greedy

@@ -229,6 +229,25 @@ object Similarity {
       .select(col("doc_id"),
         concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
 
+  /** [[lshBuckets]] over a PRE-TOKENIZED (doc_id, toks) frame — r22
+    * (guide §2.4 do-fewer-passes): q_pipeline_e2e already checkpoints
+    * the tokenized corpus for its quality/decontamination stages, so
+    * the near-dup stage must not re-read and re-tokenize raw text.
+    * Identical buckets by construction: graft_minhash8 over the same
+    * token arrays the text form would produce (the text form IS
+    * `graft_minhash8(graft_toks(text), 4)` after the tokenizer
+    * rewrite). */
+  private[graft] def lshBucketsFromToks(toks: DataFrame): DataFrame = {
+    graft.functions.TextExprs.register(toks.sparkSession)
+    toks.select(col("doc_id"), expr("graft_minhash8(toks, 4)").as("ms"))
+      .filter(col("ms").isNotNull)
+      .select((col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("ms"), i + 1).as(s"m$i"))): _*)
+      .select(col("doc_id"), explode(array(bandSig: _*)).as("bs"))
+      .select(col("doc_id"),
+        concat(col("bs.band").cast("string"), lit("|"), col("bs.sig")).as("bucket"))
+  }
+
   /** Hash-min label propagation over the BIPARTITE doc–bucket graph:
     * a hot bucket of k docs costs k rows per iteration, never k² pairs —
     * the MapReduce-CC shape that survives skewed buckets at 100 TB.

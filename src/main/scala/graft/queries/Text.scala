@@ -33,7 +33,9 @@ object Text {
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"),
         expr("CAST(size(toks) AS BIGINT)").as("n_words"),
-        expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("n_stop"),
+        // r22: graft_count_in replaces the interpreted per-token IN
+        // filter (bit-equal; TextExprsSpec)
+        expr("graft_count_in(toks, 'the,a,of,and,is,to,in')").as("n_stop"),
         regexp_count(col("text"), lit("[^a-z0-9 \\t\\n\\r]")).cast("long").as("n_punct"))
       .withColumn("stop_bp", expr("n_stop * 10000 DIV n_words"))
       .withColumn("punct_bp", expr("n_punct * 10000 DIV len"))
@@ -60,7 +62,9 @@ object Text {
           expr("CAST(size(toks) AS BIGINT)").as("n_words"),
           expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_distinct"),
           // average word length in basis points: sum(len) * 10000 DIV n
-          expr("CAST(aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)" +
+          // (r22: graft_len_sum replaces the interpreted
+          // aggregate∘transform fold — bit-equal, TextExprsSpec)
+          expr("CAST(graft_len_sum(toks)" +
             " * 10000 DIV size(toks) AS BIGINT)").as("awl_bp"))
         .orderBy("doc_id")),
 
@@ -70,9 +74,10 @@ object Text {
       load(s, d, "documents")
         .withColumn("toks", expr(tokens))
         .select(col("doc_id"), col("lang"),
-          expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT)").as("s_en"),
-          expr("CAST(size(filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT)").as("s_de"),
-          expr("CAST(size(filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT)").as("s_fr"))
+          // r22: graft_count_in — see qualityScored
+          expr("graft_count_in(toks, 'the,a,of,and,is')").as("s_en"),
+          expr("graft_count_in(toks, 'der,die,und,das')").as("s_de"),
+          expr("graft_count_in(toks, 'le,la,et,les')").as("s_fr"))
         .withColumn("lang_pred",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
             .when(col("s_de") >= col("s_fr"), "de")
@@ -522,9 +527,11 @@ object Text {
           .as("n_bpe"))
       val words = load(s, d, "documents")
         .select(col("doc_id"), pretokens(s).as("ws"))
+        // r22: graft_len_sum replaces the interpreted aggregate(...)
+        // length fold (bit-equal; TextExprsSpec)
         .select(col("doc_id"),
           expr("CAST(size(ws) AS BIGINT)").as("n_words"),
-          expr("aggregate(ws, 0L, (a, x) -> a + length(x))").as("n_chars"))
+          expr("graft_len_sum(ws)").as("n_chars"))
         .filter(col("n_words") > 0)
       words.join(bpe, "doc_id")
         .select(col("doc_id"), col("n_words"), col("n_bpe"),

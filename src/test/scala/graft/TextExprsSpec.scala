@@ -356,6 +356,37 @@ class TextExprsSpec extends SparkTestBase {
     assert(spark.sql("SELECT graft_toks(CAST(NULL AS STRING))").head().isNullAt(0))
   }
 
+  test("graft_len_sum == aggregate length fold, incl. astral (code-point) lengths") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val fixtures = Seq(
+      "the quick brown fox", "", " ", "héllo wörld",
+      "emoji 😀 inside 🚀 the text", "𝕊𝕦𝕡𝕡𝕝𝕖𝕞𝕖𝕟𝕥𝕒𝕣𝕪 𝕡𝕝𝕒𝕟𝕖")
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    (fixtures ++ corpus).toDF("t").repartition(2)
+      .select(expr("filter(split(t, ' '), x -> x <> '')").as("toks"))
+      .select(expr("graft_len_sum(toks)").as("fast"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("ref"),
+        expr("CAST(aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x) AS BIGINT)").as("ref2"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1) && r.getLong(0) === r.getLong(2))
+      }
+  }
+
+  test("graft_count_in == size(filter(toks, x IN set)) on the corpus") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    val fixtures = Seq("the a the of xx", "", "  ", "thea the THE the")
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    (fixtures ++ corpus).toDF("t").repartition(2)
+      .select(expr("filter(split(t, ' '), x -> x <> '')").as("toks"))
+      .select(expr("graft_count_in(toks, 'the,a,of,and,is,to,in')").as("fast"),
+        expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT)").as("ref"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("graft_word_counts == map_from_arrays(array_distinct, per-word rescan) form") {
     graft.functions.TextExprs.register(spark)
     val hofWc = "map_from_arrays(array_distinct(toks)," +
