@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHash8(exprs.head,
         VectorExprs.literalLong(exprs(1), "graft_minhash8", "n").toInt)))
     e.injectFunction((
+      FunctionIdentifier("graft_sort_join"),
+      new ExpressionInfo(classOf[SortJoin].getName, "graft_sort_join"),
+      (exprs: Seq[Expression]) => SortJoin(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
       (exprs: Seq[Expression]) => CountIn(exprs.head,

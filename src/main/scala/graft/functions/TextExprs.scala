@@ -480,6 +480,31 @@ case class Toks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Ordered reassembly `array_join(transform(array_sort(
+  * collect_list(struct(k BIGINT, v STRING))), x -> x.v), ' ')` as ONE
+  * codegen call — the chain it replaces runs TWO CodegenFallback HOFs
+  * (array_sort's default-comparator lambda and the field-extraction
+  * transform) over up-to-64Ki-element per-group arrays in
+  * q_substring_strip's segment reassembly. Ordering matches
+  * array_sort's default struct comparator exactly: by k, ties by v in
+  * unsigned byte order (UTF8String.compareTo — Spark's string
+  * ordering); the served keys are distinct positions, so ties cannot
+  * occur, but the comparator is matched anyway. TextExprsSpec pins
+  * bit-equality against the chain on adversarial fixtures. */
+case class SortJoin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_sort_join"
+
+  override def nullSafeEval(input: Any): Any =
+    TextExprs.sortJoin(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.sortJoin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** COUNT of elements equal to any member of a small LITERAL set — the
   * codegen'd replacement for the interpreted
   * `CAST(size(filter(toks, x -> x IN ('a','b',...))) AS BIGINT)`
@@ -951,6 +976,40 @@ object TextExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** See [[SortJoin]]. */
+  def sortJoin(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val ks = new Array[Long](n)
+    val vs = new Array[UTF8String](n)
+    var i = 0
+    var bytes = if (n > 0) n - 1 else 0
+    while (i < n) {
+      val st = arr.getStruct(i, 2)
+      ks(i) = st.getLong(0)
+      vs(i) = st.getUTF8String(1)
+      bytes += vs(i).numBytes()
+      i += 1
+    }
+    val idx = new Array[Integer](n)
+    i = 0
+    while (i < n) { idx(i) = i; i += 1 }
+    java.util.Arrays.sort(idx, (a: Integer, b: Integer) => {
+      val c = java.lang.Long.compare(ks(a), ks(b))
+      if (c != 0) c else vs(a).compareTo(vs(b))
+    })
+    val out = new Array[Byte](bytes)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      if (i > 0) { out(pos) = ' '; pos += 1 }
+      val v = vs(idx(i))
+      v.writeToMemory(out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + pos)
+      pos += v.numBytes()
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
   /** See [[CountIn]]. Linear membership scan — the sets are ≤ 7
     * entries, below any hash-set crossover. */
   def countIn(arr: ArrayData, members: Array[UTF8String]): Long = {
@@ -1135,6 +1194,10 @@ object TextExprs {
       FunctionIdentifier("graft_letter_counts"),
       new ExpressionInfo(classOf[LetterCounts].getName, "graft_letter_counts"),
       (exprs: Seq[Expression]) => LetterCounts(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sort_join"),
+      new ExpressionInfo(classOf[SortJoin].getName, "graft_sort_join"),
+      (exprs: Seq[Expression]) => SortJoin(exprs.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),

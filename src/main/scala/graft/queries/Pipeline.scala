@@ -1079,15 +1079,17 @@ object Pipeline {
         .select(col("doc_id"), posexplode(col("toks")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("tok"))
+      // r22: graft_sort_join fuses array_join∘transform∘array_sort
+      // (two interpreted HOFs over up-to-64Ki-element per-group arrays)
+      // into one codegen call with the identical struct ordering
+      // (bit-equal; TextExprsSpec)
       val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
         .groupBy(col("doc_id"), expr(s"pos DIV $StripSegTokens").as("seg"))
         .agg(count(lit(1)).as("seg_n"),
-          array_join(expr("transform(array_sort(collect_list(struct(pos, tok)))," +
-            " x -> x.tok)"), " ").as("seg_txt"))
+          expr("graft_sort_join(collect_list(struct(pos, tok)))").as("seg_txt"))
         .groupBy(col("doc_id"))
         .agg(sum(col("seg_n")).as("n_kept"),
-          array_join(expr("transform(array_sort(collect_list(struct(seg, seg_txt)))," +
-            " x -> x.seg_txt)"), " ").as("clean"))
+          expr("graft_sort_join(collect_list(struct(seg, seg_txt)))").as("clean"))
       docs.select(col("doc_id"),
           expr("CAST(size(toks) AS BIGINT)").as("n_toks"))
         .join(kept, Seq("doc_id"), "left")

@@ -374,6 +374,35 @@ class TextExprsSpec extends SparkTestBase {
       }
   }
 
+  test("graft_sort_join == array_join(transform(array_sort(collect_list(struct))))") {
+    graft.functions.TextExprs.register(spark)
+    import spark.implicits._
+    // adversarial: out-of-order keys, duplicate keys (tie broken by the
+    // string in unsigned byte order), empty strings, non-ASCII, one
+    // group with a single element, one empty-string-only group
+    val rows = Seq(
+      (1L, 5L, "e"), (1L, 1L, "a"), (1L, 3L, "c"), (1L, 3L, "b"),
+      (1L, 2L, ""), (1L, 4L, "déjà"),
+      (2L, 10L, "solo"),
+      (3L, 1L, ""), (3L, 2L, ""))
+    val df = rows.toDF("g", "k", "v").repartition(2).groupBy("g")
+      .agg(expr("graft_sort_join(collect_list(struct(k, v)))").as("fast"),
+        expr("array_join(transform(array_sort(collect_list(struct(k, v)))," +
+          " x -> x.v), ' ')").as("ref"))
+    df.collect().foreach(r => assert(r.getString(1) === r.getString(2), r.getLong(0)))
+    // and on the real corpus through the exact q_substring_strip shape
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          expr("filter(split(text, ' '), x -> x <> '')")))
+    val both = toks.groupBy("doc_id")
+      .agg(expr("graft_sort_join(collect_list(struct(CAST(pos AS BIGINT), col)))").as("fast"),
+        expr("array_join(transform(array_sort(collect_list(struct(CAST(pos AS BIGINT), col)))," +
+          " x -> x.col), ' ')").as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(both === 0L)
+  }
+
   test("graft_count_in == size(filter(toks, x IN set)) on the corpus") {
     graft.functions.TextExprs.register(spark)
     import spark.implicits._
